@@ -1,0 +1,486 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+import graft.Tables
+
+/** The declared relational surface (SURVEY.md §2.B, Q01–Q21).
+  *
+  * The reference engine (astrolabsoftware/spark-fits) delegates all
+  * relational processing to Spark SQL (reference README.md:27-35); these
+  * queries declare and verify that surface over the driver's TESTDATA
+  * tables against a DuckDB oracle.
+  *
+  * Design notes for determinism and 100 TB scale:
+  *   - Money aggregations go through `DECIMAL(18,2)` so the sum is exact
+  *     and independent of partition order (a double sum re-ordered by a
+  *     1000-executor shuffle is not bit-stable run to run).
+  *   - Every query ends in ORDER BY on a key prefix that makes the
+  *     selected row-set and row-order deterministic.
+  *   - Plans are plain Catalyst: filters/projections push into the
+  *     parquet scan, small dimension tables are broadcast, aggregations
+  *     use partial (map-side) combine automatically. No collect() loops.
+  */
+object Relational {
+
+  private val D = DecimalType(18, 2)
+  /** Exact, order-independent money sum: per-row round to cents, decimal sum. */
+  private def moneySum(c: Column): Column = sum(c.cast(D)).cast(D)
+
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** `$"col"` without needing a SparkSession's implicits in scope. */
+  private implicit class ColInterp(private val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+
+  // ---------------------------------------------------------------- B1-B5
+
+  /** B1 projection — column pruning must reach the parquet scan. */
+  val q01_project: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      .orderBy($"l_orderkey", $"l_linenumber")
+      .limit(100)
+
+  /** B2 filter — predicates push down to the scan (`PushedFilters`). */
+  val q02_filter: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter($"l_quantity" > 45 && $"l_discount".between(0.05, 0.07))
+      .select($"l_orderkey", $"l_linenumber")
+      .orderBy($"l_orderkey", $"l_linenumber")
+
+  /** B3 count — partial + final aggregate, no row materialization. */
+  val q03_count: Q = (s, dir) =>
+    t(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))
+
+  /** B4 numeric aggregates — exact decimal sum, rounded avg, min/max. */
+  val q04_agg: Q = (s, dir) =>
+    t(s, dir, "lineitem").agg(
+      moneySum($"l_extendedprice").as("sum_price"),
+      round(avg($"l_discount"), 6).as("avg_disc"),
+      min($"l_shipdate").as("min_ship"),
+      max($"l_shipdate").as("max_ship"))
+
+  /** B5 distinct aggregation. */
+  val q05_distinct: Q = (s, dir) =>
+    t(s, dir, "lineitem").agg(countDistinct($"l_suppkey").as("n_supp"))
+
+  // ------------------------------------------------------------------- B6
+
+  /** B6 hash aggregate (TPC-H Q1 core). Map-side partial agg keeps the
+    * shuffle tiny: 32 partitions × (#flag,#status) groups regardless of
+    * input size. */
+  val q06_groupby: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum($"l_quantity").as("sum_qty"), // integral values: double-exact
+        moneySum($"l_extendedprice").as("sum_price"),
+        round(avg($"l_quantity"), 6).as("avg_qty"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+
+  // ------------------------------------------------------------------- B7
+
+  /** B7 multi-way equi join. `nation` is broadcast explicitly; at 100 TB
+    * customer⋈orders⋈lineitem are shuffle joins on their keys, which AQE
+    * can re-plan (skew split / broadcast promotion) at runtime. */
+  val q07_join: Q = (s, dir) => {
+    val customer = t(s, dir, "customer")
+    val orders   = t(s, dir, "orders")
+    val lineitem = t(s, dir, "lineitem")
+    val nation   = t(s, dir, "nation")
+    customer
+      .join(orders, $"c_custkey" === $"o_custkey")
+      .join(lineitem, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      // Exact decimal product: price and (1-discount) are 2-decimal
+      // valued, so the per-column casts are unambiguous in any engine
+      // and the 4-decimal product sums exactly — the double product
+      // would round differently at .005 boundaries across engines.
+      .agg(sum($"l_extendedprice".cast(D) *
+          (lit(1.0) - $"l_discount").cast(DecimalType(4, 2)))
+        .cast(DecimalType(18, 4)).as("revenue"))
+      .orderBy($"n_name")
+  }
+
+  // ------------------------------------------------------------------- B8
+
+  /** B8a anti join: customers with no orders (NOT EXISTS). */
+  val q08_anti: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey")
+      .orderBy($"c_custkey")
+
+  /** B8b semi join: customers with at least one order (EXISTS). */
+  val q08_semi: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey")
+      .orderBy($"c_custkey")
+
+  /** B8c left outer join + conditional count (zero-order customers kept). */
+  val q08_outer: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("n_orders"))
+      .orderBy($"c_custkey")
+
+  // ------------------------------------------------------------------- B9
+
+  /** B9 theta join: equi key + range residual. Stays a hash join on
+    * l_partkey=p_partkey with the range as a post-join filter — never a
+    * nested-loop cross product. */
+  val q09_theta: Q = (s, dir) =>
+    t(s, dir, "part")
+      .join(t(s, dir, "lineitem"),
+        $"l_partkey" === $"p_partkey" && $"l_quantity" < $"p_size")
+      .agg(count(lit(1)).as("cnt"))
+
+  // ------------------------------------------------------------------ B10
+
+  /** B10 top-k — Catalyst plans TakeOrderedAndProject: per-partition
+    * heap of k, no global sort, no full shuffle. */
+  val q10_topk: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(10)
+
+  // ------------------------------------------------------------------ B11
+
+  private def bldg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+  private def inDebt(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter($"c_acctbal" < 0).select($"c_custkey")
+
+  /** B11a UNION (set semantics = union + distinct). */
+  val q11_union: Q = (s, dir) =>
+    bldg(s, dir).union(inDebt(s, dir)).distinct().orderBy($"c_custkey")
+
+  /** B11b INTERSECT. */
+  val q11_intersect: Q = (s, dir) =>
+    bldg(s, dir).intersect(inDebt(s, dir)).orderBy($"c_custkey")
+
+  /** B11c EXCEPT. */
+  val q11_except: Q = (s, dir) =>
+    bldg(s, dir).except(inDebt(s, dir)).orderBy($"c_custkey")
+
+  // ------------------------------------------------------------------ B12
+
+  /** B12a rank window, top-3 per customer. Window order includes the key
+    * so rank values are fully deterministic. */
+  val q12_window: Q = (s, dir) => {
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    t(s, dir, "orders")
+      .withColumn("rnk", rank().over(w))
+      .filter($"rnk" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"rnk")
+      .orderBy($"o_custkey", $"rnk", $"o_orderkey")
+  }
+
+  /** B12b lag window (previous order's price per customer). */
+  val q12_lag: Q = (s, dir) => {
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    t(s, dir, "orders")
+      .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+      .select($"o_custkey", $"o_orderkey", $"prev_price")
+      .orderBy($"o_custkey", $"o_orderkey")
+      .limit(200)
+  }
+
+  // ------------------------------------------------------------------ B13
+
+  /** B13a ROLLUP — subtotals + grand total. */
+  val q13_rollup: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+
+  /** B13b CUBE. */
+  val q13_cube: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+
+  // ------------------------------------------------------------------ B14
+
+  /** B14 scalar string functions. */
+  val q14_string: Q = (s, dir) =>
+    t(s, dir, "part")
+      .filter($"p_name".like("%red%"))
+      .select(
+        $"p_partkey",
+        substring($"p_name", 1, 5).as("name5"),
+        upper($"p_brand").as("brand_up"),
+        length($"p_name").as("name_len"))
+      .orderBy($"p_partkey")
+
+  // ------------------------------------------------------------------ B15
+
+  /** B15a date extraction. */
+  val q15_date: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp_ntz"))
+      .select($"o_orderkey", year($"o_orderdate").cast(LongType).as("o_year"))
+      .orderBy($"o_orderkey")
+      .limit(100)
+
+  /** B15b monthly order counts via date_trunc. */
+  val q15_month: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(date_trunc("month", $"o_orderdate").cast("date").as("mon"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"mon")
+
+  // ------------------------------------------------------------------ B16
+
+  /** B16 math functions — IEEE-deterministic per row in both engines. */
+  val q16_math: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        round(sqrt(abs($"l_extendedprice")), 3).as("root_price"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+      .limit(100)
+
+  // ------------------------------------------------------------------ B17
+
+  /** B17a array size. */
+  val q17_size: Q = (s, dir) =>
+    t(s, dir, "embeddings")
+      .select($"vec_id", size($"embedding").as("emb_len"))
+      .orderBy($"vec_id")
+      .limit(100)
+
+  /** B17b generator/explode with position. Floats widened to double then
+    * rounded — identical widening in Spark and DuckDB. */
+  val q17_explode: Q = (s, dir) =>
+    t(s, dir, "embeddings")
+      .filter($"vec_id" < 2)
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
+      .select($"vec_id", $"pos", round($"v".cast("double"), 5).as("v"))
+      .orderBy($"vec_id", $"pos")
+
+  // ------------------------------------------------------------------ B18
+
+  /** B18 JSON extraction from the events `props` payload. */
+  val q18_json: Q = (s, dir) =>
+    t(s, dir, "events")
+      .select($"event_id", get_json_object($"props", "$.k").as("k"))
+      .orderBy($"event_id")
+      .limit(100)
+
+  // ------------------------------------------------------------------ B19
+
+  /** B19 approx distinct (HLL). Not hash-matched against the oracle —
+    * the query itself reports the relative error vs the exact count so
+    * the rows-only check still exercises both paths. */
+  val q19_approx: Q = (s, dir) =>
+    t(s, dir, "orders").agg(
+      approx_count_distinct($"o_custkey").as("approx_cnt"),
+      countDistinct($"o_custkey").as("exact_cnt"))
+      .select(
+        $"approx_cnt", $"exact_cnt",
+        (abs($"approx_cnt" - $"exact_cnt") / $"exact_cnt").as("rel_err"))
+
+  // ------------------------------------------------------------------ B20
+
+  /** B20 scalar expression (codegen'd, no UDF): net price. */
+  val q20_expr: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount") *
+          (lit(1.0) + $"l_tax")).as("net_price"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+      .limit(100)
+
+  // ------------------------------------------------------------------ B21
+
+  /** B21 statistical aggregate per group (stddev). A custom sigma-clip
+    * Aggregator lives in graft.functions; this one is oracle-checkable. */
+  val q21_stddev: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(round(stddev_samp($"l_quantity"), 4).as("sd_qty"))
+      .orderBy($"l_returnflag")
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "q01_project" -> q01_project,
+    "q02_filter" -> q02_filter,
+    "q03_count" -> q03_count,
+    "q04_agg" -> q04_agg,
+    "q05_distinct" -> q05_distinct,
+    "q06_groupby" -> q06_groupby,
+    "q07_join" -> q07_join,
+    "q08_anti" -> q08_anti,
+    "q08_semi" -> q08_semi,
+    "q08_outer" -> q08_outer,
+    "q09_theta" -> q09_theta,
+    "q10_topk" -> q10_topk,
+    "q11_union" -> q11_union,
+    "q11_intersect" -> q11_intersect,
+    "q11_except" -> q11_except,
+    "q12_window" -> q12_window,
+    "q12_lag" -> q12_lag,
+    "q13_rollup" -> q13_rollup,
+    "q13_cube" -> q13_cube,
+    "q14_string" -> q14_string,
+    "q15_date" -> q15_date,
+    "q15_month" -> q15_month,
+    "q16_math" -> q16_math,
+    "q17_size" -> q17_size,
+    "q17_explode" -> q17_explode,
+    "q18_json" -> q18_json,
+    "q19_approx" -> q19_approx,
+    "q20_expr" -> q20_expr,
+    "q21_stddev" -> q21_stddev,
+  )
+
+  /** DuckDB-compatible oracle SQL. Keys mirror `queries`; column aliases
+    * match the Spark output exactly (the driver compare sorts columns by
+    * name before hashing). q19_approx intentionally has no oracle.
+    */
+  val oracles: Map[String, String] = Map(
+    "q01_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q02_filter" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_quantity > 45 AND l_discount BETWEEN 0.05 AND 0.07
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_count" -> "SELECT COUNT(*) AS cnt FROM lineitem",
+    "q04_agg" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        |  ROUND(AVG(l_discount), 6) AS avg_disc,
+        |  MIN(l_shipdate) AS min_ship,
+        |  MAX(l_shipdate) AS max_ship
+        |FROM lineitem""".stripMargin,
+    "q05_distinct" ->
+      "SELECT COUNT(DISTINCT l_suppkey) AS n_supp FROM lineitem",
+    "q06_groupby" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        |  ROUND(AVG(l_quantity), 6) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q07_join" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q08_anti" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_semi" ->
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q09_theta" ->
+      """SELECT COUNT(*) AS cnt FROM part p
+        |JOIN lineitem l ON l.l_partkey = p.p_partkey
+        |  AND l.l_quantity < p.p_size""".stripMargin,
+    "q10_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q11_union" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal < 0
+        |ORDER BY c_custkey""".stripMargin,
+    "q11_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal < 0
+        |ORDER BY c_custkey""".stripMargin,
+    "q11_except" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_acctbal < 0
+        |ORDER BY c_custkey""".stripMargin,
+    "q12_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(RANK() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
+        |FROM orders
+        |QUALIFY rnk <= 3
+        |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+    "q12_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey LIMIT 200""".stripMargin,
+    "q13_rollup" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q13_cube" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q14_string" ->
+      """SELECT p_partkey, SUBSTRING(p_name, 1, 5) AS name5,
+        |  UPPER(p_brand) AS brand_up,
+        |  CAST(LENGTH(p_name) AS INTEGER) AS name_len
+        |FROM part WHERE p_name LIKE '%red%' ORDER BY p_partkey""".stripMargin,
+    "q15_date" ->
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin,
+    "q15_month" ->
+      """SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mon,
+        |  COUNT(*) AS cnt
+        |FROM orders GROUP BY mon ORDER BY mon""".stripMargin,
+    "q16_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ROUND(SQRT(ABS(l_extendedprice)), 3) AS root_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q17_size" ->
+      """SELECT vec_id, CAST(LEN(embedding) AS INTEGER) AS emb_len
+        |FROM embeddings ORDER BY vec_id LIMIT 100""".stripMargin,
+    "q17_explode" ->
+      """SELECT vec_id,
+        |  CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+        |  ROUND(CAST(UNNEST(embedding) AS DOUBLE), 5) AS v
+        |FROM embeddings WHERE vec_id < 2 ORDER BY vec_id, pos""".stripMargin,
+    "q18_json" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k
+        |FROM events ORDER BY event_id LIMIT 100""".stripMargin,
+    "q20_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS net_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q21_stddev" ->
+      """SELECT l_returnflag, ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
+}

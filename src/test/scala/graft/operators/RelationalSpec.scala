@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Smoke + invariant tests for the declared relational surface.
+  * Deep value checks run against the DuckDB oracle via Verify/selfcheck;
+  * here we assert structural invariants that hold at any scale factor.
+  */
+class RelationalSpec extends SparkTestBase {
+
+  test("every declared query runs on sf0.001") {
+    Relational.queries.foreach { case (name, q) =>
+      val df = q(spark, sf0001)
+      val n = df.count()
+      withClue(s"$name: ") { assert(n >= 0) }
+    }
+  }
+
+  test("oracle keys are a subset of query keys") {
+    val extra = Relational.oracles.keySet -- Relational.queries.keySet
+    assert(extra.isEmpty, s"oracles without queries: $extra")
+  }
+
+  test("q03 count equals table size") {
+    val expected =
+      spark.read.parquet(s"$sf0001/lineitem.parquet").count()
+    val got = Relational.q03_count(spark, sf0001).collect().head.getLong(0)
+    assert(got == expected)
+  }
+
+  test("q06 group-by partitions the q03 total") {
+    val total = Relational.q03_count(spark, sf0001).collect().head.getLong(0)
+    val byGroup = Relational.q06_groupby(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.sum("cnt")).collect().head.getLong(0)
+    assert(byGroup == total)
+  }
+
+  test("q08 semi + anti partition customer") {
+    val cust = spark.read.parquet(s"$sf0001/customer.parquet").count()
+    val semi = Relational.q08_semi(spark, sf0001).count()
+    val anti = Relational.q08_anti(spark, sf0001).count()
+    assert(semi + anti == cust)
+  }
+
+  test("q11 union/intersect/except obey inclusion-exclusion") {
+    val u = Relational.q11_union(spark, sf0001).count()
+    val i = Relational.q11_intersect(spark, sf0001).count()
+    val e = Relational.q11_except(spark, sf0001).count()
+    // |A∪B| = |A\B| + |B\A| + |A∩B|; and |A| = |A\B| + |A∩B|
+    assert(e + i <= u && u >= e)
+  }
+
+  test("q10 top-k is sorted descending") {
+    val prices = Relational.q10_topk(spark, sf0001)
+      .collect().map(_.getDouble(1))
+    assert(prices.sameElements(prices.sortBy(-(_: Double))))
+  }
+
+  test("q19 approx distinct within 5% of exact") {
+    val r = Relational.q19_approx(spark, sf0001).collect().head
+    assert(r.getDouble(2) < 0.05, s"rel_err=${r.getDouble(2)}")
+  }
+
+  test("entry flagship returns rows") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs each oracle SQL from <outdir>/oracle_sql.json in DuckDB over the
+scale-factor parquet tables, loads the engine's parquet dump for the same
+query, sorts columns by name (like the driver) and rows by all columns,
+then compares values exactly. Usage:
+
+    python3 tools/selfcheck.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # decimals etc -> string canonical form; floats kept as floats
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: None if v is None else str(v))
+    df = df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+    return df
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle_sql = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle_sql.items()):
+        try:
+            oracle = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle errored: {e}")
+            failures += 1
+            continue
+        try:
+            engine = duckdb.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: engine output missing: {e}")
+            failures += 1
+            continue
+        o, e = canon(oracle), canon(engine)
+        if list(o.columns) != list(e.columns):
+            print(f"FAIL {name}: columns oracle={list(o.columns)} engine={list(e.columns)}")
+            failures += 1
+            continue
+        if o.shape != e.shape:
+            print(f"FAIL {name}: shape oracle={o.shape} engine={e.shape}")
+            failures += 1
+            continue
+        diffs = []
+        for c in o.columns:
+            oc, ec = o[c], e[c]
+            if pd.api.types.is_float_dtype(oc) or pd.api.types.is_float_dtype(ec):
+                neq = ~((oc.isna() & ec.isna()) | (oc.astype(float) == ec.astype(float)))
+            else:
+                neq = ~((oc.isna() & ec.isna()) | (oc.astype(str) == ec.astype(str)))
+            if neq.any():
+                i = int(neq.idxmax())
+                diffs.append(f"{c}[{i}]: oracle={oc[i]!r} engine={ec[i]!r} (n={int(neq.sum())})")
+        if diffs:
+            print(f"FAIL {name}: " + "; ".join(diffs[:3]))
+            failures += 1
+        else:
+            print(f"ok   {name}: {o.shape[0]} rows x {o.shape[1]} cols")
+    # rows-only queries (no oracle)
+    import glob, os
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        if name not in oracle_sql:
+            try:
+                n = duckdb.sql(
+                    f"SELECT COUNT(*) FROM read_parquet('{d}*.parquet')").fetchone()[0]
+                print(f"ok?  {name}: rows-only, {n} rows")
+            except Exception as ex:
+                print(f"FAIL {name}: rows-only read error: {ex}")
+                failures += 1
+    print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
