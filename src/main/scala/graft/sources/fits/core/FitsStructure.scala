@@ -1,0 +1,205 @@
+package graft.sources.fits.core
+
+import org.apache.hadoop.fs.{FSDataInputStream, FileSystem, Path}
+import org.apache.spark.sql.types._
+
+/** Byte extents of one HDU: [headerStart, dataStart) header blocks,
+  * [dataStart, dataStop) payload, blockStop = dataStart + padded size
+  * (reference model: FitsBlockBoundaries, FitsLib.scala:65-91). */
+final case class HduBounds(
+    headerStart: Long, dataStart: Long, dataStop: Long, blockStop: Long) {
+  def dataBytes: Long = dataStop - dataStart
+}
+
+/** One column of a binary table with its byte offset inside the row. */
+final case class BintableColumn(name: String, tform: TForm, offset: Int) {
+  def field: StructField = StructField(name, tform.sparkType, nullable = true)
+}
+
+/** What an HDU is, with everything needed to read it — computed once on
+  * the driver and shipped to executors inside InputPartitions (the
+  * reference instead stringifies metadata into the Hadoop conf and
+  * re-walks files per task, FitsLib.scala:608-629 — an O(files) cost we
+  * avoid by design). */
+sealed trait HduMeta {
+  /** bytes of one table row (0 for empty HDUs) */
+  def rowBytes: Int
+  def nRows: Long
+  def schema: StructType
+  def isReadable: Boolean
+}
+
+object HduMeta {
+  final case class Bintable(
+      rowBytes: Int, nRows: Long, columns: Vector[BintableColumn])
+      extends HduMeta {
+    def schema: StructType = StructType(columns.map(_.field))
+    def isReadable: Boolean = true
+    /** Projection in user order; unknown names throw like the reference
+      * (FitsHduBintable.scala:315-321). */
+    def select(names: Seq[String]): Bintable = {
+      val byName = columns.map(c => c.name -> c).toMap
+      val picked = names.map { n =>
+        byName.getOrElse(n, throw new IllegalArgumentException(
+          s"Column '$n' does not exist in the FITS table; " +
+            s"available: ${columns.map(_.name).mkString(", ")}"))
+      }
+      copy(columns = picked.toVector)
+    }
+  }
+
+  /** N-d image surfaced as one row per image line: (Image: Array[elem],
+    * ImgIndex: Long) — reference shape FitsHduImage.scala:128-136. */
+  final case class Image(elem: ElemType, axes: Vector[Long]) extends HduMeta {
+    def lineElems: Int = if (axes.isEmpty) 0 else axes.head.toInt
+    def rowBytes: Int = lineElems * elem.width
+    def nRows: Long =
+      if (axes.isEmpty || axes.head == 0) 0L else axes.product / axes.head
+    def schema: StructType = StructType(Seq(
+      StructField("Image", ArrayType(elem.sparkType, containsNull = true),
+        nullable = true),
+      StructField("ImgIndex", LongType, nullable = true)))
+    def isReadable: Boolean = nRows > 0
+  }
+
+  /** ASCII TABLE / empty / unrecognized HDUs: an empty DataFrame with an
+    * empty schema (reference: AnyHDU, FitsHdu.scala:242-267). */
+  case object Opaque extends HduMeta {
+    def rowBytes: Int = 0
+    def nRows: Long = 0L
+    def schema: StructType = StructType(Nil)
+    def isReadable: Boolean = false
+  }
+}
+
+/** One fully-resolved HDU. */
+final case class Hdu(index: Int, header: FitsHeader, bounds: HduBounds,
+    meta: HduMeta)
+
+/** Driver-side structural scan of a FITS file: walks headers, computes
+  * boundaries, resolves each HDU's metadata. All IO is positioned reads
+  * (pread) — stateless and object-store friendly.
+  */
+object FitsStructure {
+  import FitsHeader.{BlockSize, CardSize}
+
+  /** Max header size we will scan before declaring the file corrupt
+    * (a missing END card would otherwise walk to EOF). */
+  private val MaxHeaderBlocks = 1000
+
+  def scan(fs: FileSystem, path: Path): Vector[Hdu] = {
+    val len = fs.getFileStatus(path).getLen
+    val in = fs.open(path)
+    try {
+      val hdus = Vector.newBuilder[Hdu]
+      var pos = 0L
+      var index = 0
+      while (pos + BlockSize <= len) {
+        val (header, headerBytes) = readHeader(in, pos, len, path)
+        val dataStart = pos + headerBytes
+        val dataLen = dataLength(header)
+        val dataStop = dataStart + dataLen
+        val blockStop = dataStart + padTo(dataLen, BlockSize)
+        val bounds = HduBounds(pos, dataStart, dataStop, blockStop)
+        hdus += Hdu(index, header, bounds, resolveMeta(index, header))
+        pos = blockStop
+        index += 1
+      }
+      hdus.result()
+    } finally in.close()
+  }
+
+  /** Reads header blocks at `pos` until the END card; returns the parsed
+    * header and its padded byte size. */
+  private def readHeader(in: FSDataInputStream, pos: Long, fileLen: Long,
+      path: Path): (FitsHeader, Long) = {
+    var blocks = 1
+    while (blocks <= MaxHeaderBlocks) {
+      val size = blocks * BlockSize
+      if (pos + size > fileLen)
+        throw new IllegalArgumentException(
+          s"$path: header at byte $pos runs past EOF without an END card " +
+            "— not a valid FITS file")
+      val buf = new Array[Byte](size)
+      in.readFully(pos, buf)
+      if (containsEnd(buf)) return (FitsHeader.parse(buf), size.toLong)
+      blocks += 1
+    }
+    throw new IllegalArgumentException(
+      s"$path: no END card within $MaxHeaderBlocks header blocks at byte $pos")
+  }
+
+  private def containsEnd(buf: Array[Byte]): Boolean = {
+    var i = 0
+    while (i + CardSize <= buf.length) {
+      if (buf(i) == 'E' && buf(i + 1) == 'N' && buf(i + 2) == 'D' &&
+        (CardSize == 3 || isBlank(buf, i + 3, i + CardSize))) return true
+      i += CardSize
+    }
+    false
+  }
+
+  private def isBlank(buf: Array[Byte], from: Int, until: Int): Boolean = {
+    var i = from
+    while (i < until) { if (buf(i) != ' '.toByte) return false; i += 1 }
+    true
+  }
+
+  /** data bytes = |BITPIX|/8 × ∏NAXISn (+ PCOUNT heap bytes, so the walk
+    * stays aligned on files with variable-length heaps even though we
+    * don't decode them). */
+  private def dataLength(h: FitsHeader): Long = {
+    val axes = h.axes
+    val main =
+      if (axes.isEmpty || axes.contains(0L)) 0L
+      else math.abs(h.intOr("BITPIX", 8)).toLong / 8L * axes.product
+    main + h.longOr("PCOUNT", 0L)
+  }
+
+  private def padTo(n: Long, block: Int): Long =
+    if (n % block == 0) n else (n / block + 1) * block
+
+  private def resolveMeta(index: Int, h: FitsHeader): HduMeta =
+    h.get("XTENSION").map(_.trim) match {
+      case Some("BINTABLE") => bintableMeta(h)
+      case Some("IMAGE") => imageMeta(h)
+      case Some(_) => HduMeta.Opaque // ASCII TABLE & friends
+      case None =>
+        // Primary HDU: data present ⇒ treated as an image (the reference
+        // makes the same assumption for headerless data, FitsLib.scala:359-375).
+        if (dataLength(h) > 0) imageMeta(h) else HduMeta.Opaque
+    }
+
+  private def bintableMeta(h: FitsHeader): HduMeta = {
+    val rowBytes = h.intOr("NAXIS1", 0)
+    val nRows = h.longOr("NAXIS2", 0L)
+    val nCols = h.intOr("TFIELDS", 0)
+    var offset = 0
+    val cols = Vector.newBuilder[BintableColumn]
+    var i = 1
+    while (i <= nCols) {
+      val tform = TForm.parse(h.values.getOrElse(s"TFORM$i", ""))
+      val name = h.values.getOrElse(s"TTYPE$i", s"col$i").trim
+      cols += BintableColumn(name, tform, offset)
+      offset += tform.byteWidth
+      i += 1
+    }
+    HduMeta.Bintable(rowBytes, nRows, cols.result())
+  }
+
+  private def imageMeta(h: FitsHeader): HduMeta = {
+    val bitpix = h.intOr("BITPIX", 8)
+    val elem = bitpix match {
+      case 8 => ElemType.B // sane ByteType (reference maps 8→Boolean slot)
+      case 16 => ElemType.I
+      case 32 => ElemType.J
+      case 64 => ElemType.K
+      case -32 => ElemType.E
+      case -64 => ElemType.D
+      case other => throw new IllegalArgumentException(
+        s"Unsupported image BITPIX $other")
+    }
+    val meta = HduMeta.Image(elem, h.axes)
+    if (meta.nRows == 0) HduMeta.Opaque else meta
+  }
+}

@@ -1,0 +1,151 @@
+package graft.sources.fits.core
+
+import org.apache.spark.sql.types._
+
+/** FITS binary-table element type (TFORMn), the single registry that
+  * unifies byte width, Spark type, and decoding (the reference keeps
+  * three scattered copies: FitsSchema.scala:42-77,
+  * FitsHduBintable.scala:232-294, FitsHdu.scala:124-235).
+  *
+  * Byte order is always big-endian (FITS standard §5.2).
+  */
+sealed trait ElemType {
+  def code: Char
+  /** bytes per element */
+  def width: Int
+  def sparkType: DataType
+  /** Decodes the element starting at `off`. Returns a JVM value of the
+    * external row representation (String/Short/…/Boolean). */
+  def decode(b: Array[Byte], off: Int): Any
+}
+
+object ElemType {
+  // Big-endian primitive assembly, no ByteBuffer allocation per element.
+  @inline private def s16(b: Array[Byte], o: Int): Short =
+    (((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)).toShort
+  @inline private def i32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+  @inline private def i64(b: Array[Byte], o: Int): Long =
+    ((i32(b, o).toLong) << 32) | (i32(b, o + 4).toLong & 0xffffffffL)
+
+  case object L extends ElemType {
+    val code = 'L'; val width = 1; val sparkType = BooleanType
+    def decode(b: Array[Byte], off: Int): Any = b(off) == 'T'.toByte
+  }
+  /** FITS `B` is unsigned, but the reference maps it to signed ByteType
+    * (FitsHdu.scala:214-217, asserted by ReadFitsTest.scala:310-316).
+    * Kept signed for behavior compatibility; documented wart. */
+  case object B extends ElemType {
+    val code = 'B'; val width = 1; val sparkType = ByteType
+    def decode(b: Array[Byte], off: Int): Any = b(off)
+  }
+  case object I extends ElemType {
+    val code = 'I'; val width = 2; val sparkType = ShortType
+    def decode(b: Array[Byte], off: Int): Any = s16(b, off)
+  }
+  case object J extends ElemType {
+    val code = 'J'; val width = 4; val sparkType = IntegerType
+    def decode(b: Array[Byte], off: Int): Any = i32(b, off)
+  }
+  case object K extends ElemType {
+    val code = 'K'; val width = 8; val sparkType = LongType
+    def decode(b: Array[Byte], off: Int): Any = i64(b, off)
+  }
+  case object E extends ElemType {
+    val code = 'E'; val width = 4; val sparkType = FloatType
+    def decode(b: Array[Byte], off: Int): Any =
+      java.lang.Float.intBitsToFloat(i32(b, off))
+  }
+  case object D extends ElemType {
+    val code = 'D'; val width = 8; val sparkType = DoubleType
+    def decode(b: Array[Byte], off: Int): Any =
+      java.lang.Double.longBitsToDouble(i64(b, off))
+  }
+
+  val byCode: Map[Char, ElemType] =
+    Seq(L, B, I, J, K, E, D).map(e => e.code -> e).toMap
+}
+
+/** A parsed TFORM: repeat count + element code.
+  *
+  * Spark-type rules (matching the reference, FitsSchema.scala:42-77):
+  * repeat == 1 ⇒ scalar; repeat > 1 ⇒ ArrayType(elem). `nA` is a single
+  * right-trimmed string of n bytes, `nX` is a raw bit-field surfaced as
+  * ArrayType(BinaryType) holding one byte array.
+  */
+sealed trait TForm {
+  def raw: String
+  def byteWidth: Int
+  def sparkType: DataType
+  def decode(b: Array[Byte], off: Int): Any
+  def supported: Boolean = true
+}
+
+object TForm {
+  final case class Scalar(raw: String, elem: ElemType) extends TForm {
+    def byteWidth: Int = elem.width
+    def sparkType: DataType = elem.sparkType
+    def decode(b: Array[Byte], off: Int): Any = elem.decode(b, off)
+  }
+
+  final case class Vec(raw: String, elem: ElemType, repeat: Int) extends TForm {
+    def byteWidth: Int = elem.width * repeat
+    def sparkType: DataType = ArrayType(elem.sparkType, containsNull = true)
+    def decode(b: Array[Byte], off: Int): Any = {
+      val out = new Array[Any](repeat)
+      var i = 0
+      while (i < repeat) { out(i) = elem.decode(b, off + i * elem.width); i += 1 }
+      out
+    }
+  }
+
+  /** `nA`: fixed-width ASCII, trimmed like the reference
+    * (FitsHdu.scala:222-226 uses String.trim — both ends). */
+  final case class Str(raw: String, length: Int) extends TForm {
+    def byteWidth: Int = length
+    def sparkType: DataType = StringType
+    def decode(b: Array[Byte], off: Int): Any =
+      new String(b, off, length, "UTF-8").trim
+  }
+
+  /** `nX` bit field: ceil(n/8) raw bytes, surfaced as one binary blob
+    * inside an array (reference shape: FitsSchema.scala:68,
+    * FitsHdu.scala:218-221). */
+  final case class Bits(raw: String, nBits: Int) extends TForm {
+    def byteWidth: Int = (nBits + 7) / 8
+    def sparkType: DataType = ArrayType(BinaryType, containsNull = true)
+    def decode(b: Array[Byte], off: Int): Any =
+      Array[Any](java.util.Arrays.copyOfRange(b, off, off + byteWidth))
+  }
+
+  /** Variable-length (`P`/`Q`) and complex (`C`/`M`) descriptors are
+    * not supported (reference prints a warning and degrades,
+    * FitsSchema.scala:70-75); we surface a null-valued string column so
+    * schema inference never throws on exotic files. */
+  final case class Unsupported(raw: String) extends TForm {
+    def byteWidth: Int = 0
+    def sparkType: DataType = StringType
+    def decode(b: Array[Byte], off: Int): Any = null
+    override def supported: Boolean = false
+  }
+
+  private val Pattern = """^(\d*)([LXBIJKAEDCMPQ])(.*)$""".r
+
+  def parse(tform: String): TForm = {
+    val t = tform.trim
+    t match {
+      case Pattern(rep, code, _) =>
+        val n = if (rep.isEmpty) 1 else rep.toInt
+        code.head match {
+          case 'A' => Str(t, n)
+          case 'X' => Bits(t, n)
+          case 'P' | 'Q' | 'C' | 'M' => Unsupported(t)
+          case c =>
+            val elem = ElemType.byCode(c)
+            if (n == 1) Scalar(t, elem) else Vec(t, elem, n)
+        }
+      case _ => Unsupported(t)
+    }
+  }
+}
