@@ -1,0 +1,243 @@
+package graft.sources.fits
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.fits.core._
+
+/** Spark DataSource V2 for the FITS astronomy format:
+  * `spark.read.format("fits").option("hdu", 1).load(path)`.
+  *
+  * Idiomatic rebuild of the reference's V1 connector
+  * (DefaultSource.scala:26-53) with the architecture SURVEY §7 calls
+  * for: all per-file metadata (header, HDU boundaries, row layout) is
+  * computed once on the driver and serialized into each InputPartition,
+  * partitions are planned as row-aligned byte ranges (no runtime split
+  * rejection or rewind — the reference's trickiest code, issue #93,
+  * disappears), and column pruning flows from Catalyst via
+  * `SupportsPushDownRequiredColumns` instead of a manual option (the
+  * `columns` option is kept as a compatible alias).
+  *
+  * Options: `hdu` (mandatory), `columns` (comma list, prunes+reorders),
+  * `recordlength` (buffer size hint, validated ≥ row size), `mode`
+  * (PERMISSIVE skips schema-mismatched files, FAILFAST throws),
+  * `verbose`.
+  */
+class FitsDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "fits"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FitsResolution(options.asCaseSensitiveMap().asScala.toMap).tableSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val res = FitsResolution(properties.asScala.toMap)
+    new FitsTable(res, Option(schema).filter(_ != res.inferredSchema))
+  }
+}
+
+/** Driver-side resolution of one read: file list + first-file structure.
+  * Eagerly validates options the way the reference does
+  * (FitsSourceRelation.scala:109-120). */
+final case class FitsResolution(options: Map[String, String]) {
+  private val ci: Map[String, String] = options.map { case (k, v) => k.toLowerCase -> v }
+
+  val pathSpec: String = ci.getOrElse("path",
+    throw new IllegalArgumentException("'path' must be specified"))
+  val hduIndex: Int = ci.getOrElse("hdu",
+    throw new IllegalArgumentException(
+      "You need to specify the HDU to be read! Set the 'hdu' option.")).toInt
+  val mode: String = ci.getOrElse("mode", "PERMISSIVE").toUpperCase
+  val verbose: Boolean = ci.get("verbose").exists(_.toBoolean)
+  val recordLength: Option[Int] = ci.get("recordlength").map(_.toInt)
+  val columnsOption: Option[Seq[String]] =
+    ci.get("columns").map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+
+  @transient lazy val hadoopConf: Configuration =
+    SparkSession.active.sessionState.newHadoopConf()
+
+  @transient lazy val files: Seq[Path] = FitsFiles.resolve(pathSpec, hadoopConf)
+
+  @transient lazy val firstFileHdus: Vector[Hdu] = scanFile(files.head)
+
+  def scanFile(p: Path): Vector[Hdu] =
+    FitsStructure.scan(p.getFileSystem(hadoopConf), p)
+
+  /** The target HDU's metadata with the `columns` option applied. */
+  def targetMeta(hdus: Vector[Hdu], file: Path): HduMeta = {
+    require(hduIndex >= 0 && hduIndex < hdus.length,
+      s"HDU index $hduIndex does not exist in $file " +
+        s"(file has ${hdus.length} HDUs)")
+    val meta = hdus(hduIndex).meta
+    (meta, columnsOption) match {
+      case (b: HduMeta.Bintable, Some(names)) => b.select(names)
+      case _ => meta
+    }
+  }
+
+  @transient lazy val firstMeta: HduMeta = {
+    val meta = targetMeta(firstFileHdus, files.head)
+    recordLength.foreach { rl =>
+      require(rl >= meta.rowBytes,
+        s"recordLength $rl is smaller than the row size ${meta.rowBytes} B" +
+          " — increase it or drop the option")
+    }
+    meta
+  }
+
+  def inferredSchema: StructType = firstMeta.schema
+  def tableSchema: StructType = inferredSchema
+}
+
+final class FitsTable(res: FitsResolution, userSchema: Option[StructType])
+    extends Table with SupportsRead {
+  override def name(): String = s"fits:${res.pathSpec}@hdu${res.hduIndex}"
+  override def schema(): StructType = userSchema.getOrElse(res.inferredSchema)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new FitsScanBuilder(res, schema())
+}
+
+final class FitsScanBuilder(res: FitsResolution, tableSchema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = tableSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new FitsScan(res, tableSchema, required)
+}
+
+final class FitsScan(res: FitsResolution, tableSchema: StructType,
+    required: StructType) extends Scan with Batch with Logging {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"FITS ${res.pathSpec} hdu=${res.hduIndex} cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val session = SparkSession.active
+    val maxPartitionBytes = session.sessionState.conf.filesMaxPartitionBytes
+    // Positional pruning: user-supplied schemas rename columns, so map
+    // required fields to positions in the table schema, then to FITS
+    // columns (the reference binds user schemas positionally too).
+    val positions: Array[Int] =
+      required.fieldNames.map(n => tableSchema.fieldIndex(n))
+
+    // Per-file structural scans, parallelized on the driver: one header
+    // walk (a few KB of reads) per file. The reference re-walks every
+    // file inside every task instead (FitsLib.scala:181-202).
+    val fileMetas: Seq[(Path, Vector[Hdu])] =
+      res.files.par(16)(p => p -> res.scanFile(p))
+
+    val firstSchema = res.inferredSchema
+    val parts = Array.newBuilder[InputPartition]
+    fileMetas.foreach { case (path, hdus) =>
+      if (res.hduIndex >= hdus.length) {
+        failOrWarn(s"$path has no HDU ${res.hduIndex}; skipping")
+      } else {
+        val meta = res.targetMeta(hdus, path)
+        if (meta.schema != firstSchema) {
+          failOrWarn(s"$path HDU ${res.hduIndex} schema ${meta.schema.simpleString} " +
+            s"differs from first file's ${firstSchema.simpleString}; skipping")
+        } else if (meta.isReadable && meta.nRows > 0 && meta.rowBytes > 0) {
+          val bounds = hdus(res.hduIndex).bounds
+          parts ++= slice(path, bounds, meta, positions, maxPartitionBytes)
+        }
+      }
+    }
+    val out = parts.result()
+    if (res.verbose) logInfo(s"FITS scan: ${out.length} partitions over " +
+      s"${res.files.length} files")
+    out
+  }
+
+  private def failOrWarn(msg: String): Unit =
+    if (res.mode == "FAILFAST") throw new IllegalArgumentException(msg)
+    else logWarning(msg)
+
+  /** Row-aligned byte slices of one HDU, ≤ maxPartitionBytes each —
+    * planned on the driver so readers never see torn rows and no task is
+    * ever planned outside the HDU extent. */
+  private def slice(path: Path, bounds: HduBounds, meta: HduMeta,
+      positions: Array[Int], maxPartBytes: Long): Seq[FitsInputPartition] = {
+    val rowBytes = meta.rowBytes
+    val rowsPerPart = math.max(1L, maxPartBytes / rowBytes)
+    val spec = DecodeSpec.of(meta, positions)
+    (0L until meta.nRows by rowsPerPart).map { firstRow =>
+      val n = math.min(rowsPerPart, meta.nRows - firstRow)
+      FitsInputPartition(
+        path.toString,
+        bounds.dataStart + firstRow * rowBytes,
+        n, firstRow, rowBytes,
+        res.recordLength.getOrElse(4 << 20), spec)
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FitsPartitionReaderFactory()
+
+  /** tiny parallel-map helper (driver-side, bounded) */
+  private implicit class ParSeq[A](xs: Seq[A]) {
+    def par[B](threads: Int)(f: A => B): Seq[B] =
+      if (xs.lengthCompare(2) < 0) xs.map(f)
+      else {
+        import java.util.concurrent.Executors
+        import scala.concurrent._
+        import scala.concurrent.duration.Duration
+        val pool = Executors.newFixedThreadPool(math.min(threads, xs.length))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(Future.sequence(xs.map(x => Future(f(x)))), Duration.Inf)
+        finally pool.shutdown()
+      }
+  }
+}
+
+/** What an executor needs to decode its slice — fully serialized, no
+  * driver callbacks, no Hadoop-conf metadata channel (obsoletes the
+  * reference's registerHeader/retrieveHeader, FitsLib.scala:608-629). */
+sealed trait DecodeSpec extends Serializable
+object DecodeSpec {
+  /** Bintable: pruned columns in output order. */
+  final case class Bintable(cols: Array[BintableColumn]) extends DecodeSpec
+  /** Image: which of (Image, ImgIndex) to emit, in output order.
+    * fieldKinds(i): 0 = Image array, 1 = ImgIndex. */
+  final case class Image(elem: ElemType, lineElems: Int,
+      fieldKinds: Array[Int]) extends DecodeSpec
+
+  def of(meta: HduMeta, positions: Array[Int]): DecodeSpec = meta match {
+    case b: HduMeta.Bintable =>
+      Bintable(positions.map(b.columns))
+    case i: HduMeta.Image =>
+      Image(i.elem, i.lineElems, positions)
+    case HduMeta.Opaque =>
+      Bintable(Array.empty)
+  }
+}
+
+final case class FitsInputPartition(
+    file: String,
+    startByte: Long,
+    numRows: Long,
+    firstRowIndex: Long,
+    rowBytes: Int,
+    bufferBytes: Int,
+    spec: DecodeSpec) extends InputPartition
+
+final class FitsPartitionReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+    new FitsPartitionReader(p.asInstanceOf[FitsInputPartition])
+}

@@ -1,0 +1,47 @@
+package graft.sources.fits
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** File discovery with the reference's surface (FitsSourceRelation.scala:
+  * 133-177): a single file, a directory (recursive, keeps only `*.fits`),
+  * a glob pattern, or a comma-separated combination of those.
+  */
+object FitsFiles {
+
+  def resolve(pathSpec: String, conf: Configuration): Seq[Path] = {
+    val out = pathSpec.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+      .flatMap(one(_, conf))
+    if (out.isEmpty)
+      throw new IllegalArgumentException(
+        s"No FITS files found for path '$pathSpec'")
+    out
+  }
+
+  private def one(spec: String, conf: Configuration): Seq[Path] = {
+    val path = new Path(spec)
+    val fs = path.getFileSystem(conf)
+    if (fs.exists(path)) {
+      val status = fs.getFileStatus(path)
+      if (status.isDirectory) listFits(fs, path)
+      else Seq(path)
+    } else {
+      // not a literal path — try as a glob
+      val matched = Option(fs.globStatus(path)).getOrElse(Array.empty)
+      matched.toSeq.flatMap { st =>
+        if (st.isDirectory) listFits(fs, st.getPath) else Seq(st.getPath)
+      }
+    }
+  }
+
+  private def listFits(fs: FileSystem, dir: Path): Seq[Path] = {
+    val it = fs.listFiles(dir, /* recursive = */ true)
+    val buf = Seq.newBuilder[Path]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.toLowerCase.endsWith(".fits"))
+        buf += st.getPath
+    }
+    buf.result().sortBy(_.toString)
+  }
+}

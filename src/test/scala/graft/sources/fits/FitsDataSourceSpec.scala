@@ -1,0 +1,183 @@
+package graft.sources.fits
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+
+/** End-to-end DataFrame tests for the FITS DSv2 connector, porting the
+  * reference's golden values (packageTest.scala:105-262,
+  * ReadFitsTest.scala:65-316) as compatibility tests. Fixtures are the
+  * reference's committed binaries, read-only.
+  */
+class FitsDataSourceSpec extends SparkTestBase {
+
+  private val res = "/root/reference/src/test/resources"
+  private def fits(path: String, hdu: Int = 1,
+      opts: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.format("fits").option("hdu", hdu)
+    opts.foreach { case (k, v) => r.option(k, v) }
+    r.load(path)
+  }
+
+  test("format 'fits' resolves via DataSourceRegister") {
+    val df = fits(s"$res/test_file.fits")
+    assert(df.columns.toSeq == Seq("target", "RA", "Dec", "Index", "RunId"))
+  }
+
+  test("count == 20000 and sum(Index) == 199990000 (golden)") {
+    val df = fits(s"$res/test_file.fits")
+    assert(df.count() == 20000L)
+    val s = df.agg(sum("Index")).collect().head.getLong(0)
+    assert(s == 199990000L)
+  }
+
+  test("no torn/duplicated rows across partition boundaries (issue #93)") {
+    // Adversarially tiny partitions: many row-aligned slices.
+    withMaxPartitionBytes(4096) {
+      val df = fits(s"$res/test_file.fits")
+      assert(df.rdd.getNumPartitions > 100)
+      assert(df.count() == 20000L)
+      assert(df.distinct().count() == 20000L)
+      assert(df.agg(sum("Index")).collect().head.getLong(0) == 199990000L)
+    }
+  }
+
+  test("first row is NGC0000000 in file order (golden)") {
+    val first = fits(s"$res/test_file.fits").first()
+    assert(first.getString(0) == "NGC0000000")
+    assert(first.getLong(3) == 0L)
+  }
+
+  test("select() prunes the scan to the requested columns") {
+    val df = fits(s"$res/test_file.fits").select("RA")
+    assert(df.columns.toSeq == Seq("RA"))
+    assert(df.count() == 20000L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=RA"), s"pruning not pushed:\n$plan")
+  }
+
+  test("columns option selects and reorders like the reference") {
+    val df = fits(s"$res/test_file.fits", opts = Map("columns" -> "Index,target"))
+    assert(df.columns.toSeq == Seq("Index", "target"))
+    assert(df.count() == 20000L)
+  }
+
+  test("unknown column in columns option throws") {
+    val e = intercept[Exception] {
+      fits(s"$res/test_file.fits", opts = Map("columns" -> "nope")).count()
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("HDU 2 reads the second bintable") {
+    val df = fits(s"$res/test_file.fits", hdu = 2)
+    assert(df.columns.toSeq == Seq("target", "Index", "Discovery"))
+    assert(df.count() == 20000L)
+    assert(df.schema("Discovery").dataType == BooleanType)
+  }
+
+  test("HDU 0 (empty primary) gives an empty DataFrame") {
+    val df = fits(s"$res/test_file.fits", hdu = 0)
+    assert(df.count() == 0L)
+  }
+
+  test("missing hdu option throws a clear error") {
+    val e = intercept[Exception] {
+      spark.read.format("fits").load(s"$res/test_file.fits").count()
+    }
+    assert(e.getMessage.toLowerCase.contains("hdu"))
+  }
+
+  test("out-of-range hdu index throws") {
+    val e = intercept[Exception] { fits(s"$res/test_file.fits", hdu = 9).count() }
+    assert(e.getMessage.contains("9"))
+  }
+
+  test("recordlength smaller than a row throws") {
+    val e = intercept[Exception] {
+      fits(s"$res/test_file.fits", opts = Map("recordlength" -> "10")).count()
+    }
+    assert(e.getMessage.toLowerCase.contains("recordlength"))
+  }
+
+  test("multi-file: directory, glob and comma list each read 27000 rows (golden)") {
+    // dir/ holds test_file.fits (20000) + test_file2.fits (7000) + a decoy txt
+    assert(fits(s"$res/dir").count() == 27000L)
+    assert(fits(s"$res/dir/*.fits").count() == 27000L)
+    assert(fits(s"$res/dir/test_file.fits,$res/dir/test_file2.fits").count() == 27000L)
+  }
+
+  test("PERMISSIVE skips schema-mismatched files; FAILFAST throws") {
+    // dirNotOk: two files with different HDU-1 schemas
+    val permissive = fits(s"$res/dirNotOk")
+    assert(permissive.count() > 0L)
+    val e = intercept[Exception] {
+      fits(s"$res/dirNotOk", opts = Map("mode" -> "FAILFAST")).count()
+    }
+    assert(e.getMessage.contains("differs"))
+  }
+
+  test("nonexistent path errors mention the path") {
+    val e = intercept[Exception] { fits(s"$res/no_such_thing.fits").count() }
+    assert(e.getMessage.contains("no_such_thing"))
+  }
+
+  test("image HDU: 73x31x5 int16 image reads as 155 rows (golden)") {
+    val df = fits(s"$res/dirIm/0_i_am_not_empty.fits", hdu = 2)
+    assert(df.columns.toSeq == Seq("Image", "ImgIndex"))
+    assert(df.count() == 155L)
+    val rows = df.orderBy("ImgIndex").collect()
+    assert(rows.head.getSeq[Short](0).length == 73)
+    assert(rows.map(_.getLong(1)).toSeq == (0L until 155L))
+  }
+
+  test("ASCII TABLE HDU gives an empty DataFrame") {
+    val df = fits(s"$res/dirIm/0_i_am_not_empty.fits", hdu = 1)
+    assert(df.count() == 0L)
+  }
+
+  test("array columns decode with exact lengths (golden fixture)") {
+    val df = fits(s"$res/test_file_array.fits")
+    val r = df.first()
+    assert(r.getSeq[Float](1).length == 2) // 2E
+    assert(r.getSeq[Double](2).length == 3) // 3D
+    assert(r.getSeq[Long](3).length == 7) // 7K
+    assert(r.getSeq[Short](5).length == 3) // 3I
+    assert(df.count() == 100L)
+  }
+
+  test("user-supplied schema renames columns positionally") {
+    val schema = StructType(Seq(
+      StructField("name", StringType, true),
+      StructField("ra", FloatType, true),
+      StructField("dec", DoubleType, true),
+      StructField("idx", LongType, true),
+      StructField("run", IntegerType, true)))
+    val df = spark.read.format("fits").schema(schema).option("hdu", 1)
+      .load(s"$res/test_file.fits")
+    assert(df.columns.toSeq == Seq("name", "ra", "dec", "idx", "run"))
+    assert(df.select("idx").agg(sum("idx")).collect().head.getLong(0) == 199990000L)
+    assert(df.select("name").first().getString(0) == "NGC0000000")
+  }
+
+  test("signed-byte wart: B column reads as ByteType (golden)") {
+    val df = fits(s"$res/test_file_ub.fits")
+    assert(df.schema.fields.head.dataType == ByteType)
+    assert(df.count() == 20000L)
+  }
+
+  test("ordering is file order within a file (golden first rows)") {
+    val targets = fits(s"$res/test_file.fits").select("target", "Index")
+      .limit(3).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(targets.head == ("NGC0000000", 0L))
+  }
+
+  private def withMaxPartitionBytes[A](bytes: Long)(body: => A): A = {
+    val key = "spark.sql.files.maxPartitionBytes"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, bytes.toString)
+    try body finally spark.conf.set(key, old)
+  }
+}
