@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graftx.Bridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-analysis surface.
+  *
+  * Each generates a direct static call in whole-stage codegen (no UDF
+  * serialization, no codegen fallback), per the preference order in
+  * SURVEY §2.B B20: built-in > native Expression > UDF.
+  */
+abstract class StringToLongExpression extends UnaryExpression {
+  override def dataType: DataType = LongType
+  /** fully-qualified static method on TextAlgo taking a String */
+  protected def staticName: String
+  protected def compute(s: String): Long
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextAlgo.$staticName($c.toString())")
+}
+
+/** Rabin–Karp rolling hash of the whole string → Long. */
+case class RollingHash(child: Expression) extends StringToLongExpression {
+  protected def staticName = "rollingHash"
+  protected def compute(s: String): Long = TextAlgo.rollingHash(s)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "rolling_hash"
+}
+
+/** Minimum rolling hash over 16-char windows (winnowing sketch). */
+case class DocFingerprint(child: Expression) extends StringToLongExpression {
+  protected def staticName = "docFingerprint"
+  protected def compute(s: String): Long = TextAlgo.docFingerprint(s)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "doc_fingerprint"
+}
+
+/** 64-bit SimHash over whitespace tokens. */
+case class SimHash64(child: Expression) extends StringToLongExpression {
+  protected def staticName = "simHash64"
+  protected def compute(s: String): Long = TextAlgo.simHash64(s)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+/** Heuristic language identification → "en"/"de"/"fr"/"es"/"zh"/"und". */
+case class LangId(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      TextAlgo.langId(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.TextAlgo.langId($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "lang_id"
+}
+
+/** Column-API + SQL registration for the graft functions. */
+object GraftFunctions {
+  def rolling_hash(c: Column): Column = col(RollingHash(expression(c)))
+  def doc_fingerprint(c: Column): Column = col(DocFingerprint(expression(c)))
+  def simhash64(c: Column): Column = col(SimHash64(expression(c)))
+  def lang_id(c: Column): Column = col(LangId(expression(c)))
+
+  private def col(e: Expression): Column = Bridge.column(e)
+  private def expression(c: Column): Expression = Bridge.expression(c)
+
+  /** Makes the functions callable from SQL text too. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("rolling_hash",
+      es => RollingHash(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("doc_fingerprint",
+      es => DocFingerprint(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("lang_id",
+      es => LangId(es.head), "scala_udf")
+  }
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Text-analysis surface over the `documents` table (north-star
+  * extension operators, SURVEY §2 end — the building blocks of an LLM
+  * training-data pipeline at 100 TB).
+  *
+  * Everything here is per-row (embarrassingly parallel — no shuffle at
+  * all): built-in codegen'd functions where possible, native Catalyst
+  * expressions (graft.functions) for lang-id and fingerprints.
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / punctuation runs). */
+  val text_tokens: Q = (s, dir) =>
+    docs(s, dir).select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0))).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring from length / stopword / alphabetic ratios. */
+  val text_quality: Q = (s, dir) => {
+    val words = split(trim(col("text")), "\\s+")
+    val nWords = size(words).cast("double")
+    val wordChars = length(regexp_replace(col("text"), "\\s", "")).cast("double")
+    val stopHits = size(filter(words, w => w.isin(stops.map(x => x: Any): _*)))
+      .cast("double")
+    val alphaChars = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+      .cast("double")
+    val textLen = length(col("text")).cast("double")
+    val score = least(lit(1.0), nWords / 200.0) * 0.5 +
+      (stopHits / nWords) * 0.3 + (alphaChars / textLen) * 0.2
+    docs(s, dir).select(
+      col("doc_id"),
+      size(words).as("n_words"),
+      round(wordChars / nWords, 5).as("mean_word_len"),
+      round(stopHits / nWords, 5).as("stop_ratio"),
+      round(alphaChars / textLen, 5).as("alpha_ratio"),
+      round(score, 5).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Heuristic language ID (native Catalyst expression). The synthetic
+    * documents' `lang` labels are random metadata on identical English
+    * word-salad, so no heuristic can recover them — accuracy on real
+    * multilingual text is asserted in TextOpsSpec instead. */
+  val text_langid: Q = (s, dir) =>
+    docs(s, dir).select(
+      col("doc_id"),
+      GraftFunctions.lang_id(col("text")).as("pred_lang"),
+      col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Document fingerprints: whole-text rolling hash, winnowing-style
+    * min-k-gram fingerprint, and 64-bit SimHash. */
+  val text_fingerprint: Q = (s, dir) =>
+    docs(s, dir).select(
+      col("doc_id"),
+      GraftFunctions.rolling_hash(col("text")).as("full_hash"),
+      GraftFunctions.doc_fingerprint(col("text")).as("fingerprint"),
+      GraftFunctions.simhash64(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, Q] = Map(
+    "text_tokens" -> text_tokens,
+    "text_quality" -> text_quality,
+    "text_langid" -> text_langid,
+    "text_fingerprint" -> text_fingerprint,
+  )
+
+  /** lang-id and the custom fingerprints are not SQL-expressible in
+    * DuckDB → rows-only checks for those. */
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS INTEGER) AS ws_tokens,
+        |  CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS INTEGER) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH w AS (SELECT doc_id, text,
+        |    regexp_split_to_array(TRIM(text), '\s+') AS words FROM documents)
+        |SELECT doc_id,
+        |  CAST(LEN(words) AS INTEGER) AS n_words,
+        |  ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS DOUBLE) / LEN(words), 5) AS mean_word_len,
+        |  ROUND(CAST(LEN(list_filter(words, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / LEN(words), 5) AS stop_ratio,
+        |  ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / LENGTH(text), 5) AS alpha_ratio,
+        |  ROUND(LEAST(1.0, LEN(words)/200.0)*0.5
+        |      + (CAST(LEN(list_filter(words, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/LEN(words))*0.3
+        |      + (CAST(LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)/LENGTH(text))*0.2, 5) AS quality_score
+        |FROM w ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.{GraftFunctions, TextAlgo}
+
+class TextOpsSpec extends SparkTestBase {
+
+  test("lang_id identifies real multilingual sentences") {
+    val samples = Seq(
+      ("The quick brown fox jumps over the lazy dog and it is fast", "en"),
+      ("Der Hund ist nicht mit der Katze und das Haus ist groß", "de"),
+      ("Le chat est dans la maison et les enfants sont pour la plage", "fr"),
+      ("Los niños y las casas son grandes es una ciudad más bonita", "es"),
+      ("这是一个中文句子用于测试语言识别功能", "zh"),
+      ("", "und"))
+    samples.foreach { case (text, expected) =>
+      assert(TextAlgo.langId(text) == expected, s"text: $text")
+    }
+  }
+
+  test("lang_id works as a Catalyst expression inside codegen") {
+    import spark.implicits._
+    val df = Seq("The cat is on the mat and it is happy",
+      "Der Hund ist nicht hier und das ist gut").toDF("text")
+      .select(GraftFunctions.lang_id(col("text")).as("l"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "de"))
+  }
+
+  test("rolling hash deterministic; fingerprint = min over k-gram hashes") {
+    val base = "the quick brown fox jumps over the lazy dog repeatedly"
+    assert(TextAlgo.rollingHash(base) == TextAlgo.rollingHash(base))
+    assert(TextAlgo.rollingHash(base) != TextAlgo.rollingHash(base + "!"))
+    // rolling min must equal a brute-force min over all 16-char windows
+    // (windows hash with seed 0, unlike the seeded whole-string hash)
+    val k = 16
+    def unseeded(s: String): Long = {
+      var h = 0L; s.foreach(c => h = 31 * h + c); h
+    }
+    val brute0 = (0 to base.length - k)
+      .map(i => unseeded(base.substring(i, i + k))).min
+    assert(TextAlgo.docFingerprint(base) == brute0)
+  }
+
+  test("simhash: near-identical token sets are much closer than unrelated") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val b = a + "lambda" // one extra token out of ~50
+    val c = "completely different words entirely unrelated content here now"
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val (ha, hb, hc) =
+      (TextAlgo.simHash64(a), TextAlgo.simHash64(b), TextAlgo.simHash64(c))
+    assert(ham(ha, hb) <= 12, s"similar docs hamming=${ham(ha, hb)}")
+    assert(ham(ha, hc) >= 16, s"dissimilar docs hamming=${ham(ha, hc)}")
+    assert(ham(ha, hb) < ham(ha, hc))
+  }
+
+  test("text queries run on sf0.001 and agree on token counts") {
+    val t = TextOps.text_tokens(spark, sf0001).collect()
+    assert(t.nonEmpty)
+    // word-salad docs: ws and bpe tokenization agree (pure word text)
+    assert(t.forall(r => r.getInt(1) == r.getInt(2)))
+    val q = TextOps.text_quality(spark, sf0001).collect()
+    assert(q.forall(r => r.getDouble(4) >= 0 && r.getDouble(4) <= 1))
+    val f = TextOps.text_fingerprint(spark, sf0001).collect()
+    assert(f.map(_.getLong(1)).distinct.length > f.length / 2)
+  }
+
+  test("custom expressions stay inside whole-stage codegen") {
+    val df = TextOps.text_fingerprint(spark, sf0001)
+    df.collect() // materialize so AQE finalizes the physical plan
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages; the Project holding
+    // the custom expressions must carry one.
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("rolling_hash")), plan)
+  }
+}
