@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Vector kernels for the similarity surface. Companion-of-class so the
+  * generated whole-stage code can call them as statics. Inputs are
+  * Catalyst ArrayData over FloatType (the embeddings' physical type);
+  * accumulation is double, left-to-right.
+  */
+class VecAlgo private ()
+
+object VecAlgo {
+
+  /** Cosine similarity of two float vectors. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Dot product of two float vectors. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Random-hyperplane (sign) LSH signature: bit k of the result is the
+    * sign of ⟨v, r_k⟩ where r_k is a deterministic Rademacher (±1)
+    * vector derived from fmix64(k, j). Collision probability of a bit
+    * is 1 − θ/π for angle θ — the standard SimHash-for-cosine scheme.
+    */
+  def signSignature(v: ArrayData, nBits: Int): Long = {
+    val d = v.numElements()
+    var sig = 0L
+    var k = 0
+    while (k < nBits) {
+      var acc = 0.0
+      var j = 0
+      while (j < d) {
+        val r = TextAlgo.fmix64(k.toLong * 0x9e3779b97f4a7c15L + j)
+        val sign = if ((r & 1L) == 1L) 1.0 else -1.0
+        acc += sign * v.getFloat(j)
+        j += 1
+      }
+      if (acc >= 0) sig |= (1L << k)
+      k += 1
+    }
+    sig
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor surface over `embeddings`.
+  *
+  * Baseline: brute-force cosine top-k with the (small) query set
+  * broadcast — one scan of the corpus, no shuffle of the corpus side;
+  * at 100 TB this is the right plan whenever |queries| ≪ |corpus|.
+  * Scale path: sign-LSH bucketed candidates, then rank candidates only
+  * (sim_lsh_topk) — trades recall for touching a fraction of the corpus.
+  *
+  * Outputs carry (query, rank, neighbor) but not the raw cosine —
+  * float-accumulation order differs across engines at ~1e-7 while
+  * neighbor rank gaps here are ≥2e-4, so ids/ranks are deterministic
+  * and oracle-safe where the raw similarity is not.
+  */
+object Similarity {
+
+  type Q = (SparkSession, String) => DataFrame
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  private val K = 10
+  private val NQueries = 5
+
+  /** Brute-force exact top-k for the first NQueries vectors. */
+  val sim_topk: Q = (s, dir) => {
+    val e = embs(s, dir)
+    val queries = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        VectorFunctions.cosine_sim(col("q_emb"), col("embedding")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("rnk"), col("neighbor_id"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Sign-LSH bucketed ANN: rank only candidates sharing ≥1 of 16
+    * 4-bit signature bands with the query. Approximate — recall vs the
+    * brute-force baseline is asserted in SimilaritySpec. */
+  val sim_lsh_topk: Q = (s, dir) => {
+    val e = embs(s, dir)
+    val sigs = e.select(col("vec_id"), col("embedding"),
+      VectorFunctions.sim_signature(col("embedding"), 64).as("sig"))
+    def bands(d: DataFrame, idCol: String, embCol: String): DataFrame = {
+      val bandCols: Seq[Column] =
+        (0 until 16).map(j => shiftright(col("sig"), 4 * j).bitwiseAND(0xf))
+      d.select(col("vec_id").as(idCol), col("embedding").as(embCol),
+        posexplode(array(bandCols: _*)))
+        .toDF(idCol, embCol, "band", "bv")
+    }
+    val corpus = bands(sigs, "neighbor_id", "emb")
+    val queries = bands(sigs.filter(col("vec_id") < NQueries), "q_id", "q_emb")
+    val cands = corpus.join(broadcast(queries), Seq("band", "bv"))
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("neighbor_id"), col("emb"))
+      .dropDuplicates("q_id", "neighbor_id")
+    val scored = cands.select(col("q_id"), col("neighbor_id"),
+      VectorFunctions.cosine_sim(col("q_emb"), col("emb")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("rnk"), col("neighbor_id"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sim_topk" -> sim_topk,
+    "sim_lsh_topk" -> sim_lsh_topk, // rows-only: approximate by design
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk" ->
+      """SELECT q.vec_id AS q_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |             c.vec_id) AS INTEGER) AS rnk,
+        |  c.vec_id AS neighbor_id
+        |FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        |WHERE q.vec_id < 5
+        |QUALIFY rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin,
+  )
+}

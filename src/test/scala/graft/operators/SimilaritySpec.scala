@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class SimilaritySpec extends SparkTestBase {
+
+  test("brute-force top-k: 10 neighbors per query, ranks 1..10") {
+    val rows = Similarity.sim_topk(spark, sf001).collect()
+    assert(rows.length == 50)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 5)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 10))
+    }
+  }
+
+  test("LSH top-k candidates achieve reasonable recall vs brute force") {
+    val exact = Similarity.sim_topk(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.sim_lsh_topk(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & lsh).size.toDouble / exact.size
+    // near-orthogonal random vectors are LSH's worst case; the point is
+    // the candidate-pruning plan shape, asserted here with a loose bar
+    assert(recall >= 0.4, s"recall=$recall")
+    info(s"LSH recall vs brute force: $recall")
+  }
+
+  test("cosine_sim expression: self-similarity is 1") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet").limit(5)
+    val sims = e.select(
+      VectorFunctions.cosine_sim(col("embedding"), col("embedding")).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(sims.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
+}
