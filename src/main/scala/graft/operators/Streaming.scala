@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table (SURVEY B24).
+  *
+  * Each query replays the events parquet as a file stream with
+  * `Trigger.AvailableNow`, runs a genuinely streaming plan (watermark +
+  * tumbling window / session window / mapGroupsWithState), lands in a
+  * memory sink, and returns the final table — so the driver's batch
+  * oracle can check the result against the batch-equivalent SQL.
+  *
+  * Scale: event-time windows + watermarks bound state; session windows
+  * and the stateful per-user path shuffle once on user_id — the same
+  * plan shape a 1000-executor continuous job would run.
+  */
+object Streaming {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** events replayed as a file stream; ts nanos → TimestampType (µs —
+    * lossless: the generator emits µs-precision values). */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file stream source wants a directory; pathGlobFilter narrows
+    // it to the events table
+    s.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Runs a streaming frame to completion into a memory sink. */
+  private def runToTable(s: SparkSession, out: DataFrame, name: String,
+      mode: String): DataFrame = {
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** Tumbling 1-hour windows × event_type with a 1-hour watermark. */
+  val stream_hour_counts: Q = (s, dir) => {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    runToTable(s, agg, "stream_hour_counts_tbl", "complete")
+      .select(col("window.start").cast("timestamp_ntz").as("h"),
+        col("event_type"), col("cnt"))
+      .orderBy(col("h"), col("event_type"))
+  }
+
+  /** Session windows (30-minute gap) per user. */
+  val stream_sessions: Q = (s, dir) => {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+    runToTable(s, agg, "stream_sessions_tbl", "complete")
+      .select(col("user_id"),
+        col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("session_window.end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Custom state machine via mapGroupsWithState: per-user session
+    * count with a 30-minute gap rule. */
+  val stream_state_sessions: Q = (s, dir) => {
+    import s.implicits._
+    val gapMicros = 30L * 60 * 1000 * 1000
+    val typed = eventsStream(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+    val counted = typed
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        case (user, events, state: GroupState[(Long, Long)]) =>
+          // state = (sessionCount, lastTsMicros)
+          val sorted = events.map(_._2).toArray.sorted
+          var (sessions, last) = state.getOption.getOrElse((0L, Long.MinValue))
+          sorted.foreach { t =>
+            if (last == Long.MinValue || t - last > gapMicros) sessions += 1
+            last = t
+          }
+          state.update((sessions, last))
+          (user, sessions)
+      }
+    runToTable(s, counted.toDF("user_id", "n_sessions"),
+      "stream_state_sessions_tbl", "update")
+      .orderBy(col("user_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "stream_hour_counts" -> stream_hour_counts,
+    "stream_sessions" -> stream_sessions,
+    "stream_state_sessions" -> stream_state_sessions,
+  )
+
+  private val sessionIslands =
+    """WITH flags AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              > INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                     ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flags)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "stream_hour_counts" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h, event_type,
+        |  COUNT(*) AS cnt
+        |FROM events GROUP BY h, event_type ORDER BY h, event_type""".stripMargin,
+    "stream_sessions" ->
+      (sessionIslands +
+        """
+          |SELECT user_id, MIN(ts) AS session_start,
+          |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+          |  COUNT(*) AS n_events
+          |FROM sessions GROUP BY user_id, sid
+          |ORDER BY user_id, session_start""".stripMargin),
+    "stream_state_sessions" ->
+      (sessionIslands +
+        """
+          |SELECT user_id, MAX(sid) AS n_sessions
+          |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin),
+  )
+}

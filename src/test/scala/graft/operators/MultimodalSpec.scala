@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class MultimodalSpec extends SparkTestBase {
+
+  private val imgFixture =
+    "/root/reference/src/test/resources/dirIm/0_i_am_not_empty.fits"
+
+  test("FITS image lines round-trip through the media model (real path)") {
+    val media = Multimodal.fitsImagesAsMedia(spark, imgFixture, hdu = 2)
+    val rows = media.collect()
+    assert(rows.length == 155)
+    assert(rows.forall(_.payload.length == 73 * 2))
+    // decode must reproduce the connector's pixel values
+    val viaMedia = Multimodal.decode(rows.minBy(_.media_id))
+    val direct = spark.read.format("fits").option("hdu", 2).load(imgFixture)
+      .orderBy("ImgIndex").first().getSeq[Short](0).map(_.toDouble)
+    assert(viaMedia.toSeq == direct)
+  }
+
+  test("feature extraction is a single no-shuffle partition pass") {
+    val media = Multimodal.fitsImagesAsMedia(spark, imgFixture, hdu = 2)
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.count() == 155)
+    val f = feats.collect().minBy(_.media_id)
+    assert(f.n_px == 73)
+    assert(f.px_min <= f.px_mean && f.px_mean <= f.px_max)
+    assert(f.px_std >= 0)
+    val plan = feats.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("downsample and frame-sample primitives") {
+    val px = Array.tabulate(12)(_.toDouble)
+    assert(Multimodal.downsample(px, 4).toSeq == Seq(1.5, 5.5, 9.5))
+    assert(Multimodal.frameSample(px, 5).toSeq == Seq(0.0, 5.0, 10.0))
+  }
+
+  test("stubbed codec path is deterministic and batch-shaped") {
+    val df = Multimodal.mm_features(spark, sf0001)
+    val a = df.collect()
+    val b = Multimodal.mm_features(spark, sf0001).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.nonEmpty)
+  }
+}
