@@ -57,8 +57,15 @@ object Dedup {
     * |A∩B| / (|A|+|B|−|A∩B|). */
   private def jaccardPairs(sh: DataFrame, minJac: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col("doc_id").as("a_id"), col("h"))
-    val b = sh.select(col("doc_id").as("b_id"), col("h"))
+    // A shingle present in a single document can never contribute to a
+    // pair: drop df==1 shingles from the join input (sizes above keep
+    // the full sets, so Jaccard values are unchanged). At scale this
+    // removes the long unique tail — most of the shuffle.
+    val shared = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("h"))
+    val joinable = sh.join(shared, Seq("h"))
+    val a = joinable.select(col("doc_id").as("a_id"), col("h"))
+    val b = joinable.select(col("doc_id").as("b_id"), col("h"))
     val inter = a.join(b, Seq("h"))
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
@@ -126,7 +133,18 @@ object Dedup {
     val bands = sig
       .select(col("doc_id"), posexplode(array(bandCols: _*)))
       .toDF("doc_id", "band", "bv")
+    // Same-vocabulary corpora give correlated simhashes, so band
+    // buckets collide far beyond true near-dups. Before the (expensive)
+    // shingle-join verify, cut candidates to true Hamming ≤ 7 by
+    // joining back to the (id, sig) pairs — a scalar bitCount filter.
+    // AQE broadcasts the signature side when it is small enough.
     val cands = candidatesFromBands(bands)
+      .join(sig.select(col("doc_id").as("a_id"), col("sig").as("sig_a")),
+        Seq("a_id"))
+      .join(sig.select(col("doc_id").as("b_id"), col("sig").as("sig_b")),
+        Seq("b_id"))
+      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 7)
+      .select(col("a_id"), col("b_id"))
     verifyCandidates(cands, shingleHashes(d), 0.5)
   }
 

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.SparkTestBase
+
+/** Plan-shape regression tests: the properties that keep these queries
+  * fast at 100 TB (scan pruning, filter pushdown, broadcast of small
+  * dims, partial aggregation) must be visible in the physical plan —
+  * not assumed.
+  */
+class PlanQualitySpec extends SparkTestBase {
+
+  private def formatted(df: DataFrame): String = {
+    df.collect() // let AQE finalize
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q02 filter pushes predicates into the parquet scan") {
+    val plan = formatted(Relational.q02_filter(spark, sf0001))
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("GreaterThan(l_quantity,45"), plan)
+  }
+
+  test("q01 projection prunes the scan to 3 columns") {
+    val plan = formatted(Relational.q01_project(spark, sf0001))
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") &&
+      readSchema.contains("l_extendedprice") &&
+      !readSchema.contains("l_shipdate"), readSchema)
+  }
+
+  test("q07 broadcasts the nation dimension") {
+    val plan = formatted(Relational.q07_join(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q06 aggregation is partial (map-side) before the shuffle") {
+    val plan = formatted(Relational.q06_groupby(spark, sf0001))
+    assert(plan.contains("HashAggregate"), plan)
+    // partial + final pair ⇒ at least two HashAggregate nodes
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+  }
+
+  test("q10 top-k plans TakeOrderedAndProject, not a global sort") {
+    val plan = formatted(Relational.q10_topk(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("sim_topk broadcasts the query set, never shuffles the corpus") {
+    val plan = formatted(Similarity.sim_topk(spark, sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+}
