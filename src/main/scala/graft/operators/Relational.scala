@@ -312,13 +312,25 @@ object Relational {
 
   // ------------------------------------------------------------------ B21
 
-  /** B21 statistical aggregate per group (stddev). A custom sigma-clip
-    * Aggregator lives in graft.functions; this one is oracle-checkable. */
+  /** B21 statistical aggregate per group (stddev). */
   val q21_stddev: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(round(stddev_samp($"l_quantity"), 4).as("sd_qty"))
       .orderBy($"l_returnflag")
+
+  /** B21b custom UDAF: sigma-clipped stats (k=2, 2 iterations) of the
+    * events value per type — a typed Aggregator, distributed, with an
+    * iteration-for-iteration SQL oracle. */
+  val q21_sigmaclip: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(graft.functions.SigmaClip.sigma_clip($"value", 2.0, 2).as("sc"))
+      .select($"event_type",
+        round($"sc.mean", 4).as("sc_mean"),
+        round($"sc.stddev", 4).as("sc_std"),
+        $"sc.n".as("sc_n"))
+      .orderBy($"event_type")
 
   // ------------------------------------------------------------- registry
 
@@ -352,6 +364,7 @@ object Relational {
     "q19_approx" -> q19_approx,
     "q20_expr" -> q20_expr,
     "q21_stddev" -> q21_stddev,
+    "q21_sigmaclip" -> q21_sigmaclip,
   )
 
   /** DuckDB-compatible oracle SQL. Keys mirror `queries`; column aliases
@@ -482,5 +495,19 @@ object Relational {
     "q21_stddev" ->
       """SELECT l_returnflag, ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q21_sigmaclip" ->
+      """WITH s0 AS (SELECT event_type, AVG(value) m, STDDEV_SAMP(value) s
+        |            FROM events GROUP BY 1),
+        |k1 AS (SELECT e.event_type, e.value FROM events e
+        |       JOIN s0 ON e.event_type = s0.event_type
+        |       WHERE e.value >= s0.m - 2*s0.s AND e.value <= s0.m + 2*s0.s),
+        |s1 AS (SELECT event_type, AVG(value) m, STDDEV_SAMP(value) s
+        |       FROM k1 GROUP BY 1),
+        |k2 AS (SELECT k1.event_type, k1.value FROM k1
+        |       JOIN s1 ON k1.event_type = s1.event_type
+        |       WHERE k1.value >= s1.m - 2*s1.s AND k1.value <= s1.m + 2*s1.s)
+        |SELECT event_type, ROUND(AVG(value), 4) AS sc_mean,
+        |  ROUND(STDDEV_SAMP(value), 4) AS sc_std, COUNT(*) AS sc_n
+        |FROM k2 GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -37,6 +37,23 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.frameSample(px, 5).toSeq == Seq(0.0, 5.0, 10.0))
   }
 
+  test("image reassembly: ordered lines rebuild the full cube (B23)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("fits").option("hdu", 2).load(imgFixture)
+    // distributed reassembly: sort-by-index inside the aggregation, no
+    // driver-side glom (replaces the reference's coalesce(1).glom())
+    val rebuilt = df
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("ImgIndex"), col("Image")))),
+        s => s.getField("Image"))).as("px"))
+      .collect().head.getSeq[Short](0)
+    assert(rebuilt.length == 73 * 31 * 5)
+    // spot-check against the connector's own ordered rows
+    val direct = df.orderBy("ImgIndex").collect()
+      .flatMap(_.getSeq[Short](0)).toSeq
+    assert(rebuilt == direct)
+  }
+
   test("stubbed codec path is deterministic and batch-shaped") {
     val df = Multimodal.mm_features(spark, sf0001)
     val a = df.collect()
