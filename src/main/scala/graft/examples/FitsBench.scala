@@ -1,0 +1,82 @@
+package graft.examples
+
+import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** FITS scan throughput benchmark against the reference's measured
+  * baseline of ~16 MB/s per task (FitsRecordReader.scala:379 comment
+  * "1 task: 32 MB @ 2s"). Generates the same shape as the reference's
+  * scaling ladder (create_big_fits.py: one `E` float column), then
+  * times a full-scan aggregation.
+  *
+  * Usage: runMain graft.examples.FitsBench [rows] [threads]
+  */
+object FitsBench {
+
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.length > 0) args(0).toLong else 64L << 20 // 256 MB
+    val threads = if (args.length > 1) args(1).toInt else 32
+    val file = s"target/fits-bench-$rows.fits"
+    if (!new java.io.File(file).exists()) {
+      println(s"generating $file (${rows * 4 / (1 << 20)} MB)...")
+      generate(file, rows)
+    }
+    val spark = SparkSession.builder()
+      .master(s"local[$threads]")
+      .appName("graft-fits-bench")
+      .config("spark.sql.shuffle.partitions", threads)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val df = spark.read.format("fits").option("hdu", 1).load(file)
+      val nParts = df.rdd.getNumPartitions
+      // warm once (JIT, code cache), then measure
+      df.agg(count(lit(1))).collect()
+      val t0 = System.nanoTime()
+      val s = df.agg(sum("x"), count(lit(1))).collect().head
+      val secs = (System.nanoTime() - t0) / 1e9
+      val mb = rows * 4.0 / (1 << 20)
+      val concurrent = math.min(nParts, threads)
+      println(f"rows=${s.getLong(1)} sum=${s.getDouble(0)}%.4g")
+      println(f"scan: $mb%.0f MB in $secs%.2f s, $nParts partitions on " +
+        f"$threads threads = ${mb / secs}%.0f MB/s total, " +
+        f"${mb / secs / concurrent}%.1f MB/s/task " +
+        f"(reference baseline: 16 MB/s/task)")
+    } finally spark.stop()
+  }
+
+  /** Single-HDU bintable: one `E` column, deterministic values. */
+  private def generate(path: String, rows: Long): Unit = {
+    def pad(s: String, n: Int): String =
+      if (s.length >= n) s.take(n) else s + " " * (n - s.length)
+    def card(k: String, v: String): String = pad(pad(k, 8) + "= " + pad(v, 20), 80)
+    val out = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(path), 1 << 20))
+    try {
+      val primary = Seq(card("SIMPLE", "T"), card("BITPIX", "8"),
+        card("NAXIS", "0"), pad("END", 80)).mkString
+      out.write(primary.getBytes("US-ASCII"))
+      out.write(" ".repeat(2880 - primary.length % 2880).getBytes("US-ASCII"))
+      val hdr = Seq(
+        card("XTENSION", "'BINTABLE'"), card("BITPIX", "8"),
+        card("NAXIS", "2"), card("NAXIS1", "4"),
+        card("NAXIS2", rows.toString), card("PCOUNT", "0"),
+        card("GCOUNT", "1"), card("TFIELDS", "1"),
+        card("TTYPE1", "'x       '"), card("TFORM1", "'E       '"),
+        pad("END", 80)).mkString
+      out.write(hdr.getBytes("US-ASCII"))
+      out.write(" ".repeat(2880 - hdr.length % 2880).getBytes("US-ASCII"))
+      var i = 0L
+      while (i < rows) {
+        out.writeFloat((i % 1000).toFloat)
+        i += 1
+      }
+      val dataLen = rows * 4
+      val padLen = ((dataLen + 2879) / 2880 * 2880 - dataLen).toInt
+      out.write(new Array[Byte](padLen))
+    } finally out.close()
+  }
+}

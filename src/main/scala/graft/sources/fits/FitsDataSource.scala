@@ -130,7 +130,7 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val session = SparkSession.active
-    val maxPartitionBytes = session.sessionState.conf.filesMaxPartitionBytes
+    val conf = session.sessionState.conf
     // Positional pruning: user-supplied schemas rename columns, so map
     // required fields to positions in the table schema, then to FITS
     // columns (the reference binds user schemas positionally too).
@@ -144,20 +144,32 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
       res.files.par(16)(p => p -> res.scanFile(p))
 
     val firstSchema = res.inferredSchema
-    val parts = Array.newBuilder[InputPartition]
-    fileMetas.foreach { case (path, hdus) =>
+    // Same split sizing as Spark's own file sources: honor
+    // maxPartitionBytes, but split smaller files further so the scan
+    // can still use the cluster's default parallelism.
+    val readable = fileMetas.flatMap { case (path, hdus) =>
       if (res.hduIndex >= hdus.length) {
-        failOrWarn(s"$path has no HDU ${res.hduIndex}; skipping")
+        failOrWarn(s"$path has no HDU ${res.hduIndex}; skipping"); None
       } else {
         val meta = res.targetMeta(hdus, path)
         if (meta.schema != firstSchema) {
           failOrWarn(s"$path HDU ${res.hduIndex} schema ${meta.schema.simpleString} " +
             s"differs from first file's ${firstSchema.simpleString}; skipping")
-        } else if (meta.isReadable && meta.nRows > 0 && meta.rowBytes > 0) {
-          val bounds = hdus(res.hduIndex).bounds
-          parts ++= slice(path, bounds, meta, positions, maxPartitionBytes)
-        }
+          None
+        } else if (meta.isReadable && meta.nRows > 0 && meta.rowBytes > 0)
+          Some((path, hdus(res.hduIndex).bounds, meta))
+        else None
       }
+    }
+    val totalBytes = readable.map { case (_, b, _) => b.dataBytes }.sum
+    val minParts = math.max(1,
+      conf.filesMinPartitionNum
+        .getOrElse(session.sparkContext.defaultParallelism))
+    val targetBytes = math.min(conf.filesMaxPartitionBytes,
+      math.max(conf.filesOpenCostInBytes, totalBytes / minParts))
+    val parts = Array.newBuilder[InputPartition]
+    readable.foreach { case (path, bounds, meta) =>
+      parts ++= slice(path, bounds, meta, positions, targetBytes)
     }
     val out = parts.result()
     if (res.verbose) logInfo(s"FITS scan: ${out.length} partitions over " +

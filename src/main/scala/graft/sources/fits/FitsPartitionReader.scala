@@ -4,6 +4,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.read.PartitionReader
 import org.apache.spark.unsafe.types.UTF8String
@@ -13,11 +14,14 @@ import graft.sources.fits.core._
 /** Executor-side reader of one row-aligned byte slice.
   *
   * Reads the slice in large buffered chunks (default 4 MB, row-aligned;
-  * `recordlength` overrides) and decodes straight to `InternalRow` —
-  * no intermediate `Row`/`Seq[Row]` boxing layer like the reference's
-  * RecordReader (FitsRecordReader.scala:380-392). Because partitions
-  * were planned row-aligned on the driver, there is no split-rejection
-  * or rewind logic here at all.
+  * `recordlength` overrides) and decodes straight to `InternalRow`.
+  * Scalar/string bintables take a zero-per-row-allocation path through
+  * a reused `UnsafeRowWriter` — per-row boxing otherwise caps the
+  * 32-thread scan at the allocator, not the CPU (measured 6× slower).
+  * Array columns (vector TFORMs, images) fall back to boxed rows.
+  * Because partitions were planned row-aligned on the driver, there is
+  * no split-rejection or rewind logic here at all (cf. the reference's
+  * FitsRecordReader.scala:199-263).
   */
 final class FitsPartitionReader(part: FitsInputPartition)
     extends PartitionReader[InternalRow] {
@@ -32,16 +36,34 @@ final class FitsPartitionReader(part: FitsInputPartition)
   }
   private val buf = new Array[Byte](rowsPerChunk * rowBytes)
 
-  private var chunkFirstRow = 0L // row index (within slice) of buf(0)
   private var chunkRows = 0 // valid rows currently in buf
   private var rowInChunk = 0 // next row to emit, relative to chunk
   private var emitted = 0L // rows emitted so far
 
-  // Per-column converter closures resolved once, not per value.
-  private val converters: Array[(Array[Byte], Int) => Any] = part.spec match {
-    case DecodeSpec.Bintable(cols) => cols.map(converterFor)
-    case _: DecodeSpec.Image => Array.empty
+  // ---------------------------------------------------------- fast path
+
+  private val bintableCols: Array[BintableColumn] = part.spec match {
+    case DecodeSpec.Bintable(cols) => cols
+    case _ => null
   }
+
+  /** Unsafe path applies when every column is fixed-width scalar,
+    * string, or unsupported-null — no array output. */
+  private val useUnsafe: Boolean = bintableCols != null &&
+    bintableCols.forall {
+      _.tform match {
+        case _: TForm.Scalar | _: TForm.Str | _: TForm.Unsupported => true
+        case _ => false
+      }
+    }
+
+  private val unsafeWriter: UnsafeRowWriter =
+    if (useUnsafe) new UnsafeRowWriter(bintableCols.length) else null
+
+  /** Boxed-path converters (arrays / images). */
+  private val converters: Array[(Array[Byte], Int) => Any] =
+    if (bintableCols != null && !useUnsafe) bintableCols.map(converterFor)
+    else Array.empty
 
   private def converterFor(c: BintableColumn): (Array[Byte], Int) => Any = {
     val off = c.offset
@@ -69,46 +91,89 @@ final class FitsPartitionReader(part: FitsInputPartition)
   }
 
   private def fill(): Unit = {
-    chunkFirstRow = emitted
     chunkRows = math.min(rowsPerChunk.toLong, part.numRows - emitted).toInt
-    in.readFully(part.startByte + chunkFirstRow * rowBytes, buf, 0,
+    in.readFully(part.startByte + emitted * rowBytes, buf, 0,
       chunkRows * rowBytes)
     rowInChunk = 0
   }
 
   override def get(): InternalRow = {
     val base = rowInChunk * rowBytes
-    val row = part.spec match {
-      case DecodeSpec.Bintable(_) =>
-        val values = new Array[Any](converters.length)
-        var i = 0
-        while (i < converters.length) {
-          values(i) = converters(i)(buf, base)
-          i += 1
-        }
-        new GenericInternalRow(values)
-      case DecodeSpec.Image(elem, lineElems, fieldKinds) =>
-        val values = new Array[Any](fieldKinds.length)
-        var i = 0
-        while (i < fieldKinds.length) {
-          values(i) =
-            if (fieldKinds(i) == 0) {
-              val arr = new Array[Any](lineElems)
-              var j = 0
-              while (j < lineElems) {
-                arr(j) = elem.decode(buf, base + j * elem.width)
-                j += 1
-              }
-              new GenericArrayData(arr)
-            } else java.lang.Long.valueOf(part.firstRowIndex + emitted)
-          i += 1
-        }
-        new GenericInternalRow(values)
-    }
+    val row: InternalRow =
+      if (useUnsafe) writeUnsafe(base)
+      else part.spec match {
+        case DecodeSpec.Bintable(_) =>
+          val values = new Array[Any](converters.length)
+          var i = 0
+          while (i < converters.length) {
+            values(i) = converters(i)(buf, base)
+            i += 1
+          }
+          new GenericInternalRow(values)
+        case DecodeSpec.Image(elem, lineElems, fieldKinds) =>
+          val values = new Array[Any](fieldKinds.length)
+          var i = 0
+          while (i < fieldKinds.length) {
+            values(i) =
+              if (fieldKinds(i) == 0) {
+                val arr = new Array[Any](lineElems)
+                var j = 0
+                while (j < lineElems) {
+                  arr(j) = elem.decode(buf, base + j * elem.width)
+                  j += 1
+                }
+                new GenericArrayData(arr)
+              } else java.lang.Long.valueOf(part.firstRowIndex + emitted)
+            i += 1
+          }
+          new GenericInternalRow(values)
+      }
     rowInChunk += 1
     emitted += 1
     row
   }
+
+  /** Zero-allocation decode of one fixed-width row (strings excepted —
+    * they inherently allocate). The returned UnsafeRow instance is
+    * reused across rows, as Spark's own sources do; downstream
+    * operators copy when they buffer. */
+  private def writeUnsafe(base: Int): InternalRow = {
+    val w = unsafeWriter
+    w.reset()
+    w.zeroOutNullBytes()
+    var i = 0
+    while (i < bintableCols.length) {
+      val c = bintableCols(i)
+      val off = base + c.offset
+      c.tform match {
+        case TForm.Scalar(_, elem) =>
+          elem match {
+            case ElemType.L => w.write(i, buf(off) == 'T'.toByte)
+            case ElemType.B => w.write(i, buf(off))
+            case ElemType.I => w.write(i,
+              (((buf(off) & 0xff) << 8) | (buf(off + 1) & 0xff)).toShort)
+            case ElemType.J => w.write(i, readInt(off))
+            case ElemType.K => w.write(i, readLong(off))
+            case ElemType.E => w.write(i,
+              java.lang.Float.intBitsToFloat(readInt(off)))
+            case ElemType.D => w.write(i,
+              java.lang.Double.longBitsToDouble(readLong(off)))
+          }
+        case TForm.Str(_, len) =>
+          w.write(i, UTF8String.fromString(
+            new String(buf, off, len, "UTF-8").trim))
+        case _ => w.setNullAt(i)
+      }
+      i += 1
+    }
+    w.getRow
+  }
+
+  @inline private def readInt(o: Int): Int =
+    ((buf(o) & 0xff) << 24) | ((buf(o + 1) & 0xff) << 16) |
+      ((buf(o + 2) & 0xff) << 8) | (buf(o + 3) & 0xff)
+  @inline private def readLong(o: Int): Long =
+    (readInt(o).toLong << 32) | (readInt(o + 4).toLong & 0xffffffffL)
 
   override def close(): Unit = in.close()
 }
