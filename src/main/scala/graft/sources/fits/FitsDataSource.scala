@@ -10,6 +10,7 @@ import org.apache.spark.internal.Logging
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
@@ -113,12 +114,77 @@ final class FitsTable(res: FitsResolution, userSchema: Option[StructType])
 }
 
 final class FitsScanBuilder(res: FitsResolution, tableSchema: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var required: StructType = tableSchema
+  private var countStarPushed = false
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new FitsScan(res, tableSchema, required)
+
+  /** `COUNT(*)` with no grouping is answered from HDU metadata (NAXIS2
+    * row counts) — zero data bytes read, at any scale. Partial-pushdown
+    * protocol: the scan emits per-file counts, Spark sums them. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val ok = aggregation.groupByExpressions().isEmpty &&
+      aggregation.aggregateExpressions().length == 1 &&
+      aggregation.aggregateExpressions().head.isInstanceOf[CountStar]
+    if (ok) countStarPushed = true
+    ok
+  }
+
+  override def build(): Scan =
+    if (countStarPushed) new FitsCountScan(res)
+    else new FitsScan(res, tableSchema, required)
 }
+
+/** Metadata-only COUNT(*): one row per file carrying its HDU row count. */
+final class FitsCountScan(res: FitsResolution) extends Scan with Batch
+    with Logging {
+  override def readSchema(): StructType =
+    StructType(Seq(org.apache.spark.sql.types.StructField(
+      "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"FITS ${res.pathSpec} hdu=${res.hduIndex} [metadata-only count]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val firstSchema = res.inferredSchema
+    res.files.toArray.flatMap { path =>
+      val hdus = res.scanFile(path)
+      if (res.hduIndex >= hdus.length) {
+        if (res.mode == "FAILFAST") throw new IllegalArgumentException(
+          s"$path has no HDU ${res.hduIndex}")
+        None
+      } else {
+        val meta = res.targetMeta(hdus, path)
+        if (meta.schema != firstSchema) {
+          if (res.mode == "FAILFAST") throw new IllegalArgumentException(
+            s"$path HDU ${res.hduIndex} schema differs from first file's")
+          None
+        } else Some(FitsCountPartition(meta.nRows): InputPartition)
+      }
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+        new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+          private var done = false
+          private val count = p.asInstanceOf[FitsCountPartition].nRows
+          override def next(): Boolean = !done
+          override def get(): org.apache.spark.sql.catalyst.InternalRow = {
+            done = true
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](count))
+          }
+          override def close(): Unit = ()
+        }
+    }
+}
+
+final case class FitsCountPartition(nRows: Long) extends InputPartition
 
 final class FitsScan(res: FitsResolution, tableSchema: StructType,
     required: StructType) extends Scan with Batch with Logging {

@@ -1,0 +1,57 @@
+package graft.sources.fits
+
+import graft.SparkTestBase
+
+class FitsCountPushdownSpec extends SparkTestBase {
+
+  private val res = "/root/reference/src/test/resources"
+
+  test("COUNT(*) is answered from metadata without scanning data") {
+    val df = spark.read.format("fits").option("hdu", 1)
+      .load(s"$res/test_file.fits")
+    val counted = df.groupBy().count()
+    assert(counted.collect().head.getLong(0) == 20000L)
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(plan.contains("metadata-only count"), plan)
+  }
+
+  test("multi-file COUNT(*) sums per-file metadata counts") {
+    val df = spark.read.format("fits").option("hdu", 1).load(s"$res/dir")
+    assert(df.count() == 27000L)
+    val counted = df.groupBy().count()
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(plan.contains("metadata-only count"), plan)
+  }
+
+  test("count with a filter still scans (pushdown declined)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("fits").option("hdu", 1)
+      .load(s"$res/test_file.fits")
+    val n = df.filter(col("Index") < 100).count()
+    assert(n == 100L)
+  }
+
+  test("grouped counts are not falsely pushed") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("fits").option("hdu", 2)
+      .load(s"$res/test_file.fits")
+    val grouped = df.groupBy(col("Discovery")).count().collect()
+    assert(grouped.map(_.getLong(1)).sum == 20000L)
+  }
+
+  test("direct-library facade matches connector results") {
+    import graft.sources.fits.core.FitsFile
+    val f = FitsFile.open(s"file://$res/test_file.fits", hdu = 1)
+    assert(f.nHdus == 3)
+    assert(f.nRows == 20000L)
+    assert(f.header("NAXIS1") == "34")
+    val first = f.rows().next()
+    assert(first.head == "NGC0000000")
+    assert(f.rows().take(5).size == 5)
+    // image HDU iteration through the facade
+    val img = FitsFile.open(
+      s"file://$res/dirIm/0_i_am_not_empty.fits", hdu = 2)
+    assert(img.nRows == 155L)
+    assert(img.rows().next().head.asInstanceOf[Seq[_]].length == 73)
+  }
+}
