@@ -76,9 +76,23 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** The custom ApproxCosineJoin operator (logical node + strategy +
+    * physical banded-shuffle plan, graft.plans) run as a self-join over
+    * embeddings. Deterministic but approximate → rows-only check. */
+  val sim_approx_join: Q = (s, dir) => {
+    val e = embs(s, dir)
+    val left = e.select(col("vec_id").as("a_vid"), col("embedding").as("ea"))
+    val right = e.select(col("vec_id").as("b_vid"), col("embedding").as("eb"))
+    graft.plans.ApproxCosineJoin.join(left, right, "ea", "eb", 0.4)
+      .filter(col("a_vid") < col("b_vid"))
+      .select(col("a_vid"), col("b_vid"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("a_vid"), col("b_vid"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_topk" -> sim_topk,
     "sim_lsh_topk" -> sim_lsh_topk, // rows-only: approximate by design
+    "sim_approx_join" -> sim_approx_join, // rows-only: approximate
   )
 
   val oracles: Map[String, String] = Map(

@@ -1,15 +1,22 @@
 package org.apache.spark.sql.graftx
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{ClassicConversions, Dataset, ExpressionUtils}
 
-/** Minimal bridge to Spark's `private[sql]` Column↔Expression
-  * converters. Lives inside the org.apache.spark.sql package tree the
-  * same way third-party Spark extension libraries do it; contains no
-  * logic of its own.
+/** Minimal bridge to Spark's `private[sql]` Column↔Expression and
+  * Dataset↔LogicalPlan converters. Lives inside the
+  * org.apache.spark.sql package tree the same way third-party Spark
+  * extension libraries do it; contains no logic of its own.
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def logicalPlan(df: DataFrame): LogicalPlan =
+    ClassicConversions.castToImpl(df).queryExecution.analyzed
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    Dataset.ofRows(ClassicConversions.castToImpl(spark), plan)
 }

@@ -1,0 +1,79 @@
+package graft.plans
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.VectorFunctions
+
+class ApproxCosineJoinSpec extends SparkTestBase {
+
+  /** 60 seeded random vectors + 10 near-identical perturbed copies. */
+  private lazy val (baseDf, dupDf) = {
+    val rnd = new Random(7)
+    def vec(): Array[Float] = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val base = (0 until 60).map(i => (i.toLong, vec()))
+    val dups = base.take(10).map { case (id, v) =>
+      (id + 1000L, v.map(x => x + 0.001f * rnd.nextGaussian().toFloat))
+    }
+    import spark.implicits._
+    (base.toDF("id", "vec"), dups.toDF("id", "vec"))
+  }
+
+  test("custom operator: exactly-once pairs, precision 1, planted recall") {
+    val left = baseDf.select(col("id").as("l_id"), col("vec").as("l_vec"))
+    val right = dupDf.select(col("id").as("r_id"), col("vec").as("r_vec"))
+
+    val approx = ApproxCosineJoin.join(left, right, "l_vec", "r_vec", 0.99)
+      .select(col("l_id"), col("r_id"), col("sim"))
+      .collect()
+
+    val exact = left.crossJoin(right)
+      .select(col("l_id"), col("r_id"),
+        VectorFunctions.cosine_sim(col("l_vec"), col("r_vec")).as("sim"))
+      .filter(col("sim") >= 0.99)
+      .collect()
+
+    val approxPairs = approx.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exactPairs = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exactly-once emission despite multi-band collisions
+    assert(approxPairs.distinct.size == approxPairs.size)
+    // precision 1: the operator verifies exact cosine
+    assert(approxPairs.toSet.subsetOf(exactPairs))
+    // the 10 planted near-identical pairs (cos ≈ 1) must all be found:
+    // band collision probability ≈ 1 at this similarity
+    assert(exactPairs.size == 10)
+    assert(approxPairs.toSet == exactPairs)
+    // sims agree with the expression-computed values
+    val exactSims = exact.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    approx.foreach { r =>
+      assert(math.abs(r.getDouble(2) - exactSims((r.getLong(0), r.getLong(1)))) < 1e-12)
+    }
+  }
+
+  test("plan uses the custom physical operator") {
+    val df = ApproxCosineJoin.join(
+      baseDf.select(col("id").as("l_id"), col("vec").as("l_vec")),
+      dupDf.select(col("id").as("r_id"), col("vec").as("r_vec")),
+      "l_vec", "r_vec", 0.9)
+    // physical nodeName strips the Exec suffix
+    assert(df.queryExecution.executedPlan.toString
+      .contains("ApproxCosineJoin"))
+    assert(df.columns.toSeq == Seq("l_id", "l_vec", "r_id", "r_vec", "sim"))
+  }
+
+  test("empty result below threshold; no crash on nulls") {
+    import spark.implicits._
+    val withNull = Seq((1L, null.asInstanceOf[Array[Float]]),
+      (2L, Array(1f, 0f))).toDF("id", "vec")
+    val out = ApproxCosineJoin.join(
+      withNull.select(col("id").as("l_id"), col("vec").as("l_vec")),
+      withNull.select(col("id").as("r_id"), col("vec").as("r_vec")),
+      "l_vec", "r_vec", 0.999999)
+    // null vectors drop out; the (2,2) self pair survives at cos=1
+    val rows = out.select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((2L, 2L)))
+  }
+}
