@@ -230,6 +230,14 @@ object Relational {
         length($"p_name").as("name_len"))
       .orderBy($"p_partkey")
 
+  /** B14b regexp extraction. */
+  val q14_regex: Q = (s, dir) =>
+    t(s, dir, "part")
+      .select($"p_partkey",
+        regexp_extract($"p_name", "([a-z]+)$", 1).as("last_word"))
+      .orderBy($"p_partkey")
+      .limit(200)
+
   // ------------------------------------------------------------------ B15
 
   /** B15a date extraction. */
@@ -246,6 +254,15 @@ object Relational {
       .groupBy(date_trunc("month", $"o_orderdate").cast("date").as("mon"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy($"mon")
+
+  /** B15c day arithmetic relative to a fixed date. */
+  val q15_diff: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .select($"o_orderkey",
+        datediff($"o_orderdate", lit("1995-01-01").cast("timestamp_ntz"))
+          .as("days"))
+      .orderBy($"o_orderkey")
+      .limit(200)
 
   // ------------------------------------------------------------------ B16
 
@@ -284,6 +301,14 @@ object Relational {
       .select($"event_id", get_json_object($"props", "$.k").as("k"))
       .orderBy($"event_id")
       .limit(100)
+
+  /** B18b typed JSON parsing via from_json. */
+  val q18_from_json: Q = (s, dir) =>
+    t(s, dir, "events")
+      .select($"event_id",
+        from_json($"props", lit("k INT")).getField("k").as("k"))
+      .orderBy($"event_id")
+      .limit(200)
 
   // ------------------------------------------------------------------ B19
 
@@ -355,12 +380,15 @@ object Relational {
     "q13_rollup" -> q13_rollup,
     "q13_cube" -> q13_cube,
     "q14_string" -> q14_string,
+    "q14_regex" -> q14_regex,
     "q15_date" -> q15_date,
     "q15_month" -> q15_month,
+    "q15_diff" -> q15_diff,
     "q16_math" -> q16_math,
     "q17_size" -> q17_size,
     "q17_explode" -> q17_explode,
     "q18_json" -> q18_json,
+    "q18_from_json" -> q18_from_json,
     "q19_approx" -> q19_approx,
     "q20_expr" -> q20_expr,
     "q21_stddev" -> q21_stddev,
@@ -464,6 +492,16 @@ object Relational {
         |  UPPER(p_brand) AS brand_up,
         |  CAST(LENGTH(p_name) AS INTEGER) AS name_len
         |FROM part WHERE p_name LIKE '%red%' ORDER BY p_partkey""".stripMargin,
+    "q14_regex" ->
+      """SELECT p_partkey, regexp_extract(p_name, '([a-z]+)$', 1) AS last_word
+        |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin,
+    "q15_diff" ->
+      """SELECT o_orderkey,
+        |  CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER) AS days
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
+    "q18_from_json" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id LIMIT 200""".stripMargin,
     "q15_date" ->
       """SELECT o_orderkey,
         |  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year
