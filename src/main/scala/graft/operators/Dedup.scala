@@ -172,6 +172,43 @@ object Dedup {
       .orderBy(col("a_vid"), col("b_vid"))
   }
 
+  /** Canonical-survivor assignment: connected components over the
+    * near-dup pair graph via distributed min-label propagation (labels
+    * spread one hop per round; rounds ≈ component diameter, checked to
+    * a fixpoint). Every document maps to the smallest doc_id in its
+    * component — the pipeline's "which row do I keep" answer, computed
+    * without any driver-side graph. */
+  val dedup_survivors: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val pairs = jaccardPairs(shingleHashes(d), 0.5)
+      .select(col("a_id"), col("b_id"))
+    val edges = pairs
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst")
+      .cache()
+    var labels = d.select(col("doc_id"), col("doc_id").as("label")).cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val neighborMin = edges
+        .join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nl"))
+      val next = labels
+        .join(neighborMin, labels("doc_id") === neighborMin("dst"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .cache()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("doc_id"), col("label").as("keep_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Distinct (a_id < b_id) pairs colliding in at least one band. */
   private def candidatesFromBands(bands: DataFrame): DataFrame = {
     val x = bands.select(col("doc_id").as("a_id"), col("band"), col("bv"))
@@ -190,6 +227,7 @@ object Dedup {
     "dedup_minhash" -> dedup_minhash,
     "dedup_simhash" -> dedup_simhash,
     "dedup_embed" -> dedup_embed,
+    "dedup_survivors" -> dedup_survivors,
   )
 
   private val jaccardOracle =
@@ -225,5 +263,18 @@ object Dedup {
     // dedup_simhash: rows-only — SimHash recall has no sharp guarantee
     // at this Jaccard band, so its verified output is asserted against
     // dedup_ngram in DedupSpec instead of hash-matched here.
+    "dedup_survivors" -> {
+      val pairsSql = jaccardOracle
+        .replace("ORDER BY a_id, b_id", "")
+      s"""WITH RECURSIVE pr AS ($pairsSql),
+         |edges AS (SELECT a_id AS s, b_id AS d FROM pr
+         |          UNION ALL SELECT b_id, a_id FROM pr),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
+         |SELECT id AS doc_id, MIN(r) AS keep_id FROM reach
+         |GROUP BY id ORDER BY doc_id""".stripMargin
+    },
   )
 }
