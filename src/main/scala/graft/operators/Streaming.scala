@@ -59,6 +59,19 @@ object Streaming {
       .orderBy(col("h"), col("event_type"))
   }
 
+  /** Sliding 1-hour windows every 30 minutes (each event lands in
+    * exactly two windows). */
+  val stream_sliding: Q = (s, dir) => {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    runToTable(s, agg, "stream_sliding_tbl", "complete")
+      .select(col("window.start").cast("timestamp_ntz").as("h"),
+        col("event_type"), col("cnt"))
+      .orderBy(col("h"), col("event_type"))
+  }
+
   /** Session windows (30-minute gap) per user. */
   val stream_sessions: Q = (s, dir) => {
     val agg = eventsStream(s, dir)
@@ -103,6 +116,7 @@ object Streaming {
 
   val queries: Map[String, Q] = Map(
     "stream_hour_counts" -> stream_hour_counts,
+    "stream_sliding" -> stream_sliding,
     "stream_sessions" -> stream_sessions,
     "stream_state_sessions" -> stream_state_sessions,
   )
@@ -126,6 +140,12 @@ object Streaming {
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h, event_type,
         |  COUNT(*) AS cnt
         |FROM events GROUP BY h, event_type ORDER BY h, event_type""".stripMargin,
+    "stream_sliding" ->
+      """SELECT time_bucket(INTERVAL 30 MINUTE, ts)
+        |         - k.k * INTERVAL 30 MINUTE AS h,
+        |  event_type, COUNT(*) AS cnt
+        |FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+        |GROUP BY h, event_type ORDER BY h, event_type""".stripMargin,
     "stream_sessions" ->
       (sessionIslands +
         """

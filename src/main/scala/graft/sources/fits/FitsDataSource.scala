@@ -115,12 +115,21 @@ final class FitsTable(res: FitsResolution, userSchema: Option[StructType])
 
 final class FitsScanBuilder(res: FitsResolution, tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = tableSchema
   private var countStarPushed = false
+  private var limit: Option[Long] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Rows are fixed-width, so LIMIT n maps exactly to the first n rows
+    * of the first file(s): plan only that byte range. Partial pushdown
+    * — Spark still applies the final limit. */
+  override def pushLimit(n: Int): Boolean = {
+    limit = Some(n.toLong)
+    true
+  }
 
   /** `COUNT(*)` with no grouping is answered from HDU metadata (NAXIS2
     * row counts) — zero data bytes read, at any scale. Partial-pushdown
@@ -135,7 +144,7 @@ final class FitsScanBuilder(res: FitsResolution, tableSchema: StructType)
 
   override def build(): Scan =
     if (countStarPushed) new FitsCountScan(res)
-    else new FitsScan(res, tableSchema, required)
+    else new FitsScan(res, tableSchema, required, limit)
 }
 
 /** Metadata-only COUNT(*): one row per file carrying its HDU row count. */
@@ -187,12 +196,15 @@ final class FitsCountScan(res: FitsResolution) extends Scan with Batch
 final case class FitsCountPartition(nRows: Long) extends InputPartition
 
 final class FitsScan(res: FitsResolution, tableSchema: StructType,
-    required: StructType) extends Scan with Batch with Logging {
+    required: StructType, limit: Option[Long] = None)
+    extends Scan with Batch with Logging {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"FITS ${res.pathSpec} hdu=${res.hduIndex} cols=${required.fieldNames.mkString(",")}"
+    s"FITS ${res.pathSpec} hdu=${res.hduIndex} " +
+      s"cols=${required.fieldNames.mkString(",")}" +
+      limit.map(l => s" limit=$l").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val session = SparkSession.active
@@ -234,9 +246,16 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
     val targetBytes = math.min(conf.filesMaxPartitionBytes,
       math.max(conf.filesOpenCostInBytes, totalBytes / minParts))
     val parts = Array.newBuilder[InputPartition]
-    readable.foreach { case (path, bounds, meta) =>
-      parts ++= slice(path, bounds, meta, positions, targetBytes)
-    }
+    var remaining = limit.getOrElse(Long.MaxValue)
+    readable.iterator.takeWhile(_ => remaining > 0)
+      .foreach { case (path, bounds, meta) =>
+        val sliced = slice(path, bounds, meta, positions, targetBytes)
+        sliced.iterator.takeWhile(_ => remaining > 0).foreach { p =>
+          val take = math.min(p.numRows, remaining)
+          parts += (if (take == p.numRows) p else p.copy(numRows = take))
+          remaining -= take
+        }
+      }
     val out = parts.result()
     if (res.verbose) logInfo(s"FITS scan: ${out.length} partitions over " +
       s"${res.files.length} files")

@@ -39,6 +39,19 @@ class FitsCountPushdownSpec extends SparkTestBase {
     assert(grouped.map(_.getLong(1)).sum == 20000L)
   }
 
+  test("LIMIT plans only the needed byte range") {
+    val df = spark.read.format("fits").option("hdu", 1)
+      .load(s"$res/test_file.fits")
+    val limited = df.limit(7)
+    assert(limited.count() == 7L)
+    val plan = limited.queryExecution.executedPlan.toString
+    assert(plan.contains("limit=7"), plan)
+    // result correctness: first rows in file order
+    val rows = limited.collect()
+    assert(rows.head.getString(0) == "NGC0000000")
+    assert(rows.length == 7)
+  }
+
   test("direct-library facade matches connector results") {
     import graft.sources.fits.core.FitsFile
     val f = FitsFile.open(s"file://$res/test_file.fits", hdu = 1)
