@@ -257,8 +257,19 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
         }
       }
     val out = parts.result()
-    if (res.verbose) logInfo(s"FITS scan: ${out.length} partitions over " +
-      s"${res.files.length} files")
+    if (res.verbose) {
+      // reference parity (A18): file list + target-HDU header dump
+      logInfo(s"FITS files (${res.files.length}): " +
+        res.files.take(20).mkString(", ") +
+        (if (res.files.length > 20) ", ..." else ""))
+      res.firstFileHdus.lift(res.hduIndex).foreach { h =>
+        logInfo(s"HDU ${res.hduIndex} header:\n" + h.header.cards
+          .map(c => s"  ${c.keyword} = ${c.value.getOrElse("")}" +
+            c.comment.map(" / " + _).getOrElse("")).mkString("\n"))
+      }
+      logInfo(s"FITS scan: ${out.length} partitions over " +
+        s"${res.files.length} files")
+    }
     out
   }
 
