@@ -348,4 +348,22 @@ final case class FitsInputPartition(
 final class FitsPartitionReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
     new FitsPartitionReader(p.asInstanceOf[FitsInputPartition])
+
+  /** Scalar/string bintables read vectorized (ColumnarBatch → the same
+    * ColumnarToRow path as Spark's parquet reader); arrays and images
+    * stay row-based. The spec is identical across one scan's
+    * partitions, so the answer is scan-consistent. */
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    case f: FitsInputPartition => f.spec match {
+      case DecodeSpec.Bintable(cols) => cols.nonEmpty && cols.forall(_.tform match {
+        case _: TForm.Scalar | _: TForm.Str | _: TForm.Unsupported => true
+        case _ => false
+      })
+      case _ => false
+    }
+    case _ => false
+  }
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new FitsColumnarReader(p.asInstanceOf[FitsInputPartition])
 }
