@@ -76,6 +76,62 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** IVF (inverted-file) ANN: coarse k-means quantization of the
+    * corpus, queries probe their 2 nearest centroids and rank only
+    * those buckets — the other standard scale path besides LSH. The
+    * centroid table is tiny (k × dim) and driver-resident; the corpus
+    * is bucketed once (in production: written bucketed/partitioned by
+    * centroid id, so a probe touches 2/k of the data). */
+  val sim_ivf_topk: Q = (s, dir) => {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val k = 16
+    val nProbe = 2
+    val e = embs(s, dir)
+      .withColumn("fv", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(k).setSeed(42).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("bucket").fit(e)
+    val bucketed = model.transform(e)
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    // queries → their nProbe nearest centroids (driver-side: k×q tiny)
+    val queryRows = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probes = queryRows.flatMap { case (qid, qv) =>
+      centroids.zipWithIndex
+        .map { case (c, i) => (i, dist2(qv, c)) }
+        .sortBy(_._2).take(nProbe)
+        .map { case (i, _) => (qid, i) }
+    }
+    val probeDf = s.createDataFrame(
+      s.sparkContext.parallelize(probes.toSeq.map(p => (p._1, p._2)), 1))
+      .toDF("q_id", "bucket")
+    val queryDf = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cands = bucketed
+      .join(broadcast(probeDf), Seq("bucket"))
+      .join(broadcast(queryDf), Seq("q_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+    val scored = cands.select(col("q_id"), col("vec_id").as("neighbor_id"),
+      VectorFunctions.cosine_sim(col("q_emb"), col("embedding")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("rnk"), col("neighbor_id"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  private def dist2(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < math.min(a.length, b.length)) {
+      val d = a(i) - b(i); s += d * d; i += 1
+    }
+    s
+  }
+
   /** The custom ApproxCosineJoin operator (logical node + strategy +
     * physical banded-shuffle plan, graft.plans) run as a self-join over
     * embeddings. Deterministic but approximate → rows-only check. */
@@ -92,6 +148,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "sim_topk" -> sim_topk,
     "sim_lsh_topk" -> sim_lsh_topk, // rows-only: approximate by design
+    "sim_ivf_topk" -> sim_ivf_topk, // rows-only: approximate by design
     "sim_approx_join" -> sim_approx_join, // rows-only: approximate
   )
 

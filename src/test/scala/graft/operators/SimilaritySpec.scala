@@ -26,6 +26,22 @@ class SimilaritySpec extends SparkTestBase {
     info(s"LSH recall vs brute force: $recall")
   }
 
+  test("IVF top-k: valid shape and recall reported vs brute force") {
+    val rows = Similarity.sim_ivf_topk(spark, sf001).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 5)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
+      assert(rs.length <= 10)
+    }
+    val exact = Similarity.sim_topk(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(s"IVF recall vs brute force: $recall")
+    assert(recall >= 0.2, s"recall=$recall") // 2/16 buckets probed
+  }
+
   test("cosine_sim expression: self-similarity is 1") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions
