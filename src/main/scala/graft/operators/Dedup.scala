@@ -193,11 +193,14 @@ object Dedup {
     val d = docs(s, dir)
     val pairs = jaccardPairs(shingleHashes(d), 0.5)
       .select(col("a_id"), col("b_id"))
+    // localCheckpoint truncates the lineage: without it every label
+    // round re-plans (and on cache miss re-runs) the whole Jaccard DAG.
     val edges = pairs
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst")
-      .cache()
-    var labels = d.select(col("doc_id"), col("doc_id").as("label")).cache()
+      .localCheckpoint()
+    var labels = d.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
@@ -208,12 +211,11 @@ object Dedup {
         .join(neighborMin, labels("doc_id") === neighborMin("dst"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .cache()
+        .localCheckpoint()
       changed = next.as("n")
         .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
         .filter(col("n.label") =!= col("o.label"))
         .count()
-      labels.unpersist(blocking = false) // next is materialized by count
       labels = next
       rounds += 1
     }
