@@ -19,7 +19,8 @@ import graft.sources.fits.core._
   * single bytes in UTF-8, so byte-trim ≡ String.trim) with no
   * intermediate String allocation.
   */
-final class FitsColumnarReader(part: FitsInputPartition)
+final class FitsColumnarReader(part: FitsInputPartition,
+    conf: Configuration = new Configuration())
     extends PartitionReader[ColumnarBatch] {
 
   private val cols: Array[BintableColumn] = part.spec match {
@@ -29,7 +30,7 @@ final class FitsColumnarReader(part: FitsInputPartition)
   }
 
   private val path = new Path(part.file)
-  private val in = path.getFileSystem(new Configuration()).open(path)
+  private val in = path.getFileSystem(conf).open(path)
 
   private val rowBytes = part.rowBytes
   private val batchRows: Int =

@@ -295,8 +295,15 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new FitsPartitionReaderFactory()
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // ship the driver's Hadoop conf (object-store credentials, FS
+    // settings) to executor readers — a bare `new Configuration()`
+    // would silently drop them on a real cluster
+    import scala.jdk.CollectionConverters._
+    val props = res.hadoopConf.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+    new FitsPartitionReaderFactory(props)
+  }
 
   /** tiny parallel-map helper (driver-side, bounded) */
   private implicit class ParSeq[A](xs: Seq[A]) {
@@ -345,9 +352,17 @@ final case class FitsInputPartition(
     bufferBytes: Int,
     spec: DecodeSpec) extends InputPartition
 
-final class FitsPartitionReaderFactory extends PartitionReaderFactory {
+final class FitsPartitionReaderFactory(confProps: Array[(String, String)])
+    extends PartitionReaderFactory {
+
+  @transient private lazy val hadoopConf: Configuration = {
+    val c = new Configuration()
+    confProps.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
-    new FitsPartitionReader(p.asInstanceOf[FitsInputPartition])
+    new FitsPartitionReader(p.asInstanceOf[FitsInputPartition], hadoopConf)
 
   /** Scalar/string bintables read vectorized (ColumnarBatch → the same
     * ColumnarToRow path as Spark's parquet reader); arrays and images
@@ -365,5 +380,5 @@ final class FitsPartitionReaderFactory extends PartitionReaderFactory {
   }
 
   override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new FitsColumnarReader(p.asInstanceOf[FitsInputPartition])
+    new FitsColumnarReader(p.asInstanceOf[FitsInputPartition], hadoopConf)
 }

@@ -23,11 +23,12 @@ import graft.sources.fits.core._
   * no split-rejection or rewind logic here at all (cf. the reference's
   * FitsRecordReader.scala:199-263).
   */
-final class FitsPartitionReader(part: FitsInputPartition)
+final class FitsPartitionReader(part: FitsInputPartition,
+    conf: Configuration = new Configuration())
     extends PartitionReader[InternalRow] {
 
   private val path = new Path(part.file)
-  private val in = path.getFileSystem(new Configuration()).open(path)
+  private val in = path.getFileSystem(conf).open(path)
 
   private val rowBytes = part.rowBytes
   private val rowsPerChunk: Int = {

@@ -101,7 +101,19 @@ object FitsStructure {
         val dataStop = dataStart + dataLen
         val blockStop = dataStart + padTo(dataLen, BlockSize)
         val bounds = HduBounds(pos, dataStart, dataStop, blockStop)
-        hdus += Hdu(index, header, bounds, resolveMeta(index, header))
+        var meta = resolveMeta(index, header)
+        if (dataStop > len) {
+          // Truncated file: clamp to whole rows present instead of
+          // letting executors die on EOF mid-read.
+          meta =
+            if (meta.rowBytes > 0)
+              clampRows(meta, math.max(0L, (len - dataStart) / meta.rowBytes))
+            else HduMeta.Opaque
+        }
+        hdus += Hdu(index, header,
+          if (dataStop > len) bounds.copy(dataStop = len, blockStop = len)
+          else bounds,
+          meta)
         pos = blockStop
         index += 1
       }
@@ -158,6 +170,15 @@ object FitsStructure {
 
   private def padTo(n: Long, block: Int): Long =
     if (n % block == 0) n else (n / block + 1) * block
+
+  private def clampRows(meta: HduMeta, rows: Long): HduMeta = meta match {
+    case b: HduMeta.Bintable => b.copy(nRows = math.min(b.nRows, rows))
+    case i: HduMeta.Image =>
+      if (i.nRows <= rows) i
+      else if (rows == 0) HduMeta.Opaque
+      else i.copy(axes = Vector(i.axes.head, rows))
+    case other => other
+  }
 
   private def resolveMeta(index: Int, h: FitsHeader): HduMeta =
     h.get("XTENSION").map(_.trim) match {

@@ -42,6 +42,24 @@ class FitsManyFilesSpec extends SparkTestBase {
     } finally out.close()
   }
 
+  test("truncated file clamps to whole rows instead of crashing") {
+    val full = Files.createTempFile("graft-full", ".fits").toString
+    writeFile(full, 0L, 1000)
+    val truncated = Files.createTempFile("graft-trunc", ".fits").toString
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(full))
+    // cut mid-data: keep header (2 blocks) + 100.5 rows of payload
+    Files.write(java.nio.file.Paths.get(truncated),
+      java.util.Arrays.copyOfRange(bytes, 0, 2880 * 2 + 100 * 8 + 4))
+    try {
+      val df = spark.read.format("fits").option("hdu", 1).load(truncated)
+      assert(df.count() == 100L) // whole rows only
+      assert(df.agg(max("v")).collect().head.getLong(0) == 99L)
+    } finally {
+      Files.deleteIfExists(java.nio.file.Paths.get(full))
+      Files.deleteIfExists(java.nio.file.Paths.get(truncated))
+    }
+  }
+
   test("60 files read as one relation with a complete, exact union") {
     val dir = Files.createTempDirectory("graft-many").toFile
     val nFiles = 60
