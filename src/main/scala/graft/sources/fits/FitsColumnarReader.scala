@@ -23,12 +23,6 @@ final class FitsColumnarReader(part: FitsInputPartition,
     conf: Configuration = new Configuration())
     extends PartitionReader[ColumnarBatch] {
 
-  private val cols: Array[BintableColumn] = part.spec match {
-    case DecodeSpec.Bintable(cs) => cs
-    case other => throw new IllegalStateException(
-      s"columnar reads only planned for scalar bintables, got $other")
-  }
-
   private val path = new Path(part.file)
   private val in = path.getFileSystem(conf).open(path)
 
@@ -46,9 +40,18 @@ final class FitsColumnarReader(part: FitsInputPartition,
   private var chunkStartRow = 0L // absolute row index of buf(0)
   private var chunkRows = 0 // valid rows in buf
 
-  private val schema: StructType =
-    StructType(cols.map(c => org.apache.spark.sql.types.StructField(
-      c.name, c.tform.sparkType, nullable = true)))
+  private val schema: StructType = part.spec match {
+    case DecodeSpec.Bintable(cs) =>
+      StructType(cs.map(c => org.apache.spark.sql.types.StructField(
+        c.name, c.tform.sparkType, nullable = true)).toSeq)
+    case DecodeSpec.Image(elem, _, fieldKinds) =>
+      StructType(fieldKinds.map {
+        case 0 => org.apache.spark.sql.types.StructField("Image",
+          org.apache.spark.sql.types.ArrayType(elem.sparkType, true), true)
+        case _ => org.apache.spark.sql.types.StructField("ImgIndex",
+          org.apache.spark.sql.types.LongType, true)
+      }.toSeq)
+  }
   private val vectors: Array[OnHeapColumnVector] =
     OnHeapColumnVector.allocateColumns(batchRows, schema)
   private val batch = new ColumnarBatch(
@@ -67,15 +70,64 @@ final class FitsColumnarReader(part: FitsInputPartition,
     val base = ((emitted - chunkStartRow) * rowBytes).toInt
     val n = math.min(batchRows.toLong,
       chunkStartRow + chunkRows - emitted).toInt
-    var c = 0
-    while (c < cols.length) {
-      vectors(c).reset()
-      fillColumn(cols(c), vectors(c), base, n)
-      c += 1
+    part.spec match {
+      case DecodeSpec.Bintable(cs) =>
+        var c = 0
+        while (c < cs.length) {
+          vectors(c).reset()
+          fillColumn(cs(c), vectors(c), base, n)
+          c += 1
+        }
+      case DecodeSpec.Image(elem, lineElems, fieldKinds) =>
+        var c = 0
+        while (c < fieldKinds.length) {
+          val v = vectors(c)
+          v.reset()
+          if (fieldKinds(c) == 0) fillImage(elem, lineElems, v, base, n)
+          else {
+            var r = 0
+            while (r < n) {
+              v.putLong(r, part.firstRowIndex + emitted + r); r += 1
+            }
+          }
+          c += 1
+        }
     }
     batch.setNumRows(n)
     emitted += n
     true
+  }
+
+  /** One image line per row: fixed-length array column. */
+  private def fillImage(elem: ElemType, lineElems: Int,
+      v: OnHeapColumnVector, chunkBase: Int, n: Int): Unit = {
+    val child = v.arrayData()
+    child.reserve(n * lineElems)
+    val w = elem.width
+    var r = 0
+    while (r < n) {
+      val rowOff = chunkBase + r * rowBytes
+      var j = 0
+      while (j < lineElems) {
+        val o = rowOff + j * w
+        val idx = r * lineElems + j
+        elem match {
+          case ElemType.L => child.putBoolean(idx, buf(o) == 'T'.toByte)
+          case ElemType.B => child.putByte(idx, buf(o))
+          case ElemType.I => child.putShort(idx,
+            (((buf(o) & 0xff) << 8) | (buf(o + 1) & 0xff)).toShort)
+          case ElemType.J => child.putInt(idx, i32(o))
+          case ElemType.K => child.putLong(idx, i64(o))
+          case ElemType.E =>
+            child.putFloat(idx, java.lang.Float.intBitsToFloat(i32(o)))
+          case ElemType.D =>
+            child.putDouble(idx, java.lang.Double.longBitsToDouble(i64(o)))
+        }
+        j += 1
+      }
+      v.putArray(r, r * lineElems, lineElems)
+      r += 1
+    }
   }
 
   private def fillColumn(col: BintableColumn, v: OnHeapColumnVector,
@@ -118,6 +170,34 @@ final class FitsColumnarReader(part: FitsInputPartition,
               v.putDouble(r, java.lang.Double.longBitsToDouble(i64(r * rowBytes + off)))
               r += 1
             }
+        }
+      case TForm.Vec(_, elem, repeat) =>
+        val child = v.arrayData()
+        child.reserve(n * repeat)
+        val w = elem.width
+        var r = 0
+        while (r < n) {
+          val rowOff = off + r * rowBytes
+          var j = 0
+          while (j < repeat) {
+            val o = rowOff + j * w
+            val idx = r * repeat + j
+            elem match {
+              case ElemType.L => child.putBoolean(idx, buf(o) == 'T'.toByte)
+              case ElemType.B => child.putByte(idx, buf(o))
+              case ElemType.I => child.putShort(idx,
+                (((buf(o) & 0xff) << 8) | (buf(o + 1) & 0xff)).toShort)
+              case ElemType.J => child.putInt(idx, i32(o))
+              case ElemType.K => child.putLong(idx, i64(o))
+              case ElemType.E =>
+                child.putFloat(idx, java.lang.Float.intBitsToFloat(i32(o)))
+              case ElemType.D =>
+                child.putDouble(idx, java.lang.Double.longBitsToDouble(i64(o)))
+            }
+            j += 1
+          }
+          v.putArray(r, r * repeat, repeat)
+          r += 1
         }
       case TForm.Str(_, len) =>
         var r = 0

@@ -364,17 +364,19 @@ final class FitsPartitionReaderFactory(confProps: Array[(String, String)])
   override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
     new FitsPartitionReader(p.asInstanceOf[FitsInputPartition], hadoopConf)
 
-  /** Scalar/string bintables read vectorized (ColumnarBatch → the same
-    * ColumnarToRow path as Spark's parquet reader); arrays and images
-    * stay row-based. The spec is identical across one scan's
-    * partitions, so the answer is scan-consistent. */
+  /** Everything except bit-field (`nX`) columns reads vectorized
+    * (ColumnarBatch → the same ColumnarToRow path as Spark's parquet
+    * reader), including fixed-repeat array columns and image HDUs. The
+    * spec is identical across one scan's partitions, so the answer is
+    * scan-consistent. */
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
     case f: FitsInputPartition => f.spec match {
       case DecodeSpec.Bintable(cols) => cols.nonEmpty && cols.forall(_.tform match {
-        case _: TForm.Scalar | _: TForm.Str | _: TForm.Unsupported => true
+        case _: TForm.Scalar | _: TForm.Str | _: TForm.Vec |
+             _: TForm.Unsupported => true
         case _ => false
       })
-      case _ => false
+      case _: DecodeSpec.Image => true
     }
     case _ => false
   }
