@@ -22,8 +22,15 @@ object Bench {
     // Deterministic run order; each query fully materialized via count().
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
+      // a failed query must not report its time-to-crash as a timing
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // queries cache intermediates for intra-query reuse; evict between
       // queries so storage memory never crowds out execution memory
       spark.catalog.clearCache()
@@ -31,7 +38,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

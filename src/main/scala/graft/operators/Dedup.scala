@@ -203,7 +203,12 @@ object Dedup {
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    // min-label propagation converges in O(component diameter) rounds
+    // (large-star/small-star would be O(log n) — the knob to pull if
+    // real corpora ever show long chains); the cap is only a runaway
+    // backstop and is far above any plausible diameter
+    val maxRounds = 10000
+    while (changed > 0 && rounds < maxRounds) {
       val neighborMin = edges
         .join(labels, edges("src") === labels("doc_id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nl"))
@@ -219,6 +224,9 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"label propagation did not converge within $maxRounds rounds")
     labels.select(col("doc_id"), col("label").as("keep_id"))
       .orderBy(col("doc_id"))
   }

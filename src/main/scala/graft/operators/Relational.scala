@@ -351,6 +351,10 @@ object Relational {
     t(s, dir, "events")
       .groupBy($"event_type")
       .agg(graft.functions.SigmaClip.sigma_clip($"value", 2.0, 2).as("sc"))
+      // singleton groups clip to n=0 (stddev undefined); the SQL
+      // oracle's NULL-stddev predicate drops those groups entirely, so
+      // mirror that here
+      .filter($"sc.n" > 0)
       .select($"event_type",
         round($"sc.mean", 4).as("sc_mean"),
         round($"sc.stddev", 4).as("sc_std"),

@@ -27,15 +27,17 @@ final class FitsColumnarReader(part: FitsInputPartition,
   private val in = path.getFileSystem(conf).open(path)
 
   private val rowBytes = part.rowBytes
-  private val batchRows: Int =
-    math.min(4096L, part.numRows).toInt.max(1)
   // IO chunk is independent of the batch size: one large positioned
   // read feeds many ColumnarBatches (a 4-byte-row table would otherwise
-  // do 16 KB reads).
+  // do 16 KB reads). For wide rows the batch shrinks with the buffer so
+  // the allocation stays bounded by bufferBytes (no Int overflow on
+  // multi-MB rows).
   private val chunkRowsMax: Int = {
     val byBuffer = math.max(1L, part.bufferBytes.toLong / rowBytes)
-    math.min(byBuffer, part.numRows).toInt.max(batchRows)
+    math.min(byBuffer, part.numRows).toInt.max(1)
   }
+  private val batchRows: Int =
+    math.min(4096L, math.min(chunkRowsMax.toLong, part.numRows)).toInt.max(1)
   private val buf = new Array[Byte](chunkRowsMax * rowBytes)
   private var chunkStartRow = 0L // absolute row index of buf(0)
   private var chunkRows = 0 // valid rows in buf
@@ -114,8 +116,7 @@ final class FitsColumnarReader(part: FitsInputPartition,
         elem match {
           case ElemType.L => child.putBoolean(idx, buf(o) == 'T'.toByte)
           case ElemType.B => child.putByte(idx, buf(o))
-          case ElemType.I => child.putShort(idx,
-            (((buf(o) & 0xff) << 8) | (buf(o + 1) & 0xff)).toShort)
+          case ElemType.I => child.putShort(idx, ElemType.s16(buf, o))
           case ElemType.J => child.putInt(idx, i32(o))
           case ElemType.K => child.putLong(idx, i64(o))
           case ElemType.E =>
@@ -147,10 +148,7 @@ final class FitsColumnarReader(part: FitsInputPartition,
           case ElemType.I =>
             var r = 0
             while (r < n) {
-              val o = r * rowBytes + off
-              v.putShort(r,
-                (((buf(o) & 0xff) << 8) | (buf(o + 1) & 0xff)).toShort)
-              r += 1
+              v.putShort(r, ElemType.s16(buf, r * rowBytes + off)); r += 1
             }
           case ElemType.J =>
             var r = 0
@@ -185,8 +183,7 @@ final class FitsColumnarReader(part: FitsInputPartition,
             elem match {
               case ElemType.L => child.putBoolean(idx, buf(o) == 'T'.toByte)
               case ElemType.B => child.putByte(idx, buf(o))
-              case ElemType.I => child.putShort(idx,
-                (((buf(o) & 0xff) << 8) | (buf(o + 1) & 0xff)).toShort)
+              case ElemType.I => child.putShort(idx, ElemType.s16(buf, o))
               case ElemType.J => child.putInt(idx, i32(o))
               case ElemType.K => child.putLong(idx, i64(o))
               case ElemType.E =>
@@ -217,11 +214,8 @@ final class FitsColumnarReader(part: FitsInputPartition,
     }
   }
 
-  @inline private def i32(o: Int): Int =
-    ((buf(o) & 0xff) << 24) | ((buf(o + 1) & 0xff) << 16) |
-      ((buf(o + 2) & 0xff) << 8) | (buf(o + 3) & 0xff)
-  @inline private def i64(o: Int): Long =
-    (i32(o).toLong << 32) | (i32(o + 4).toLong & 0xffffffffL)
+  @inline private def i32(o: Int): Int = ElemType.i32(buf, o)
+  @inline private def i64(o: Int): Long = ElemType.i64(buf, o)
 
   override def get(): ColumnarBatch = batch
 

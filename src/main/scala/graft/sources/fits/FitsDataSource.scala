@@ -90,13 +90,24 @@ final case class FitsResolution(options: Map[String, String]) {
   }
 
   @transient lazy val firstMeta: HduMeta = {
+    // PERMISSIVE: infer from the first file whose target HDU is
+    // readable — an empty-HDU file that merely sorts first must not
+    // empty the whole multi-file read. FAILFAST keeps strict
+    // first-file semantics so inconsistencies surface eagerly.
     val meta = targetMeta(firstFileHdus, files.head)
+    val chosen =
+      if (meta.isReadable || mode == "FAILFAST" || files.lengthCompare(1) == 0)
+        meta
+      else files.drop(1).iterator
+        .map(p => targetMeta(scanFile(p), p))
+        .collectFirst { case m if m.isReadable => m }
+        .getOrElse(meta)
     recordLength.foreach { rl =>
-      require(rl >= meta.rowBytes,
-        s"recordLength $rl is smaller than the row size ${meta.rowBytes} B" +
+      require(rl >= chosen.rowBytes,
+        s"recordLength $rl is smaller than the row size ${chosen.rowBytes} B" +
           " — increase it or drop the option")
     }
-    meta
+    chosen
   }
 
   def inferredSchema: StructType = firstMeta.schema
@@ -159,8 +170,8 @@ final class FitsCountScan(res: FitsResolution) extends Scan with Batch
 
   override def planInputPartitions(): Array[InputPartition] = {
     val firstSchema = res.inferredSchema
-    res.files.toArray.flatMap { path =>
-      val hdus = res.scanFile(path)
+    FitsFiles.parMap(res.files, 16)(p => p -> res.scanFile(p))
+      .toArray.flatMap { case (path, hdus) =>
       if (res.hduIndex >= hdus.length) {
         if (res.mode == "FAILFAST") throw new IllegalArgumentException(
           s"$path has no HDU ${res.hduIndex}")
@@ -219,7 +230,7 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
     // walk (a few KB of reads) per file. The reference re-walks every
     // file inside every task instead (FitsLib.scala:181-202).
     val fileMetas: Seq[(Path, Vector[Hdu])] =
-      res.files.par(16)(p => p -> res.scanFile(p))
+      FitsFiles.parMap(res.files, 16)(p => p -> res.scanFile(p))
 
     val firstSchema = res.inferredSchema
     // Same split sizing as Spark's own file sources: honor
@@ -303,21 +314,6 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
     val props = res.hadoopConf.iterator().asScala
       .map(e => (e.getKey, e.getValue)).toArray
     new FitsPartitionReaderFactory(props)
-  }
-
-  /** tiny parallel-map helper (driver-side, bounded) */
-  private implicit class ParSeq[A](xs: Seq[A]) {
-    def par[B](threads: Int)(f: A => B): Seq[B] =
-      if (xs.lengthCompare(2) < 0) xs.map(f)
-      else {
-        import java.util.concurrent.Executors
-        import scala.concurrent._
-        import scala.concurrent.duration.Duration
-        val pool = Executors.newFixedThreadPool(math.min(threads, xs.length))
-        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        try Await.result(Future.sequence(xs.map(x => Future(f(x)))), Duration.Inf)
-        finally pool.shutdown()
-      }
   }
 }
 

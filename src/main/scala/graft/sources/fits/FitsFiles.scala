@@ -34,6 +34,21 @@ object FitsFiles {
     }
   }
 
+  /** Bounded driver-side parallel map (used for per-file header walks —
+    * one small positioned read per HDU, latency-bound on object stores).
+    */
+  def parMap[A, B](xs: Seq[A], threads: Int)(f: A => B): Seq[B] =
+    if (xs.lengthCompare(2) < 0) xs.map(f)
+    else {
+      import java.util.concurrent.Executors
+      import scala.concurrent._
+      import scala.concurrent.duration.Duration
+      val pool = Executors.newFixedThreadPool(math.min(threads, xs.length))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.sequence(xs.map(x => Future(f(x)))), Duration.Inf)
+      finally pool.shutdown()
+    }
+
   private def listFits(fs: FileSystem, dir: Path): Seq[Path] = {
     val it = fs.listFiles(dir, /* recursive = */ true)
     val buf = Seq.newBuilder[Path]

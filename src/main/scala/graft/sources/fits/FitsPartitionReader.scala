@@ -151,8 +151,7 @@ final class FitsPartitionReader(part: FitsInputPartition,
           elem match {
             case ElemType.L => w.write(i, buf(off) == 'T'.toByte)
             case ElemType.B => w.write(i, buf(off))
-            case ElemType.I => w.write(i,
-              (((buf(off) & 0xff) << 8) | (buf(off + 1) & 0xff)).toShort)
+            case ElemType.I => w.write(i, ElemType.s16(buf, off))
             case ElemType.J => w.write(i, readInt(off))
             case ElemType.K => w.write(i, readLong(off))
             case ElemType.E => w.write(i,
@@ -170,11 +169,8 @@ final class FitsPartitionReader(part: FitsInputPartition,
     w.getRow
   }
 
-  @inline private def readInt(o: Int): Int =
-    ((buf(o) & 0xff) << 24) | ((buf(o + 1) & 0xff) << 16) |
-      ((buf(o + 2) & 0xff) << 8) | (buf(o + 3) & 0xff)
-  @inline private def readLong(o: Int): Long =
-    (readInt(o).toLong << 32) | (readInt(o + 4).toLong & 0xffffffffL)
+  @inline private def readInt(o: Int): Int = ElemType.i32(buf, o)
+  @inline private def readLong(o: Int): Long = ElemType.i64(buf, o)
 
   override def close(): Unit = in.close()
 }

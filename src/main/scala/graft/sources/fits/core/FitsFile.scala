@@ -35,53 +35,45 @@ final class FitsFile private (
 
   /** Sequential row iterator (driver-side convenience, like the
     * reference's manual setCursor/getRow loop — use the Spark connector
-    * for anything large). */
-  def rows(bufferRows: Int = 1024): Iterator[Seq[Any]] = meta match {
-    case b: HduMeta.Bintable => new Iterator[Seq[Any]] {
-      private val in = path.getFileSystem(conf).open(path)
-      private val chunk = math.max(1, bufferRows)
-      private val buf = new Array[Byte](chunk * b.rowBytes)
-      private var read = 0L
-      private var inChunk = 0
-      private var chunkRows = 0
-      override def hasNext: Boolean = {
-        val more = read < b.nRows
-        if (!more) in.close()
-        more
-      }
-      override def next(): Seq[Any] = {
-        if (inChunk >= chunkRows) {
-          chunkRows = math.min(chunk.toLong, b.nRows - read).toInt
-          in.readFully(bounds.dataStart + read * b.rowBytes, buf, 0,
-            chunkRows * b.rowBytes)
-          inChunk = 0
+    * for anything large). Each buffered chunk opens, preads and closes
+    * the file, so a partially-consumed iterator never leaks a stream.
+    */
+  def rows(bufferRows: Int = 1024): Iterator[Seq[Any]] = {
+    def readChunk(startByte: Long, len: Int): Array[Byte] = {
+      val in = path.getFileSystem(conf).open(path)
+      try {
+        val buf = new Array[Byte](len)
+        in.readFully(startByte, buf, 0, len)
+        buf
+      } finally in.close()
+    }
+    meta match {
+      case b: HduMeta.Bintable =>
+        val chunk = math.max(1, bufferRows)
+        (0L until b.nRows by chunk).iterator.flatMap { first =>
+          val n = math.min(chunk.toLong, b.nRows - first).toInt
+          val buf = readChunk(bounds.dataStart + first * b.rowBytes,
+            n * b.rowBytes)
+          (0 until n).iterator.map { r =>
+            val base = r * b.rowBytes
+            b.columns.map(c => c.tform.decode(buf, base + c.offset)): Seq[Any]
+          }
         }
-        val base = inChunk * b.rowBytes
-        val row = b.columns.map(c => c.tform.decode(buf, base + c.offset))
-        inChunk += 1
-        read += 1
-        row
-      }
+      case i: HduMeta.Image =>
+        val chunk = math.max(1, bufferRows)
+        (0L until i.nRows by chunk).iterator.flatMap { first =>
+          val n = math.min(chunk.toLong, i.nRows - first).toInt
+          val buf = readChunk(bounds.dataStart + first * i.rowBytes,
+            n * i.rowBytes)
+          (0 until n).iterator.map { r =>
+            val base = r * i.rowBytes
+            val line = (0 until i.lineElems)
+              .map(j => i.elem.decode(buf, base + j * i.elem.width))
+            Seq(line, first + r): Seq[Any]
+          }
+        }
+      case HduMeta.Opaque => Iterator.empty
     }
-    case i: HduMeta.Image => new Iterator[Seq[Any]] {
-      private val in = path.getFileSystem(conf).open(path)
-      private val buf = new Array[Byte](i.rowBytes)
-      private var read = 0L
-      override def hasNext: Boolean = {
-        val more = read < i.nRows
-        if (!more) in.close()
-        more
-      }
-      override def next(): Seq[Any] = {
-        in.readFully(bounds.dataStart + read * i.rowBytes, buf, 0, i.rowBytes)
-        val line = (0 until i.lineElems)
-          .map(j => i.elem.decode(buf, j * i.elem.width))
-        val row = Seq(line, read)
-        read += 1
-        row
-      }
-    }
-    case HduMeta.Opaque => Iterator.empty
   }
 }
 

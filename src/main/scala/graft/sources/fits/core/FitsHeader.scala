@@ -78,9 +78,14 @@ object FitsHeader {
     FitsHeader(cards.result())
   }
 
+  /** Commentary keywords never carry a value indicator (FITS 4.0
+    * §4.4.2.4) — `COMMENT = like this` is free text starting with '='. */
+  private val commentaryKeywords = Set("COMMENT", "HISTORY", "CONTINUE")
+
   private def parseCard(keyword: String, line: String): FitsCard = {
     // Value indicator: "= " at bytes 8-9 (fixed by the standard).
-    if (line.length > 10 && line.charAt(8) == '=') {
+    if (!commentaryKeywords.contains(keyword) &&
+      line.length > 10 && line.charAt(8) == '=') {
       val field = line.substring(10)
       val (value, comment) = splitValueComment(field)
       FitsCard(keyword, Some(value), comment)

@@ -21,12 +21,14 @@ sealed trait ElemType {
 
 object ElemType {
   // Big-endian primitive assembly, no ByteBuffer allocation per element.
-  @inline private def s16(b: Array[Byte], o: Int): Short =
+  // Public: the row and columnar readers share these so the decode
+  // logic exists exactly once (unlike the reference's three copies).
+  @inline def s16(b: Array[Byte], o: Int): Short =
     (((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)).toShort
-  @inline private def i32(b: Array[Byte], o: Int): Int =
+  @inline def i32(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
       ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
-  @inline private def i64(b: Array[Byte], o: Int): Long =
+  @inline def i64(b: Array[Byte], o: Int): Long =
     ((i32(b, o).toLong) << 32) | (i32(b, o + 4).toLong & 0xffffffffL)
 
   case object L extends ElemType {
@@ -120,17 +122,22 @@ object TForm {
   }
 
   /** Variable-length (`P`/`Q`) and complex (`C`/`M`) descriptors are
-    * not supported (reference prints a warning and degrades,
+    * not decoded (reference prints a warning and degrades,
     * FitsSchema.scala:70-75); we surface a null-valued string column so
-    * schema inference never throws on exotic files. */
-  final case class Unsupported(raw: String) extends TForm {
-    def byteWidth: Int = 0
+    * schema inference never throws on exotic files. The byte width is
+    * still the FITS-standard element width — a zero width would corrupt
+    * the offsets of every subsequent column in the row. */
+  final case class Unsupported(raw: String, byteWidth: Int = 0) extends TForm {
     def sparkType: DataType = StringType
     def decode(b: Array[Byte], off: Int): Any = null
     override def supported: Boolean = false
   }
 
   private val Pattern = """^(\d*)([LXBIJKAEDCMPQ])(.*)$""".r
+
+  /** element widths of undecoded codes (FITS 4.0 table 18):
+    * P = 2×int32 descriptor, Q = 2×int64, C = 2×float32, M = 2×float64 */
+  private val undecodedWidths = Map('P' -> 8, 'Q' -> 16, 'C' -> 8, 'M' -> 16)
 
   def parse(tform: String): TForm = {
     val t = tform.trim
@@ -140,7 +147,12 @@ object TForm {
         code.head match {
           case 'A' => Str(t, n)
           case 'X' => Bits(t, n)
-          case 'P' | 'Q' | 'C' | 'M' => Unsupported(t)
+          case c @ ('P' | 'Q' | 'C' | 'M') =>
+            // P/Q repeat counts describe heap elements, but the in-row
+            // descriptor is a single element regardless of repeat;
+            // C/M scale with the repeat like other element codes.
+            val units = if (c == 'P' || c == 'Q') 1 else n
+            Unsupported(t, undecodedWidths(c) * units)
           case c =>
             val elem = ElemType.byCode(c)
             if (n == 1) Scalar(t, elem) else Vec(t, elem, n)
