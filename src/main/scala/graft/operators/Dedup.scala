@@ -252,7 +252,7 @@ object Dedup {
     "dedup_survivors" -> dedup_survivors,
   )
 
-  private val jaccardOracle =
+  private[operators] val jaccardOracle =
     """WITH w AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS wds
       |          FROM documents),
       |sh AS (SELECT DISTINCT doc_id, wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2] AS s

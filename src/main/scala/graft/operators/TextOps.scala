@@ -75,16 +75,84 @@ object TextOps {
       GraftFunctions.simhash64(col("text")).as("simhash"))
       .orderBy(col("doc_id"))
 
+  /** Corpus-level bigram frequencies — the explode→group-by shape every
+    * n-gram statistics job at scale uses (map-side partial aggregation
+    * keeps the shuffle at |vocabulary²| not |tokens|). */
+  val text_bigrams: Q = (s, dir) => {
+    val words = split(trim(col("text")), "\\s+")
+    val bigrams = when(size(words) >= 2,
+      transform(sequence(lit(0), size(words) - 2),
+        i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2))))
+      .otherwise(array())
+    docs(s, dir)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(50)
+  }
+
+  /** End-to-end corpus cleaning: quality filter × near-dup survivor
+    * join — the operators composing into one pipeline plan. Keeps
+    * documents that are their component's survivor AND meet the
+    * quality bar. */
+  val pipeline_clean: Q = (s, dir) => {
+    val words = split(trim(col("text")), "\\s+")
+    val nWords = size(words).cast("double")
+    val stopHits = size(filter(words, w => w.isin(stops.map(x => x: Any): _*)))
+      .cast("double")
+    val quality = (stopHits / nWords)
+    val survivors = Dedup.dedup_survivors(s, dir)
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"))
+    docs(s, dir)
+      .join(survivors, Seq("doc_id"))
+      .filter(quality >= 0.05)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "text_tokens" -> text_tokens,
     "text_quality" -> text_quality,
     "text_langid" -> text_langid,
     "text_fingerprint" -> text_fingerprint,
+    "text_bigrams" -> text_bigrams,
+    "pipeline_clean" -> pipeline_clean,
   )
+
+  private val stopsSql = stops.map(s => s"'$s'").mkString(", ")
 
   /** lang-id and the custom fingerprints are not SQL-expressible in
     * DuckDB → rows-only checks for those. */
   val oracles: Map[String, String] = Map(
+    "text_bigrams" ->
+      """WITH w AS (SELECT regexp_split_to_array(TRIM(text), '\s+') AS wds
+        |           FROM documents),
+        |bg AS (SELECT wds[i] || ' ' || wds[i+1] AS bigram
+        |       FROM w, UNNEST(range(1, len(wds))) AS t(i))
+        |SELECT bigram, COUNT(*) AS cnt FROM bg
+        |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin,
+    "pipeline_clean" -> {
+      val pairsSql = Dedup.jaccardOracle.replace("ORDER BY a_id, b_id", "")
+      s"""WITH RECURSIVE pr AS ($pairsSql),
+         |edges AS (SELECT a_id AS s, b_id AS d FROM pr
+         |          UNION ALL SELECT b_id, a_id FROM pr),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+         |surv AS (SELECT id AS doc_id, MIN(r) AS keep_id FROM reach GROUP BY id),
+         |q AS (SELECT doc_id, n_chars,
+         |  CAST(LEN(list_filter(regexp_split_to_array(TRIM(text), '\\s+'),
+         |    x -> x IN ($stopsSql))) AS DOUBLE)
+         |    / LEN(regexp_split_to_array(TRIM(text), '\\s+')) AS qual
+         |  FROM documents)
+         |SELECT q.doc_id, q.n_chars
+         |FROM q JOIN surv ON q.doc_id = surv.doc_id
+         |WHERE surv.doc_id = surv.keep_id AND q.qual >= 0.05
+         |ORDER BY q.doc_id""".stripMargin
+    },
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS INTEGER) AS ws_tokens,
