@@ -54,4 +54,15 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("no query in the declared surface plans a CartesianProduct") {
+    // the one plan shape that cannot survive a 100x scale-up
+    graft.SparkEntry.queries.foreach { case (name, q) =>
+      val df = q(spark, sf0001)
+      val plan = df.queryExecution.executedPlan.toString
+      withClue(s"$name: ") {
+        assert(!plan.contains("CartesianProduct"), plan)
+      }
+    }
+  }
 }
