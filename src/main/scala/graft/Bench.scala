@@ -39,7 +39,29 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // FITS scan throughput vs the reference's measured 16 MB/s/task
+    // baseline (BASELINE.md row 1) — the connector is the engine's
+    // core, so its number belongs in the bench artifact.
+    val fits = fitsThroughput(spark)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$fits}""")
     spark.stop()
   }
+
+  /** Scans a generated 64 MB single-E-column FITS file (the reference's
+    * scaling-ladder shape) and reports MB/s; "" on any failure so the
+    * bench line always prints. */
+  private def fitsThroughput(spark: SparkSession): String =
+    try {
+      val rows = 16L << 20 // 64 MB of float32
+      val file = s"target/fits-bench-$rows.fits"
+      if (!new java.io.File(file).exists())
+        examples.FitsBench.generate(file, rows)
+      val df = spark.read.format("fits").option("hdu", 1).load(file)
+      df.agg(org.apache.spark.sql.functions.sum("x")).collect() // warm
+      val t0 = System.nanoTime()
+      df.agg(org.apache.spark.sql.functions.sum("x")).collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val mbs = rows * 4.0 / (1 << 20) / secs
+      f""","fits_scan_mb_s":$mbs%.1f,"fits_baseline_mb_s_task":16"""
+    } catch { case _: Throwable => "" }
 }

@@ -49,7 +49,7 @@ object FitsBench {
   }
 
   /** Single-HDU bintable: one `E` column, deterministic values. */
-  private def generate(path: String, rows: Long): Unit = {
+  private[graft] def generate(path: String, rows: Long): Unit = {
     def pad(s: String, n: Int): String =
       if (s.length >= n) s.take(n) else s + " " * (n - s.length)
     def card(k: String, v: String): String = pad(pad(k, 8) + "= " + pad(v, 20), 80)
