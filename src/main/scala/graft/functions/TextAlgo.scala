@@ -83,6 +83,52 @@ object TextAlgo {
     x
   }
 
+  /** Distinct hashes of the k-word shingles of a whitespace-tokenized
+    * string, in one pass with no per-shingle string materialization.
+    * Token hashes roll over the text; a shingle hash is the
+    * order-sensitive combination of k consecutive token hashes.
+    * Returned sorted-distinct (set semantics for Jaccard).
+    */
+  def wordShingleHashes(s: String, k: Int): Array[Long] = {
+    // token hashes
+    val tokens = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var start = 0
+    val n = s.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || Character.isWhitespace(s.charAt(i))) {
+        if (i > start) {
+          var h = 1125899906842597L
+          var j = start
+          while (j < i) { h = 31 * h + s.charAt(j); j += 1 }
+          tokens += fmix64(h)
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    val m = tokens.length - k + 1
+    if (m <= 0) return Array.empty
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = fmix64(h ^ tokens(i + j)) ^ (j + 1); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place dedupe of the sorted array
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    if (w == m) out else java.util.Arrays.copyOf(out, w)
+  }
+
   // ------------------------------------------------------------ lang-id
 
   private val stopwords: Map[String, Map[String, Double]] = Map(

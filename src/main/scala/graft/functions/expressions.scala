@@ -55,6 +55,25 @@ case class SimHash64(child: Expression) extends StringToLongExpression {
   override def prettyName: String = "simhash64"
 }
 
+/** Distinct k-word-shingle hashes → array<long> in one pass (no
+  * per-shingle string materialization — the built-in equivalent
+  * transform+concat_ws+explode+xxhash64 allocates every shingle). */
+case class WordShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextAlgo.wordShingleHashes(input.asInstanceOf[UTF8String].toString, k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextAlgo.wordShingleHashes($c.toString(), $k))")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "word_shingle_hashes"
+}
+
 /** Heuristic language identification → "en"/"de"/"fr"/"es"/"zh"/"und". */
 case class LangId(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -76,6 +95,8 @@ object GraftFunctions {
   def doc_fingerprint(c: Column): Column = col(DocFingerprint(expression(c)))
   def simhash64(c: Column): Column = col(SimHash64(expression(c)))
   def lang_id(c: Column): Column = col(LangId(expression(c)))
+  def word_shingle_hashes(c: Column, k: Int): Column =
+    col(WordShingleHashes(expression(c), k))
 
   private def col(e: Expression): Column = Bridge.column(e)
   private def expression(c: Column): Expression = Bridge.expression(c)

@@ -38,22 +38,15 @@ object Dedup {
 
   // ------------------------------------------------------- shingle layer
 
-  /** (doc_id, h): 64-bit hashes of distinct 3-word shingles. Cached —
-    * every consumer (sizes, both join sides, df-filter, verify) would
-    * otherwise re-shingle the corpus; one materialization per query
-    * halves the dedup family's wall-clock. */
+  /** (doc_id, h): 64-bit hashes of distinct 3-word shingles, computed
+    * by the native word_shingle_hashes expression (one pass, no
+    * per-shingle string materialization). Cached — every consumer
+    * (sizes, both join sides, df-filter, verify) would otherwise
+    * re-shingle the corpus. */
   private[operators] def shingleHashes(d: DataFrame): DataFrame = {
-    val words = split(trim(col("text")), "\\s+")
-    val sh = when(size(words) >= 3,
-      transform(sequence(lit(0), size(words) - 3),
-        i => concat_ws(" ",
-          element_at(words, i + 1),
-          element_at(words, i + 2),
-          element_at(words, i + 3))))
-      .otherwise(array())
     val hashed = d
-      .select(col("doc_id"), explode(array_distinct(sh)).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .select(col("doc_id"),
+        explode(GraftFunctions.word_shingle_hashes(col("text"), 3)).as("h"))
       .cache()
     // Materialize eagerly: the consumers fan out into several join
     // branches, and concurrent first-touch of an unmaterialized cache
