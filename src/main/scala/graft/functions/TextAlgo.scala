@@ -83,13 +83,13 @@ object TextAlgo {
     x
   }
 
-  /** Distinct hashes of the k-word shingles of a whitespace-tokenized
-    * string, in one pass with no per-shingle string materialization.
-    * Token hashes roll over the text; a shingle hash is the
-    * order-sensitive combination of k consecutive token hashes.
-    * Returned sorted-distinct (set semantics for Jaccard).
+  /** Per-position hashes of the k-word shingles of a whitespace-
+    * tokenized string, in one pass with no per-shingle string
+    * materialization. Token hashes roll over the text; a shingle hash
+    * is the order-sensitive combination of k consecutive token hashes.
+    * Keeps multiplicity and order (n-gram frequency counting).
     */
-  def wordShingleHashes(s: String, k: Int): Array[Long] = {
+  def wordNgramHashes(s: String, k: Int): Array[Long] = {
     // token hashes
     val tokens = new scala.collection.mutable.ArrayBuffer[Long](64)
     var start = 0
@@ -118,10 +118,19 @@ object TextAlgo {
       out(i) = h
       i += 1
     }
+    out
+  }
+
+  /** Distinct variant of [[wordNgramHashes]], sorted-distinct (set
+    * semantics for Jaccard). */
+  def wordShingleHashes(s: String, k: Int): Array[Long] = {
+    val out = wordNgramHashes(s, k)
+    val m = out.length
+    if (m == 0) return out
     java.util.Arrays.sort(out)
     // in-place dedupe of the sorted array
     var w = 0
-    i = 0
+    var i = 0
     while (i < m) {
       if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
       i += 1

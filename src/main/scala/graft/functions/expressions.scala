@@ -74,6 +74,24 @@ case class WordShingleHashes(child: Expression, k: Int)
   override def prettyName: String = "word_shingle_hashes"
 }
 
+/** Per-position (multiplicity-keeping) k-word-shingle hashes →
+  * array<long>; the frequency-counting sibling of WordShingleHashes. */
+case class WordNgramHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextAlgo.wordNgramHashes(input.asInstanceOf[UTF8String].toString, k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextAlgo.wordNgramHashes($c.toString(), $k))")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "word_ngram_hashes"
+}
+
 /** Heuristic language identification → "en"/"de"/"fr"/"es"/"zh"/"und". */
 case class LangId(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -97,6 +115,8 @@ object GraftFunctions {
   def lang_id(c: Column): Column = col(LangId(expression(c)))
   def word_shingle_hashes(c: Column, k: Int): Column =
     col(WordShingleHashes(expression(c), k))
+  def word_ngram_hashes(c: Column, k: Int): Column =
+    col(WordNgramHashes(expression(c), k))
 
   private def col(e: Expression): Column = Bridge.column(e)
   private def expression(c: Column): Expression = Bridge.expression(c)

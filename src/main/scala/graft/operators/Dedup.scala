@@ -58,15 +58,33 @@ object Dedup {
 
   /** Exact pairwise Jaccard ≥ minJac via a distributed shingle join:
     * explode → join on shingle hash → per-pair intersection counts →
-    * |A∩B| / (|A|+|B|−|A∩B|). */
+    * |A∩B| / (|A|+|B|−|A∩B|).
+    *
+    * Skew guard: a "stop-shingle" present in f documents contributes
+    * f² join pairs — at 100 TB one shingle in 1M docs is 10¹² pairs on
+    * a single key AQE cannot split usefully. Shingles with
+    * df > `spark.graft.dedup.maxShingleDf` are dropped from the join
+    * input (drop count logged). The default cap (1M) is far above any
+    * df in the test corpora, so the oracle stays exact; a production
+    * run tunes it down to its near-dup band (a shingle shared by >cap
+    * docs is vocabulary, not evidence of near-duplication).
+    */
   private def jaccardPairs(sh: DataFrame, minJac: Double): DataFrame = {
+    val maxDf = sh.sparkSession.conf
+      .get("spark.graft.dedup.maxShingleDf", "1000000").toLong
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // A shingle present in a single document can never contribute to a
     // pair: drop df==1 shingles from the join input (sizes above keep
     // the full sets, so Jaccard values are unchanged). At scale this
     // removes the long unique tail — most of the shuffle.
-    val shared = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select(col("h"))
+    val dfs = sh.groupBy(col("h")).agg(count(lit(1)).as("df")).cache()
+    val dropped = dfs.filter(col("df") > maxDf)
+      .agg(count(lit(1)), coalesce(sum(col("df")), lit(0L)))
+      .collect()(0)
+    if (dropped.getLong(0) > 0)
+      System.err.println(s"[graft] jaccardPairs: maxShingleDf=$maxDf dropped " +
+        s"${dropped.getLong(0)} hot shingles (${dropped.getLong(1)} postings)")
+    val shared = dfs.filter(col("df") >= 2 && col("df") <= maxDf).select(col("h"))
     val joinable = sh.join(shared, Seq("h"))
     val a = joinable.select(col("doc_id").as("a_id"), col("h"))
     val b = joinable.select(col("doc_id").as("b_id"), col("h"))
@@ -126,22 +144,35 @@ object Dedup {
 
   // ------------------------------------------------------------ SimHash
 
-  /** SimHash64 over tokens, banded 8 × 8 bits (pigeonhole: catches all
-    * pairs with Hamming distance ≤ 7) + exact-Jaccard verify. */
+  /** SimHash64 over tokens, banded 8 × 16 bits at overlapping byte
+    * offsets, + exact-Jaccard verify.
+    *
+    * Band shape is the scale knob: 8-bit bands have only 256 bucket
+    * values, and same-vocabulary corpora produce correlated signatures
+    * that pile n/256 docs per bucket — the candidate self-join
+    * degenerates toward O(n²/2048) pairs (measured 66.5 s at sf0.1).
+    * 16-bit bands give 65536 buckets; the 4 disjoint bands (offsets
+    * 0/16/32/48) are pigeonhole-complete for Hamming ≤ 3, and the 4
+    * byte-shifted bands (offsets 8/24/40/56, wrapping) recover most of
+    * the Hamming 4–7 pairs that could otherwise straddle every disjoint
+    * band boundary. Candidates are still cut to true Hamming ≤ 7 by a
+    * scalar bit_count filter before the (expensive) shingle verify.
+    */
   val dedup_simhash: Q = (s, dir) => {
     val d = docs(s, dir)
     val sig = d.select(col("doc_id"),
       GraftFunctions.simhash64(col("text")).as("sig"))
-    val bandCols: Seq[Column] =
-      (0 until 8).map(j => shiftright(col("sig"), 8 * j).bitwiseAND(0xff))
+    // 16-bit window starting at bit 8*j, wrapping past bit 64
+    val bandCols: Seq[Column] = (0 until 8).map { j =>
+      val lo = shiftrightunsigned(col("sig"), 8 * j)
+      val wrapped =
+        if (j <= 6) lo
+        else lo.bitwiseOR(shiftleft(col("sig").bitwiseAND(0xff), 8))
+      wrapped.bitwiseAND(0xffff)
+    }
     val bands = sig
       .select(col("doc_id"), posexplode(array(bandCols: _*)))
       .toDF("doc_id", "band", "bv")
-    // Same-vocabulary corpora give correlated simhashes, so band
-    // buckets collide far beyond true near-dups. Before the (expensive)
-    // shingle-join verify, cut candidates to true Hamming ≤ 7 by
-    // joining back to the (id, sig) pairs — a scalar bitCount filter.
-    // AQE broadcasts the signature side when it is small enough.
     val cands = candidatesFromBands(bands)
       .join(sig.select(col("doc_id").as("a_id"), col("sig").as("sig_a")),
         Seq("a_id"))
@@ -177,12 +208,36 @@ object Dedup {
   }
 
   /** Canonical-survivor assignment: connected components over the
-    * near-dup pair graph via distributed min-label propagation (labels
-    * spread one hop per round; rounds ≈ component diameter, checked to
-    * a fixpoint). Every document maps to the smallest doc_id in its
-    * component — the pipeline's "which row do I keep" answer, computed
-    * without any driver-side graph. */
-  val dedup_survivors: Q = (s, dir) => {
+    * near-dup pair graph. Every document maps to the smallest doc_id in
+    * its component — the pipeline's "which row do I keep" answer,
+    * computed without any driver-side graph. Memoized per (session,
+    * dir): pipeline_clean composes on the same frame, and recomputing
+    * the whole Jaccard + CC DAG twice in one run doubled its cost. The
+    * memoized frame is localCheckpoint-backed, so it survives
+    * `catalog.clearCache()` between queries. */
+  val dedup_survivors: Q = (s, dir) =>
+    survivorLabels(s, dir)
+      .select(col("doc_id"), col("label").as("keep_id"))
+      .orderBy(col("doc_id"))
+
+  private val survivorsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** (doc_id, label) with label = min doc_id of the connected component
+    * in the Jaccard ≥ 0.5 near-dup graph. */
+  private[operators] def survivorLabels(s: SparkSession, dir: String): DataFrame =
+    survivorsMemo.computeIfAbsent((s, dir),
+      _ => computeSurvivorLabels(s, dir))
+
+  /** Distributed min-label propagation with pointer jumping: each round
+    * takes the min label over neighbors (one hop) and then follows the
+    * label's own label (label(label(u)) — halving the depth of any
+    * remaining chain), so convergence is O(log diameter) rounds instead
+    * of O(diameter). Labels only decrease and are bounded below by the
+    * component minimum, so the fixpoint is exactly the component-min
+    * labeling. The changed-count is carried as a column of the same
+    * checkpointed frame — no second join job per round. */
+  private def computeSurvivorLabels(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val pairs = jaccardPairs(shingleHashes(d), 0.5)
       .select(col("a_id"), col("b_id"))
@@ -196,38 +251,63 @@ object Dedup {
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
-    // min-label propagation converges in O(component diameter) rounds
-    // (large-star/small-star would be O(log n) — the knob to pull if
-    // real corpora ever show long chains); the cap is only a runaway
-    // backstop and is far above any plausible diameter
-    val maxRounds = 10000
+    // O(log n) with pointer jumping; the cap is only a runaway backstop
+    val maxRounds = 64
     while (changed > 0 && rounds < maxRounds) {
       val neighborMin = edges
         .join(labels, edges("src") === labels("doc_id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nl"))
-      val next = labels
+      val stepped = labels
         .join(neighborMin, labels("doc_id") === neighborMin("dst"), "left")
+        .select(col("doc_id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("l1"))
+      // pointer jump: follow the new label's own new label
+      val lmap = stepped.select(col("doc_id").as("pid"), col("l1").as("pl"))
+      val next = stepped
+        .join(lmap, stepped("l1") === lmap("pid"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          least(col("l1"), coalesce(col("pl"), col("l1"))).as("label"),
+          (least(col("l1"), coalesce(col("pl"), col("l1"))) =!= col("old"))
+            .as("chg"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .count()
-      labels = next
+      changed = next
+        .agg(coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L)))
+        .collect()(0).getLong(0)
+      labels = next.select(col("doc_id"), col("label"))
       rounds += 1
     }
     if (changed > 0)
       throw new IllegalStateException(
         s"label propagation did not converge within $maxRounds rounds")
-    labels.select(col("doc_id"), col("label").as("keep_id"))
-      .orderBy(col("doc_id"))
+    labels
   }
 
-  /** Distinct (a_id < b_id) pairs colliding in at least one band. */
-  private def candidatesFromBands(bands: DataFrame): DataFrame = {
-    val x = bands.select(col("doc_id").as("a_id"), col("band"), col("bv"))
-    val y = bands.select(col("doc_id").as("b_id"), col("band"), col("bv"))
+  /** Distinct (a_id < b_id) pairs colliding in at least one band.
+    *
+    * Skew guard: a bucket of f docs yields f² candidate pairs on one
+    * join key, so buckets larger than `spark.graft.lsh.maxBucket` are
+    * excluded entirely (with a logged drop count) — at 100 TB one
+    * degenerate bucket (all-identical boilerplate, an all-zeros band)
+    * would otherwise dominate the whole job. The default (1M) is a
+    * no-op at test scale so the oracled outputs stay exact.
+    */
+  private def candidatesFromBands(bands0: DataFrame): DataFrame = {
+    val maxBucket = bands0.sparkSession.conf
+      .get("spark.graft.lsh.maxBucket", "1000000").toLong
+    val bands = bands0.cache()
+    val hot = bands.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+      .cache()
+    val nHot = hot.count()
+    if (nHot > 0)
+      System.err.println(s"[graft] candidatesFromBands: maxBucket=$maxBucket " +
+        s"dropped $nHot hot buckets")
+    val kept =
+      if (nHot == 0) bands
+      else bands.join(hot.select(col("band"), col("bv")),
+        Seq("band", "bv"), "left_anti")
+    val x = kept.select(col("doc_id").as("a_id"), col("band"), col("bv"))
+    val y = kept.select(col("doc_id").as("b_id"), col("band"), col("bv"))
     x.join(y, Seq("band", "bv"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))

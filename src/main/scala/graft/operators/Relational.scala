@@ -105,9 +105,13 @@ object Relational {
       // valued, so the per-column casts are unambiguous in any engine
       // and the 4-decimal product sums exactly — the double product
       // would round differently at .005 boundaries across engines.
+      // The exact decimal then casts to DOUBLE so the result type is
+      // trivially canonical: Spark's DECIMAL(18,4) and DuckDB's
+      // HUGEINT-backed decimal sum carry different precision metadata
+      // and hash differently even when every value matches.
       .agg(sum($"l_extendedprice".cast(D) *
           (lit(1.0) - $"l_discount").cast(DecimalType(4, 2)))
-        .cast(DecimalType(18, 4)).as("revenue"))
+        .cast(DecimalType(18, 4)).cast("double").as("revenue"))
       .orderBy($"n_name")
   }
 
@@ -430,7 +434,7 @@ object Relational {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q07_join" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS revenue
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey

@@ -76,6 +76,26 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), org.apache.spark.ml.clustering.KMeansModel]()
+
+  /** Coarse quantizer for the IVF index, fit ONCE per (session, corpus)
+    * on a bounded sample — k-means needs representative geometry, not
+    * every row, and a full-corpus 10-iteration fit at 100 TB would be
+    * 10 full passes per query. The centroid table (k × dim) lives on
+    * the driver inside the model, exactly like a persisted index. */
+  private def ivfModel(s: SparkSession, dir: String,
+      k: Int): org.apache.spark.ml.clustering.KMeansModel =
+    ivfMemo.computeIfAbsent((s, dir), { _ =>
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val sample = embs(s, dir)
+        .select(array_to_vector(col("embedding")).as("fv"))
+        .limit(100000)
+      new KMeans().setK(k).setSeed(42).setMaxIter(10)
+        .setFeaturesCol("fv").setPredictionCol("bucket").fit(sample)
+    })
+
   /** IVF (inverted-file) ANN: coarse k-means quantization of the
     * corpus, queries probe their 2 nearest centroids and rank only
     * those buckets — the other standard scale path besides LSH. The
@@ -83,14 +103,12 @@ object Similarity {
     * is bucketed once (in production: written bucketed/partitioned by
     * centroid id, so a probe touches 2/k of the data). */
   val sim_ivf_topk: Q = (s, dir) => {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val k = 16
     val nProbe = 2
     val e = embs(s, dir)
       .withColumn("fv", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(k).setSeed(42).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("bucket").fit(e)
+    val model = ivfModel(s, dir, k)
     val bucketed = model.transform(e)
       .select(col("vec_id"), col("embedding"), col("bucket"))
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))

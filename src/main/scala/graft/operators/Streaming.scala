@@ -155,9 +155,12 @@ object Streaming {
           |FROM sessions GROUP BY user_id, sid
           |ORDER BY user_id, session_start""".stripMargin),
     "stream_state_sessions" ->
+      // CAST: DuckDB's windowed SUM over integers is HUGEINT (int128);
+      // the engine emits BIGINT, and the driver's hash compare includes
+      // the result type — cast so both sides are canonically BIGINT.
       (sessionIslands +
         """
-          |SELECT user_id, MAX(sid) AS n_sessions
+          |SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions
           |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin),
   )
 }

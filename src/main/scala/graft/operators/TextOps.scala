@@ -75,19 +75,39 @@ object TextOps {
       GraftFunctions.simhash64(col("text")).as("simhash"))
       .orderBy(col("doc_id"))
 
-  /** Corpus-level bigram frequencies — the explode→group-by shape every
-    * n-gram statistics job at scale uses (map-side partial aggregation
-    * keeps the shuffle at |vocabulary²| not |tokens|). */
+  /** Corpus-level top-50 bigram frequencies, hash-first in two passes:
+    * pass 1 counts 64-bit bigram hashes (the native one-pass
+    * word_ngram_hashes expression — no per-bigram string allocation,
+    * and the group-by shuffles 8-byte longs instead of strings); pass 2
+    * re-materializes bigram strings but broadcast-semi-joins them
+    * against the ~50 candidate hashes BEFORE any shuffle, so only the
+    * winners' strings ever leave their partition. The candidate set is
+    * every hash with cnt ≥ the 50th-highest count, so string-order tie
+    * breaks at rank 50 stay exact. */
   val text_bigrams: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val hashCounts = d
+      .select(explode(GraftFunctions.word_ngram_hashes(col("text"), 2)).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .cache()
+    val top50 = hashCounts.orderBy(col("cnt").desc, col("h")).limit(50)
+      .agg(min(col("cnt"))).collect()(0)
+    val thresh = if (top50.isNullAt(0)) Long.MaxValue else top50.getLong(0)
+    val cands = hashCounts.filter(col("cnt") >= thresh)
     val words = split(trim(col("text")), "\\s+")
     val bigrams = when(size(words) >= 2,
       transform(sequence(lit(0), size(words) - 2),
         i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2))))
       .otherwise(array())
-    docs(s, dir)
-      .select(explode(bigrams).as("bigram"))
-      .groupBy(col("bigram"))
-      .agg(count(lit(1)).as("cnt"))
+    d.select(explode(bigrams).as("bigram"))
+      // a bigram string is itself a 2-token text whose single 2-gram
+      // hash equals the corpus-side hash of that bigram occurrence
+      .withColumn("h",
+        element_at(GraftFunctions.word_ngram_hashes(col("bigram"), 2), 1))
+      .join(broadcast(cands), Seq("h"))
+      .dropDuplicates("bigram")
+      .select(col("bigram"), col("cnt"))
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(50)
   }
@@ -102,8 +122,10 @@ object TextOps {
     val stopHits = size(filter(words, w => w.isin(stops.map(x => x: Any): _*)))
       .cast("double")
     val quality = (stopHits / nWords)
-    val survivors = Dedup.dedup_survivors(s, dir)
-      .filter(col("doc_id") === col("keep_id"))
+    // shares the memoized (checkpoint-backed) component labeling with
+    // dedup_survivors instead of recomputing the whole Jaccard+CC DAG
+    val survivors = Dedup.survivorLabels(s, dir)
+      .filter(col("doc_id") === col("label"))
       .select(col("doc_id"))
     docs(s, dir)
       .join(survivors, Seq("doc_id"))
