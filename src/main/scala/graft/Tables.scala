@@ -19,13 +19,26 @@ object Tables {
     if (name == "events") loadEvents(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Session conf required to read TIMESTAMP(NANOS) parquet (`events`).
+    * Set it at session construction (see [[withNanosAsLong]]) — setting
+    * it as a side effect of one read would silently change how every
+    * later parquet read in the session interprets nanos columns. */
+  val NanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Builder helper: every session that loads `events` needs this. */
+  def withNanosAsLong(b: SparkSession.Builder): SparkSession.Builder =
+    b.config(NanosAsLongKey, "true")
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as a raw long (legacy conf) and convert to
-    * micro-precision TimestampType (floor division — matches DuckDB's
-    * ns→µs truncation). Everything downstream sees a normal timestamp.
+    * reader rejects. Read it as a raw long (session conf set at
+    * construction) and convert to micro-precision TimestampType (floor
+    * division — matches DuckDB's ns→µs truncation). Everything
+    * downstream sees a normal timestamp.
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get(NanosAsLongKey, "false") == "true",
+      s"reading the events table requires $NanosAsLongKey=true at " +
+        "session construction (Tables.withNanosAsLong)")
     import org.apache.spark.sql.functions._
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -70,20 +70,26 @@ object Dedup {
     * docs is vocabulary, not evidence of near-duplication).
     */
   private def jaccardPairs(sh: DataFrame, minJac: Double): DataFrame = {
-    val maxDf = sh.sparkSession.conf
-      .get("spark.graft.dedup.maxShingleDf", "1000000").toLong
+    val confDf = sh.sparkSession.conf
+      .getOption("spark.graft.dedup.maxShingleDf")
+    val maxDf = confDf.map(_.toLong).getOrElse(1000000L)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // A shingle present in a single document can never contribute to a
     // pair: drop df==1 shingles from the join input (sizes above keep
     // the full sets, so Jaccard values are unchanged). At scale this
     // removes the long unique tail — most of the shuffle.
-    val dfs = sh.groupBy(col("h")).agg(count(lit(1)).as("df")).cache()
-    val dropped = dfs.filter(col("df") > maxDf)
-      .agg(count(lit(1)), coalesce(sum(col("df")), lit(0L)))
-      .collect()(0)
-    if (dropped.getLong(0) > 0)
-      System.err.println(s"[graft] jaccardPairs: maxShingleDf=$maxDf dropped " +
-        s"${dropped.getLong(0)} hot shingles (${dropped.getLong(1)} postings)")
+    val dfs = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // the drop-count audit job only runs when the cap is explicitly
+    // configured — at the (deliberately oracle-exact) default it could
+    // never fire and would just burn a shuffle per call
+    confDf.foreach { _ =>
+      val dropped = dfs.filter(col("df") > maxDf)
+        .agg(count(lit(1)), coalesce(sum(col("df")), lit(0L)))
+        .collect()(0)
+      if (dropped.getLong(0) > 0)
+        System.err.println(s"[graft] jaccardPairs: maxShingleDf=$maxDf dropped " +
+          s"${dropped.getLong(0)} hot shingles (${dropped.getLong(1)} postings)")
+    }
     val shared = dfs.filter(col("df") >= 2 && col("df") <= maxDf).select(col("h"))
     val joinable = sh.join(shared, Seq("h"))
     val a = joinable.select(col("doc_id").as("a_id"), col("h"))
@@ -292,20 +298,24 @@ object Dedup {
     * no-op at test scale so the oracled outputs stay exact.
     */
   private def candidatesFromBands(bands0: DataFrame): DataFrame = {
-    val maxBucket = bands0.sparkSession.conf
-      .get("spark.graft.lsh.maxBucket", "1000000").toLong
-    val bands = bands0.cache()
-    val hot = bands.groupBy(col("band"), col("bv"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
-      .cache()
-    val nHot = hot.count()
-    if (nHot > 0)
-      System.err.println(s"[graft] candidatesFromBands: maxBucket=$maxBucket " +
-        s"dropped $nHot hot buckets")
-    val kept =
-      if (nHot == 0) bands
-      else bands.join(hot.select(col("band"), col("bv")),
-        Seq("band", "bv"), "left_anti")
+    val confBucket = bands0.sparkSession.conf
+      .getOption("spark.graft.lsh.maxBucket")
+    val kept = confBucket match {
+      case None => bands0 // no cap configured → no audit job
+      case Some(raw) =>
+        val maxBucket = raw.toLong
+        val bands = bands0.cache()
+        val hot = bands.groupBy(col("band"), col("bv"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+          .cache()
+        val nHot = hot.count()
+        if (nHot > 0)
+          System.err.println(s"[graft] candidatesFromBands: maxBucket=" +
+            s"$maxBucket dropped $nHot hot buckets")
+        if (nHot == 0) bands
+        else bands.join(hot.select(col("band"), col("bv")),
+          Seq("band", "bv"), "left_anti")
+    }
     val x = kept.select(col("doc_id").as("a_id"), col("band"), col("bv"))
     val y = kept.select(col("doc_id").as("b_id"), col("band"), col("bv"))
     x.join(y, Seq("band", "bv"))

@@ -92,7 +92,10 @@ object Similarity {
       val sample = embs(s, dir)
         .select(array_to_vector(col("embedding")).as("fv"))
         .limit(100000)
-      new KMeans().setK(k).setSeed(42).setMaxIter(10)
+      // random init + few iterations: a coarse quantizer only needs
+      // roughly balanced Voronoi cells, not converged clusters, and
+      // k-means|| init alone costs ~2k Spark jobs' worth of passes
+      new KMeans().setK(k).setSeed(42).setMaxIter(5).setInitMode("random")
         .setFeaturesCol("fv").setPredictionCol("bucket").fit(sample)
     })
 

@@ -29,7 +29,9 @@ object Streaming {
   /** events replayed as a file stream; ts nanos → TimestampType (µs —
     * lossless: the generator emits µs-precision values). */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get(graft.Tables.NanosAsLongKey, "false") == "true",
+      s"streaming the events table requires ${graft.Tables.NanosAsLongKey}" +
+        "=true at session construction (Tables.withNanosAsLong)")
     // the file stream source wants a directory; pathGlobFilter narrows
     // it to the events table
     s.readStream.schema(eventsSchema)
