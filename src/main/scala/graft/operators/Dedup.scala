@@ -242,8 +242,16 @@ object Dedup {
     * of O(diameter). Labels only decrease and are bounded below by the
     * component minimum, so the fixpoint is exactly the component-min
     * labeling. The changed-count is carried as a column of the same
-    * checkpointed frame — no second join job per round. */
+    * checkpointed frame — no second join job per round.
+    *
+    * Storage discipline: each round's localCheckpoint supersedes the
+    * previous one, whose blocks are released as soon as the new round
+    * is materialized (`catalog.clearCache()` would NOT free them — they
+    * are checkpoint RDD blocks, not cache entries). `edges` is released
+    * at convergence. Only the final labels frame stays pinned, for the
+    * memo. */
   private def computeSurvivorLabels(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftx.Bridge
     val d = docs(s, dir)
     val pairs = jaccardPairs(shingleHashes(d), 0.5)
       .select(col("a_id"), col("b_id"))
@@ -253,8 +261,9 @@ object Dedup {
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst")
       .localCheckpoint()
-    var labels = d.select(col("doc_id"), col("doc_id").as("label"))
+    var checkpointed = d.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint()
+    var labels = checkpointed
     var changed = 1L
     var rounds = 0
     // O(log n) with pointer jumping; the cap is only a runaway backstop
@@ -275,13 +284,16 @@ object Dedup {
           least(col("l1"), coalesce(col("pl"), col("l1"))).as("label"),
           (least(col("l1"), coalesce(col("pl"), col("l1"))) =!= col("old"))
             .as("chg"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materialized before the old round goes
       changed = next
         .agg(coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L)))
         .collect()(0).getLong(0)
+      Bridge.unpersistCheckpoint(checkpointed)
+      checkpointed = next
       labels = next.select(col("doc_id"), col("label"))
       rounds += 1
     }
+    Bridge.unpersistCheckpoint(edges)
     if (changed > 0)
       throw new IllegalStateException(
         s"label propagation did not converge within $maxRounds rounds")

@@ -19,4 +19,17 @@ object Bridge {
 
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(ClassicConversions.castToImpl(spark), plan)
+
+  /** Frees the storage blocks behind a `localCheckpoint()`ed frame.
+    * `catalog.clearCache()` does not touch checkpoint RDD blocks, so an
+    * iterative algorithm that checkpoints per round must release each
+    * superseded round itself or the blocks pin executor storage for the
+    * session's lifetime. No-op on non-checkpointed frames.
+    */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    ClassicConversions.castToImpl(df).queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
