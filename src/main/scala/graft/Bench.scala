@@ -3,8 +3,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric","value","unit","queries","sf"}.
+  * prints ONE JSON line {"metric","value","unit","queries","sf",...}.
   * The driver runs this per round at sf0.1 → BENCH_r{N}.json.
+  *
+  * Fails loudly: any query error lands in a `"failed":[...]` field and
+  * the process exits non-zero — a partial run can never read as clean.
+  *
+  * Emits a per-query `"diag"` map so cross-round slowdowns are
+  * attributable instead of mysterious: persistent-RDD count, block-
+  * manager storage in use, driver heap in use, and cumulative GC time,
+  * snapshotted AFTER each query. A healthy session shows flat rdds /
+  * storage across the run; monotone growth fingers the leaking query.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -19,6 +28,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def heapMb: Long = {
+      val rt = Runtime.getRuntime
+      (rt.totalMemory - rt.freeMemory) >> 20
+    }
+    def storageMb: Long =
+      spark.sparkContext.getExecutorMemoryStatus.values
+        .map { case (max, rem) => max - rem }.sum >> 20
+    def nRdds: Int = spark.sparkContext.getPersistentRDDs.size
+
     // Deterministic run order; each query fully materialized via count().
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -34,17 +58,31 @@ object Bench {
       // queries cache intermediates for intra-query reuse; evict between
       // queries so storage memory never crowds out execution memory
       spark.catalog.clearCache()
-      name -> dt
+      // memory-sink tables from streaming queries pin their results in
+      // the driver for the session's life unless dropped
+      operators.Streaming.dropSinkTables(spark)
+      val diag =
+        s"""{"rdds":$nRdds,"storage_mb":$storageMb,"heap_mb":$heapMb,"gc_ms":$gcMs}"""
+      (name, dt, ok, diag)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val diags = results.map { case (k, _, _, d) => "\"" + k + "\":" + d }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
+    val failedJson = failed.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // drop the memoized (checkpoint-backed) operator state before the
+    // probe so it measures connector throughput, not session residue
+    operators.Dedup.evictMemo(spark)
+    operators.Similarity.evictMemo(spark)
     // FITS scan throughput vs the reference's measured 16 MB/s/task
     // baseline (BASELINE.md row 1) — the connector is the engine's
     // core, so its number belongs in the bench artifact.
     val fits = fitsThroughput(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$fits}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"diag":$diags$fits}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 
   /** Scans a generated 64 MB single-E-column FITS file (the reference's

@@ -117,9 +117,14 @@ final class TopKBuffer(val k: Int) extends Serializable {
   val ids = new Array[Long](k)
   var size = 0
 
-  // a is worse than b under (score desc, id asc)
-  @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-    sa < sb || (sa == sb && ia > ib)
+  // a is worse than b under (score desc, id asc); java.lang.Double
+  // .compare gives a TOTAL order (-0.0 < 0.0, NaN greatest) so no
+  // element can wedge the heap — NaN scores are additionally filtered
+  // out before insert by TopKAgg.update (cosine of a zero vector)
+  @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+    val c = java.lang.Double.compare(sa, sb)
+    c < 0 || (c == 0 && ia > ib)
+  }
 
   def insert(s: Double, id: Long): Unit = {
     if (size < k) {
@@ -172,14 +177,22 @@ case class TopKAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[TopKBuffer] {
+    extends TypedImperativeAggregate[TopKBuffer]
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  // mis-typed inputs (FloatType score, IntegerType id) coerce at
+  // analysis time instead of ClassCastException-ing in executors.
+  // (return type inferred: AbstractDataType is private[sql] in Spark 4)
+  override def inputTypes = Seq(DoubleType, LongType)
 
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
 
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null)
+    // NaN (cosine of a zero vector) carries no ranking information and
+    // under any non-total order can wedge the heap root — drop it here
+    if (s != null && i != null && !java.lang.Double.isNaN(s.asInstanceOf[Double]))
       buf.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
     buf
   }

@@ -229,6 +229,18 @@ object Dedup {
   private val survivorsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Releases this session's memoized survivor labelings — the frames
+    * are localCheckpoint-backed, so until evicted their blocks pin
+    * block-manager storage for the session's life (r2/r3 hygiene item:
+    * the memo map holds strong keys and never shrinks on its own). */
+  def evictMemo(s: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    survivorsMemo.keySet.asScala.filter(_._1 eq s).toList.foreach { k =>
+      Option(survivorsMemo.remove(k))
+        .foreach(org.apache.spark.sql.graftx.Bridge.unpersistCheckpoint)
+    }
+  }
+
   /** (doc_id, label) with label = min doc_id of the connected component
     * in the Jaccard ≥ 0.5 near-dup graph. */
   private[operators] def survivorLabels(s: SparkSession, dir: String): DataFrame =

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -29,6 +28,23 @@ object Similarity {
   private val K = 10
   private val NQueries = 5
 
+  /** (q_id, rnk, neighbor_id) top-K per query from a (q_id,
+    * neighbor_id, sim) scored frame, via the TopKAgg k-heap aggregate.
+    *
+    * The scale story: `row_number() OVER (PARTITION BY q_id)` funnels
+    * the ENTIRE scored set into |queries| reducer partitions — n×5 rows
+    * through 5 tasks at 100 TB. The aggregate keeps a k-element heap
+    * per (task, key) map-side, so the q_id exchange carries only
+    * tasks × keys × k pairs and the merge is O(tasks·k log k). Ordering
+    * ties break on neighbor_id asc, identical to the window version. */
+  private def rankTopK(scored: DataFrame): DataFrame =
+    scored.groupBy(col("q_id"))
+      .agg(VectorFunctions.topk_agg(col("sim"), col("neighbor_id"), K).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), (col("pos") + 1).as("rnk"),
+        col("col.neighbor_id").as("neighbor_id"))
+      .orderBy(col("q_id"), col("rnk"))
+
   /** Brute-force exact top-k for the first NQueries vectors. */
   val sim_topk: Q = (s, dir) => {
     val e = embs(s, dir)
@@ -38,12 +54,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         VectorFunctions.cosine_sim(col("q_emb"), col("embedding")).as("sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= K)
-      .select(col("q_id"), col("rnk"), col("neighbor_id"))
-      .orderBy(col("q_id"), col("rnk"))
+    rankTopK(scored)
   }
 
   /** Sign-LSH bucketed ANN: rank only candidates sharing ≥1 of 16
@@ -68,16 +79,20 @@ object Similarity {
       .dropDuplicates("q_id", "neighbor_id")
     val scored = cands.select(col("q_id"), col("neighbor_id"),
       VectorFunctions.cosine_sim(col("q_emb"), col("emb")).as("sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= K)
-      .select(col("q_id"), col("rnk"), col("neighbor_id"))
-      .orderBy(col("q_id"), col("rnk"))
+    rankTopK(scored)
   }
 
   private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), org.apache.spark.ml.clustering.KMeansModel]()
+
+  /** Drops this session's memoized IVF quantizers (driver-resident
+    * centroid tables; small, but the map holds strong session keys and
+    * never shrinks on its own — r2/r3 hygiene item). */
+  def evictMemo(s: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    ivfMemo.keySet.asScala.filter(_._1 eq s).toList
+      .foreach(ivfMemo.remove)
+  }
 
   /** Coarse quantizer for the IVF index, fit ONCE per (session, corpus)
     * on a bounded sample — k-means needs representative geometry, not
@@ -136,12 +151,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
     val scored = cands.select(col("q_id"), col("vec_id").as("neighbor_id"),
       VectorFunctions.cosine_sim(col("q_emb"), col("embedding")).as("sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= K)
-      .select(col("q_id"), col("rnk"), col("neighbor_id"))
-      .orderBy(col("q_id"), col("rnk"))
+    rankTopK(scored)
   }
 
   private def dist2(a: Array[Float], b: Array[Float]): Double = {

@@ -49,6 +49,16 @@ object Streaming {
     s.table(name)
   }
 
+  private val sinkTableNames = Seq(
+    "stream_hour_counts_tbl", "stream_sliding_tbl", "stream_sessions_tbl",
+    "stream_state_sessions_tbl", "stream_append_tbl")
+
+  /** Memory-sink tables hold their full result in the driver for the
+    * session's life; a long multi-query session (the bench) must drop
+    * them once consumed or they accumulate as permanent heap residue. */
+  def dropSinkTables(s: SparkSession): Unit =
+    sinkTableNames.foreach(s.catalog.dropTempView)
+
   /** Tumbling 1-hour windows × event_type with a 1-hour watermark. */
   val stream_hour_counts: Q = (s, dir) => {
     val agg = eventsStream(s, dir)
@@ -86,6 +96,26 @@ object Streaming {
         col("session_window.end").cast("timestamp_ntz").as("session_end"),
         col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Tumbling windows in APPEND mode: a window row is emitted exactly
+    * once, when the watermark passes its end, and its state is evicted
+    * — the only mode whose state is bounded on an unbounded stream
+    * (`complete` retains every group forever; the other queries here
+    * use it because an AvailableNow replay IS bounded). The final
+    * watermark of the replay is max(ts) − 1 hour, so windows ending
+    * after it are (deterministically) withheld — mirrored in the
+    * oracle's HAVING clause. Cross-restart eviction is proven in
+    * StreamingSpec ("append mode ... across restarts"). */
+  val stream_append: Q = (s, dir) => {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    runToTable(s, agg, "stream_append_tbl", "append")
+      .select(col("window.start").cast("timestamp_ntz").as("h"),
+        col("event_type"), col("cnt"))
+      .orderBy(col("h"), col("event_type"))
   }
 
   /** Custom state machine via mapGroupsWithState: per-user session

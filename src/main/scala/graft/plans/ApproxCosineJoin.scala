@@ -115,7 +115,32 @@ final case class ApproxCosineJoinExec(
         }
       }
 
-    keyed(left, lBound).cogroup(keyed(right, rBound)).flatMap {
+    var lk = keyed(left, lBound)
+    var rk = keyed(right, rBound)
+    // Hot-bucket guard: a band bucket of f rows on both sides is an f²
+    // all-pairs loop AND an f-row in-memory cogroup buffer — one
+    // degenerate band value (all-identical boilerplate vectors) owns
+    // the whole job at scale. With `spark.graft.lsh.maxBucket` set,
+    // buckets larger than the cap on EITHER side are excluded before
+    // the cogroup shuffle, so neither the pairs nor the buffers ever
+    // materialize (same knob + logged-drop contract as the dedup
+    // layer's candidatesFromBands guard). Unset by default: the cap
+    // drops pairs, and the test corpora need exact output.
+    Option(conf.getConfString("spark.graft.lsh.maxBucket", null))
+      .map(_.toLong).foreach { cap =>
+        def hotKeys(rdd: RDD[((Int, Int), (InternalRow, Long, ArrayData))]) =
+          rdd.map(kv => (kv._1, 1L)).reduceByKey(_ + _)
+            .filter(_._2 > cap).keys
+        val hot = (hotKeys(lk) ++ hotKeys(rk)).distinct().collect().toSet
+        if (hot.nonEmpty) {
+          System.err.println(s"[graft] ApproxCosineJoinExec: maxBucket=$cap " +
+            s"dropped ${hot.size} hot band buckets")
+          val hotB = lk.sparkContext.broadcast(hot)
+          lk = lk.filter(kv => !hotB.value(kv._1))
+          rk = rk.filter(kv => !hotB.value(kv._1))
+        }
+      }
+    lk.cogroup(rk).flatMap {
       case ((band, _), (ls, rs)) =>
         if (ls.isEmpty || rs.isEmpty) Iterator.empty
         else for {

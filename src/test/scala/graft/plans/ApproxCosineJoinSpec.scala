@@ -63,6 +63,30 @@ class ApproxCosineJoinSpec extends SparkTestBase {
     assert(df.columns.toSeq == Seq("l_id", "l_vec", "r_id", "r_vec", "sim"))
   }
 
+  test("maxBucket guard excludes degenerate all-identical buckets pre-shuffle") {
+    import spark.implicits._
+    // 50 identical vectors: every one of the 8 band buckets holds all
+    // 50 rows on both sides — unguarded, that is 8 × 50² pair checks
+    // and a 50-row in-memory cogroup buffer per bucket; capped at 10,
+    // every bucket is excluded before the shuffle and output is empty
+    val same = (0 until 50).map(i => (i.toLong, Array(1f, 2f, 3f, 4f)))
+      .toDF("id", "vec")
+    val l = same.select(col("id").as("l_id"), col("vec").as("l_vec"))
+    val r = same.select(col("id").as("r_id"), col("vec").as("r_vec"))
+    spark.conf.set("spark.graft.lsh.maxBucket", "10")
+    try {
+      assert(ApproxCosineJoin.join(l, r, "l_vec", "r_vec", 0.9).count() == 0)
+      // a healthy corpus under the same cap is untouched: buckets are
+      // small, so the guarded plan returns the exact result
+      val guarded = ApproxCosineJoin.join(
+        baseDf.select(col("id").as("l_id"), col("vec").as("l_vec")),
+        dupDf.select(col("id").as("r_id"), col("vec").as("r_vec")),
+        "l_vec", "r_vec", 0.99).select("l_id", "r_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(guarded.size == 10)
+    } finally spark.conf.unset("spark.graft.lsh.maxBucket")
+  }
+
   test("empty result below threshold; no crash on nulls") {
     import spark.implicits._
     val withNull = Seq((1L, null.asInstanceOf[Array[Float]]),
