@@ -121,6 +121,69 @@ object TextAlgo {
     out
   }
 
+  /** The k-word n-grams of `s` whose hash (same scheme as
+    * [[wordNgramHashes]]) is in `sortedKeep`, as single-space-joined
+    * strings. One pass; strings are materialized ONLY for matches —
+    * with |keep| ≈ 50 candidates out of millions of corpus n-grams,
+    * the non-candidate 99.99% never allocates anything. Lookup is
+    * binary search (no boxing) on the sorted candidate array. */
+  def wordNgramFiltered(s: String, k: Int, sortedKeep: Array[Long]): Array[String] = {
+    // token hashes + char offsets, one scan
+    val hashes = new scala.collection.mutable.ArrayBuffer[Long](64)
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
+    val ends = new scala.collection.mutable.ArrayBuffer[Int](64)
+    var start = 0
+    val n = s.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || Character.isWhitespace(s.charAt(i))) {
+        if (i > start) {
+          var h = 1125899906842597L
+          var j = start
+          while (j < i) { h = 31 * h + s.charAt(j); j += 1 }
+          hashes += fmix64(h); starts += start; ends += i
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    val m = hashes.length - k + 1
+    if (m <= 0) return Array.empty
+    val out = new scala.collection.mutable.ArrayBuffer[String](4)
+    i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = fmix64(h ^ hashes(i + j)) ^ (j + 1); j += 1 }
+      if (java.util.Arrays.binarySearch(sortedKeep, h) >= 0) {
+        val sb = new java.lang.StringBuilder(ends(i + k - 1) - starts(i))
+        j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(s, starts(i + j), ends(i + j))
+          j += 1
+        }
+        out += sb.toString
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** [[wordNgramFiltered]] with UTF8String elements, for direct use
+    * from generated code (`new GenericArrayData(...)` over the result). */
+  def wordNgramFilteredUtf8(s: String, k: Int,
+      sortedKeep: Array[Long]): Array[AnyRef] = {
+    val strs = wordNgramFiltered(s, k, sortedKeep)
+    val out = new Array[AnyRef](strs.length)
+    var i = 0
+    while (i < strs.length) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(strs(i))
+      i += 1
+    }
+    out
+  }
+
   /** Distinct variant of [[wordNgramHashes]], sorted-distinct (set
     * semantics for Jaccard). */
   def wordShingleHashes(s: String, k: Int): Array[Long] = {

@@ -92,6 +92,31 @@ case class WordNgramHashes(child: Expression, k: Int)
   override def prettyName: String = "word_ngram_hashes"
 }
 
+/** K-word n-grams whose hash is in a (sorted) candidate set, strings
+  * materialized only on match — the pass-2 side of hash-first n-gram
+  * counting: pass 1 counts 8-byte hashes, pass 2 recovers the winners'
+  * strings without allocating the 99.99% that lost. */
+case class WordNgramFiltered(child: Expression, k: Int, keepSorted: Array[Long])
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextAlgo.wordNgramFilteredUtf8(
+        input.asInstanceOf[UTF8String].toString, k, keepSorted))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the candidate array rides along as a referenced object — codegen
+    // keeps the whole stage fused instead of falling back to eval
+    val keepRef = ctx.addReferenceObj("keepSorted", keepSorted, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextAlgo.wordNgramFilteredUtf8($c.toString(), $k, $keepRef))")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "word_ngram_filter"
+}
+
 /** Heuristic language identification → "en"/"de"/"fr"/"es"/"zh"/"und". */
 case class LangId(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -117,6 +142,8 @@ object GraftFunctions {
     col(WordShingleHashes(expression(c), k))
   def word_ngram_hashes(c: Column, k: Int): Column =
     col(WordNgramHashes(expression(c), k))
+  def word_ngram_filter(c: Column, k: Int, keepSorted: Array[Long]): Column =
+    col(WordNgramFiltered(expression(c), k, keepSorted))
 
   private def col(e: Expression): Column = Bridge.column(e)
   private def expression(c: Column): Expression = Bridge.expression(c)

@@ -189,6 +189,17 @@ object Dedup {
     verifyCandidates(cands, shingleHashes(d), 0.5)
   }
 
+  /** Driver-gate companion for dedup_simhash (which has no direct SQL
+    * oracle — the 64-bit signature is not DuckDB-expressible): its
+    * exact-verified pairs MINUS the exact-Jaccard pairs must be empty,
+    * i.e. the sketch path only ever prunes candidates, never invents a
+    * pair. The oracle is the typed empty relation, so any simhash
+    * false positive turns this key red at the driver's hash gate. */
+  val dedup_simhash_vs_ngram: Q = (s, dir) =>
+    dedup_simhash(s, dir)
+      .exceptAll(dedup_ngram(s, dir))
+      .orderBy(col("a_id"), col("b_id"))
+
   // ------------------------------------------- embedding cosine near-dup
 
   /** Embedding near-dup: sign-LSH (64-bit signature, 8 bands × 8 bits)
@@ -355,6 +366,7 @@ object Dedup {
     "dedup_ngram" -> dedup_ngram,
     "dedup_minhash" -> dedup_minhash,
     "dedup_simhash" -> dedup_simhash,
+    "dedup_simhash_vs_ngram" -> dedup_simhash_vs_ngram,
     "dedup_embed" -> dedup_embed,
     "dedup_survivors" -> dedup_survivors,
   )
@@ -391,7 +403,12 @@ object Dedup {
         |ORDER BY a_vid, b_vid""".stripMargin,
     // dedup_simhash: rows-only — SimHash recall has no sharp guarantee
     // at this Jaccard band, so its verified output is asserted against
-    // dedup_ngram in DedupSpec instead of hash-matched here.
+    // dedup_ngram in DedupSpec, and the subset property is driver-gated
+    // through dedup_simhash_vs_ngram below.
+    "dedup_simhash_vs_ngram" ->
+      """SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id,
+        |  CAST(NULL AS DOUBLE) AS jac
+        |WHERE 1 = 0""".stripMargin,
     "dedup_survivors" -> {
       val pairsSql = jaccardOracle
         .replace("ORDER BY a_id, b_id", "")

@@ -151,6 +151,7 @@ object Streaming {
     "stream_sliding" -> stream_sliding,
     "stream_sessions" -> stream_sessions,
     "stream_state_sessions" -> stream_state_sessions,
+    "stream_append" -> stream_append,
   )
 
   private val sessionIslands =
@@ -172,6 +173,16 @@ object Streaming {
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h, event_type,
         |  COUNT(*) AS cnt
         |FROM events GROUP BY h, event_type ORDER BY h, event_type""".stripMargin,
+    // append emits a window only once the watermark (max ts − 1 hour)
+    // passes its END; the HAVING clause mirrors that emission rule
+    "stream_append" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h, event_type,
+        |  COUNT(*) AS cnt
+        |FROM events
+        |GROUP BY h, event_type
+        |HAVING h + INTERVAL 1 HOUR <= (SELECT MAX(ts) - INTERVAL 1 HOUR
+        |                               FROM events)
+        |ORDER BY h, event_type""".stripMargin,
     "stream_sliding" ->
       """SELECT time_bucket(INTERVAL 30 MINUTE, ts)
         |         - k.k * INTERVAL 30 MINUTE AS h,

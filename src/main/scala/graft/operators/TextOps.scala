@@ -79,12 +79,14 @@ object TextOps {
     * pass 1 counts 64-bit bigram hashes (the native one-pass
     * word_ngram_hashes expression — no per-bigram string allocation,
     * and the group-by shuffles 8-byte longs instead of strings); pass 2
-    * re-materializes bigram strings but broadcast-semi-joins them
-    * against the ~50 candidate hashes BEFORE any shuffle, so only the
-    * winners' strings ever leave their partition. The candidate set is
-    * every hash with cnt ≥ the 50th-highest count, so string-order tie
-    * breaks at rank 50 stay exact. */
+    * re-reads the corpus through word_ngram_filter, which binary-
+    * searches each n-gram HASH against the ~50 candidates and
+    * materializes a string only on match — the non-winning 99.99% of
+    * bigram occurrences never allocate, never leave their partition.
+    * The candidate set is every hash with cnt ≥ the 50th-highest
+    * count, so string-order tie breaks at rank 50 stay exact. */
   val text_bigrams: Q = (s, dir) => {
+    import s.implicits._
     val d = docs(s, dir)
     val hashCounts = d
       .select(explode(GraftFunctions.word_ngram_hashes(col("text"), 2)).as("h"))
@@ -94,19 +96,21 @@ object TextOps {
     val top50 = hashCounts.orderBy(col("cnt").desc, col("h")).limit(50)
       .agg(min(col("cnt"))).collect()(0)
     val thresh = if (top50.isNullAt(0)) Long.MaxValue else top50.getLong(0)
-    val cands = hashCounts.filter(col("cnt") >= thresh)
-    val words = split(trim(col("text")), "\\s+")
-    val bigrams = when(size(words) >= 2,
-      transform(sequence(lit(0), size(words) - 2),
-        i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2))))
-      .otherwise(array())
-    d.select(explode(bigrams).as("bigram"))
+    // candidate (hash, cnt) rows are top-50-plus-ties — driver-small by
+    // construction; the hash array rides into the scan expression and
+    // the counts come back via a broadcast join of a local frame
+    val candRows = hashCounts.filter(col("cnt") >= thresh).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val keep = candRows.map(_._1).sorted
+    val cands = candRows.toSeq.toDF("h", "cnt")
+    d.select(explode(GraftFunctions.word_ngram_filter(col("text"), 2, keep))
+        .as("bigram"))
+      .dropDuplicates("bigram")
       // a bigram string is itself a 2-token text whose single 2-gram
       // hash equals the corpus-side hash of that bigram occurrence
       .withColumn("h",
         element_at(GraftFunctions.word_ngram_hashes(col("bigram"), 2), 1))
       .join(broadcast(cands), Seq("h"))
-      .dropDuplicates("bigram")
       .select(col("bigram"), col("cnt"))
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(50)

@@ -30,6 +30,86 @@ class StreamingSpec extends SparkTestBase {
         .isBefore(r.getAs[java.time.LocalDateTime]("session_end"))))
   }
 
+  test("append mode emits exactly the watermark-closed windows") {
+    val events = Tables.load(spark, sf0001, "events")
+    val wm = events.agg(max(col("ts"))).head.getTimestamp(0).toInstant
+      .minusSeconds(3600)
+    val batchClosed = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("window.end").cast("timestamp") <= lit(java.sql.Timestamp.from(wm)))
+      .select(col("window.start").cast("timestamp_ntz").as("h"),
+        col("event_type"), col("cnt"))
+    val streamed = Streaming.stream_append(spark, sf0001)
+    assert(streamed.count() == batchClosed.count())
+    assert(streamed.exceptAll(batchClosed).isEmpty)
+  }
+
+  test("append mode: emit-once and state eviction across AvailableNow restarts") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val src = java.nio.file.Files.createTempDirectory("append-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("append-ckpt").toString
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def writeHours(hours: Seq[Int]): Unit =
+      hours.flatMap(h => Seq(0, 30).map(m =>
+        (java.sql.Timestamp.from(base.plusSeconds(h * 3600L + m * 60L)), "a")))
+        .toDF("ts", "k").coalesce(1)
+        .write.mode("append").parquet(src)
+
+    val emitted = new scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    var lastStateRows = -1L
+    def runOnce(): Unit = {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.StringType)))
+      val agg = spark.readStream.schema(schema).parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("k"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").cast("string").as("h"), col("cnt"))
+      val q = agg.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.collect().map(r => (r.getString(0), r.getLong(1)))
+          emitted.synchronized { emitted ++= rows }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      lastStateRows = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+        .lastOption.getOrElse(-1L)
+    }
+
+    // run 1: hours 0-2 → watermark 01:30 → only window [00,01) is closed
+    writeHours(0 to 2)
+    runOnce()
+    val afterRun1 = emitted.toList
+    // run 2 (restart from the same checkpoint): hours 5-6 → watermark
+    // 05:30 → windows [01,02), [02,03) close; [05,06), [06,07) withheld
+    writeHours(5 to 6)
+    runOnce()
+    val afterRun2 = emitted.toList
+
+    def hoursOf(rows: List[(String, Long)]): Set[String] = rows.map(_._1).toSet
+    assert(afterRun1.nonEmpty,
+      "AvailableNow must flush windows closed by the final watermark")
+    assert(hoursOf(afterRun1) == Set("2024-01-01 00:00:00"))
+    // emit-once across restarts: no window appears twice
+    assert(afterRun2.map(_._1).distinct.size == afterRun2.size)
+    assert(hoursOf(afterRun2) ==
+      Set("2024-01-01 00:00:00", "2024-01-01 01:00:00", "2024-01-01 02:00:00"))
+    assert(afterRun2.forall(_._2 == 2L), "each window holds its 2 events")
+    // eviction proof: 5 distinct windows existed, 3 were emitted+evicted,
+    // so the store holds only the 2 still-open windows after run 2
+    assert(lastStateRows == 2L,
+      s"state should hold only open windows, got $lastStateRows")
+  }
+
   test("stateful session count equals session-window session count") {
     val byState = Streaming.stream_state_sessions(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -66,6 +66,28 @@ class TextOpsSpec extends SparkTestBase {
     assert(f.map(_.getLong(1)).distinct.length > f.length / 2)
   }
 
+  test("word_ngram_filter emits exactly the candidate n-grams, space-normalized") {
+    val text = "a b  c a b"   // double space: tokens a b c a b
+    val hashes = TextAlgo.wordNgramHashes(text, 2) // (a b)(b c)(c a)(a b)
+    assert(hashes.length == 4 && hashes(0) == hashes(3))
+    // keep only the "a b" hash → both occurrences, normalized to 1 space
+    val kept = TextAlgo.wordNgramFiltered(text, 2, Array(hashes(0)).sorted)
+    assert(kept.toSeq == Seq("a b", "a b"))
+    // keep "b c" (spans the double space in the source text)
+    val kept2 = TextAlgo.wordNgramFiltered(text, 2, Array(hashes(1)).sorted)
+    assert(kept2.toSeq == Seq("b c"))
+    // empty candidate set → nothing materializes
+    assert(TextAlgo.wordNgramFiltered(text, 2, Array.empty[Long]).isEmpty)
+    // and as a Catalyst expression inside a plan
+    import spark.implicits._
+    val df = Seq(text).toDF("text")
+    val got = df.select(explode(
+      GraftFunctions.word_ngram_filter(col("text"), 2,
+        Array(hashes(0), hashes(1)).sorted)).as("g"))
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(got == Seq("a b", "a b", "b c"))
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     val df = TextOps.text_fingerprint(spark, sf0001)
     df.collect() // materialize so AQE finalizes the physical plan
