@@ -164,8 +164,10 @@ object Dedup {
     * band boundary. Candidates are still cut to true Hamming ≤ 7 by a
     * scalar bit_count filter before the (expensive) shingle verify.
     */
-  val dedup_simhash: Q = (s, dir) => {
-    val d = docs(s, dir)
+  val dedup_simhash: Q = (s, dir) =>
+    simhashVerified(docs(s, dir), shingleHashes(docs(s, dir)))
+
+  private def simhashVerified(d: DataFrame, sh: DataFrame): DataFrame = {
     val sig = d.select(col("doc_id"),
       GraftFunctions.simhash64(col("text")).as("sig"))
     // 16-bit window starting at bit 8*j, wrapping past bit 64
@@ -186,7 +188,7 @@ object Dedup {
         Seq("b_id"))
       .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 7)
       .select(col("a_id"), col("b_id"))
-    verifyCandidates(cands, shingleHashes(d), 0.5)
+    verifyCandidates(cands, sh, 0.5)
   }
 
   /** Driver-gate companion for dedup_simhash (which has no direct SQL
@@ -194,11 +196,16 @@ object Dedup {
     * exact-verified pairs MINUS the exact-Jaccard pairs must be empty,
     * i.e. the sketch path only ever prunes candidates, never invents a
     * pair. The oracle is the typed empty relation, so any simhash
-    * false positive turns this key red at the driver's hash gate. */
-  val dedup_simhash_vs_ngram: Q = (s, dir) =>
-    dedup_simhash(s, dir)
-      .exceptAll(dedup_ngram(s, dir))
+    * false positive turns this key red at the driver's hash gate.
+    * Both sides share ONE cached shingle pass — the corpus is
+    * tokenized once, not once per branch. */
+  val dedup_simhash_vs_ngram: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val sh = shingleHashes(d)
+    simhashVerified(d, sh)
+      .exceptAll(jaccardPairs(sh, 0.5))
       .orderBy(col("a_id"), col("b_id"))
+  }
 
   // ------------------------------------------- embedding cosine near-dup
 
