@@ -148,8 +148,16 @@ object GraftFunctions {
   private def col(e: Expression): Column = Bridge.column(e)
   private def expression(c: Column): Expression = Bridge.expression(c)
 
-  /** Makes the functions callable from SQL text too. */
+  /** Makes the functions callable from SQL text too — the full custom
+    * surface, so a SQL-only user loses nothing vs the Column API. */
   def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // int literal argument (e.g. the k of an n-gram or top-k)
+    def intArg(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("rolling_hash",
       es => RollingHash(es.head), "scala_udf")
@@ -159,5 +167,19 @@ object GraftFunctions {
       es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("lang_id",
       es => LangId(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("word_shingle_hashes",
+      es => WordShingleHashes(es(0), intArg(es(1), "k")), "scala_udf")
+    reg.createOrReplaceTempFunction("word_ngram_hashes",
+      es => WordNgramHashes(es(0), intArg(es(1), "k")), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim",
+      es => CosineSim(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("sim_signature",
+      es => SimSignature(es(0), intArg(es(1), "nBits")), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_agg",
+      es => MinHashAgg(es(0), intArg(es(1), "numHashes"))
+        .toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("topk_agg",
+      es => TopKAgg(es(0), es(1), intArg(es(2), "k"))
+        .toAggregateExpression(), "scala_udf")
   }
 }

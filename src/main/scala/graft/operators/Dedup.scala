@@ -210,8 +210,17 @@ object Dedup {
   // ------------------------------------------- embedding cosine near-dup
 
   /** Embedding near-dup: sign-LSH (64-bit signature, 8 bands × 8 bits)
-    * candidates, exact cosine verify ≥ 0.95. Output is id pairs only —
-    * cosine values are engine-float-order dependent, ids are not. */
+    * candidates, signature-Hamming prefilter, exact cosine verify
+    * ≥ 0.95. Output is id pairs only — cosine values are
+    * engine-float-order dependent, ids are not.
+    *
+    * The Hamming ≤ 24 prefilter runs on the 8-BYTE sketch before the
+    * candidate pairs ever touch the full embedding payload: for
+    * cos ≥ 0.95 each of the 64 sign bits flips with p = acos(.95)/π ≈
+    * 0.101, so P[hamming > 24] ≈ 3·10⁻⁹ (no true pair is lost in any
+    * realistic corpus), while an unrelated pair (cos ≈ 0, p = 0.5)
+    * passes only ~3% of the time — the expensive embedding join
+    * downstream touches ~1/34 of the band-collision candidates. */
   val dedup_embed: Q = (s, dir) => {
     val e = embs(s, dir)
     val sig = e.select(col("vec_id"), col("embedding"),
@@ -221,8 +230,15 @@ object Dedup {
     val bands = sig
       .select(col("vec_id").as("doc_id"), posexplode(array(bandCols: _*)))
       .toDF("doc_id", "band", "bv")
+    val sigOnly = sig.select(col("vec_id"), col("sig"))
     val cands = candidatesFromBands(bands)
       .select(col("a_id").as("a_vid"), col("b_id").as("b_vid"))
+      .join(sigOnly.select(col("vec_id").as("a_vid"), col("sig").as("sig_a")),
+        Seq("a_vid"))
+      .join(sigOnly.select(col("vec_id").as("b_vid"), col("sig").as("sig_b")),
+        Seq("b_vid"))
+      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 24)
+      .select(col("a_vid"), col("b_vid"))
     val ea = e.select(col("vec_id").as("a_vid"), col("embedding").as("ea"))
     val eb = e.select(col("vec_id").as("b_vid"), col("embedding").as("eb"))
     cands.join(ea, Seq("a_vid")).join(eb, Seq("b_vid"))

@@ -99,6 +99,25 @@ class TopKAggSpec extends SparkTestBase {
     assert(got == Seq(4L))
   }
 
+  test("custom functions are callable from SQL after register()") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq((1L, 0.9, 10L), (1L, 0.5, 5L), (1L, 0.7, 7L))
+      .toDF("q", "sim", "id").createOrReplaceTempView("scored_sql_test")
+    val top = spark.sql(
+      "SELECT q, topk_agg(sim, id, 2) AS tk FROM scored_sql_test GROUP BY q")
+      .selectExpr("explode(tk.neighbor_id) AS n")
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(10L, 7L))
+    val cos = spark.sql(
+      "SELECT cosine_sim(array(1.0F,0.0F), array(1.0F,0.0F)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+    val ng = spark.sql(
+      "SELECT size(word_ngram_hashes('a b c', 2)) AS n").head().getInt(0)
+    assert(ng == 2)
+  }
+
   test("sim_topk plan uses the partial-agg heap, not a window funnel") {
     val plan = graft.operators.Similarity.sim_topk(spark, sf001)
       .queryExecution.executedPlan.toString
