@@ -55,6 +55,21 @@ class PlanQualitySpec extends SparkTestBase {
       plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("every similarity ranking goes through the top-k heap, not a window funnel") {
+    // row_number() OVER (PARTITION BY q_id) funnels the whole scored
+    // set into |queries| reducer tasks — the TopKAgg partial aggregate
+    // is the 100 TB-safe shape, and no sim query may regress to the funnel
+    Seq("sim_topk" -> Similarity.sim_topk, "sim_lsh_topk" -> Similarity.sim_lsh_topk,
+      "sim_ivf_topk" -> Similarity.sim_ivf_topk).foreach { case (name, q) =>
+      val plan = q(spark, sf0001).queryExecution.executedPlan.toString
+      withClue(s"$name: ") {
+        assert(!plan.contains("Window"), plan)
+        assert(plan.contains("ObjectHashAggregate") ||
+          plan.contains("SortAggregate"), plan)
+      }
+    }
+  }
+
   test("no query in the declared surface plans a CartesianProduct") {
     // the one plan shape that cannot survive a 100x scale-up
     graft.SparkEntry.queries.foreach { case (name, q) =>
