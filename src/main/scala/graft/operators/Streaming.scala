@@ -51,7 +51,7 @@ object Streaming {
 
   private val sinkTableNames = Seq(
     "stream_hour_counts_tbl", "stream_sliding_tbl", "stream_sessions_tbl",
-    "stream_state_sessions_tbl", "stream_append_tbl")
+    "stream_state_sessions_tbl", "stream_append_tbl", "stream_dedup_tbl")
 
   /** Memory-sink tables hold their full result in the driver for the
     * session's life; a long multi-query session (the bench) must drop
@@ -118,6 +118,29 @@ object Streaming {
       .orderBy(col("h"), col("event_type"))
   }
 
+  private val documentsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming-ingest exact dedup: documents deduplicated BY CONTENT as
+    * they arrive — the pipeline shape of "never admit a duplicate into
+    * the training corpus", with one state row per distinct text rather
+    * than a post-hoc batch pass over everything ever ingested. Output
+    * is the distinct text set (arrival-order-free, so the replay is
+    * deterministic and oracle-safe). On a truly unbounded stream the
+    * same plan runs as `dropDuplicatesWithinWatermark` so state expires
+    * with the watermark; the replay here is bounded, like the other
+    * AvailableNow queries. */
+  val stream_dedup: Q = (s, dir) => {
+    val docs = s.readStream.schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val distinct = docs.dropDuplicates("text").select(col("text"))
+    runToTable(s, distinct, "stream_dedup_tbl", "append")
+      .orderBy(col("text"))
+  }
+
   /** Custom state machine via mapGroupsWithState: per-user session
     * count with a 30-minute gap rule. */
   val stream_state_sessions: Q = (s, dir) => {
@@ -152,6 +175,7 @@ object Streaming {
     "stream_sessions" -> stream_sessions,
     "stream_state_sessions" -> stream_state_sessions,
     "stream_append" -> stream_append,
+    "stream_dedup" -> stream_dedup,
   )
 
   private val sessionIslands =
@@ -173,6 +197,8 @@ object Streaming {
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h, event_type,
         |  COUNT(*) AS cnt
         |FROM events GROUP BY h, event_type ORDER BY h, event_type""".stripMargin,
+    "stream_dedup" ->
+      "SELECT DISTINCT text FROM documents ORDER BY text",
     // append emits a window only once the watermark (max ts − 1 hour)
     // passes its END; the HAVING clause mirrors that emission rule
     "stream_append" ->

@@ -360,10 +360,11 @@ final class FitsPartitionReaderFactory(confProps: Array[(String, String)])
   override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
     new FitsPartitionReader(p.asInstanceOf[FitsInputPartition], hadoopConf)
 
-  /** Everything except bit-field (`nX`) columns reads vectorized
-    * (ColumnarBatch → the same ColumnarToRow path as Spark's parquet
-    * reader), including fixed-repeat array columns and image HDUs. The
-    * spec is identical across one scan's partitions, so the answer is
+  /** Everything except bit-field (`nX`) and TSCAL/TZERO-scaled columns
+    * reads vectorized (ColumnarBatch → the same ColumnarToRow path as
+    * Spark's parquet reader), including fixed-repeat array columns and
+    * image HDUs; scaled tables take the boxed row path. The spec is
+    * identical across one scan's partitions, so the answer is
     * scan-consistent. */
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
     case f: FitsInputPartition => f.spec match {

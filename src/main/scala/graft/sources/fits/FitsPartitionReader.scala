@@ -80,6 +80,11 @@ final class FitsPartitionReader(part: FitsInputPartition,
       case x: TForm.Bits =>
         (b, base) => new GenericArrayData(
           x.decode(b, base + off).asInstanceOf[Array[Any]])
+      case sc: TForm.Scaled if sc.isArray =>
+        (b, base) => new GenericArrayData(
+          sc.decode(b, base + off).asInstanceOf[Array[Any]])
+      case sc: TForm.Scaled =>
+        (b, base) => sc.decode(b, base + off)
       case _: TForm.Unsupported =>
         (_, _) => null
     }

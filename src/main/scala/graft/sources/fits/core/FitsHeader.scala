@@ -39,9 +39,12 @@ final case class FitsHeader(
   def getInt(key: String): Option[Int] = get(key).map(_.trim.toInt)
   def getLong(key: String): Option[Long] = get(key).map(_.trim.toLong)
   def getBoolean(key: String): Option[Boolean] = get(key).map(_.trim == "T")
+  def getDouble(key: String): Option[Double] = get(key).map(_.trim.toDouble)
 
   def intOr(key: String, default: Int): Int = getInt(key).getOrElse(default)
   def longOr(key: String, default: Long): Long = getLong(key).getOrElse(default)
+  def doubleOr(key: String, default: Double): Double =
+    getDouble(key).getOrElse(default)
 
   def contains(key: String): Boolean = values.contains(key)
 

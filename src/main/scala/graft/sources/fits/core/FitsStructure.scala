@@ -199,7 +199,10 @@ object FitsStructure {
     val cols = Vector.newBuilder[BintableColumn]
     var i = 1
     while (i <= nCols) {
-      val tform = TForm.parse(h.values.getOrElse(s"TFORM$i", ""))
+      // TSCALn/TZEROn linear scaling (beyond reference — see TForm.Scaled)
+      val tform = TForm.scaled(
+        TForm.parse(h.values.getOrElse(s"TFORM$i", "")),
+        h.doubleOr(s"TSCAL$i", 1.0), h.doubleOr(s"TZERO$i", 0.0))
       val name = h.values.getOrElse(s"TTYPE$i", s"col$i").trim
       cols += BintableColumn(name, tform, offset)
       offset += tform.byteWidth

@@ -121,6 +121,85 @@ object TForm {
       Array[Any](java.util.Arrays.copyOfRange(b, off, off + byteWidth))
   }
 
+  /** TSCALn/TZEROn linear scaling (FITS 4.0 §7.3.2): physical = TZERO +
+    * TSCAL × stored. Beyond-reference extension — the reference ignores
+    * both keywords and surfaces raw stored values, but the convention is
+    * how real archives store unsigned integers and calibrated counts.
+    *
+    * Type mapping: the integer sign conventions (TSCAL=1 with TZERO =
+    * −128 on `B`, 32768 on `I`, 2³¹ on `J`) decode with EXACT integer
+    * arithmetic into ByteType / IntegerType / LongType; any other
+    * scaling of a numeric column promotes to DoubleType (including
+    * unsigned `K`, whose 2⁶³ offset loses exactness above 2⁵³ — same
+    * float64 fallback as astropy). Stored `B` is unsigned per the
+    * standard for scaling purposes, independent of the signed-ByteType
+    * surface wart kept for reference compatibility on UNscaled columns.
+    */
+  final case class Scaled(inner: TForm, scale: Double, zero: Double)
+      extends TForm {
+    def raw: String = inner.raw
+    def byteWidth: Int = inner.byteWidth
+
+    private val (elem: ElemType, repeat: Int) = (inner: @unchecked) match {
+      case Scalar(_, e) => (e, 1)
+      case Vec(_, e, n) => (e, n)
+    }
+    def isArray: Boolean = repeat > 1
+
+    // exact integer conventions; None ⇒ general double scaling
+    private val widened: Option[DataType] = (elem, scale, zero) match {
+      case (ElemType.B, 1.0, -128.0) => Some(ByteType)
+      case (ElemType.I, 1.0, 32768.0) => Some(IntegerType)
+      case (ElemType.J, 1.0, 2147483648.0) => Some(LongType)
+      case _ => None
+    }
+    private val elemSparkType: DataType = widened.getOrElse(DoubleType)
+    def sparkType: DataType =
+      if (isArray) ArrayType(elemSparkType, containsNull = true)
+      else elemSparkType
+
+    private def storedDouble(b: Array[Byte], off: Int): Double = elem match {
+      case ElemType.B => (b(off) & 0xff).toDouble // unsigned per standard
+      case ElemType.I => ElemType.s16(b, off).toDouble
+      case ElemType.J => ElemType.i32(b, off).toDouble
+      case ElemType.K => ElemType.i64(b, off).toDouble
+      case ElemType.E =>
+        java.lang.Float.intBitsToFloat(ElemType.i32(b, off)).toDouble
+      case ElemType.D =>
+        java.lang.Double.longBitsToDouble(ElemType.i64(b, off))
+      case ElemType.L => if (b(off) == 'T'.toByte) 1.0 else 0.0
+    }
+
+    private def one(b: Array[Byte], off: Int): Any = widened match {
+      // physical = stored + TZERO, exact integer arithmetic (stored B is
+      // unsigned per the standard; I/J are signed two's complement)
+      case Some(ByteType) => ((b(off) & 0xff) - 128).toByte
+      case Some(IntegerType) => ElemType.s16(b, off) + 32768
+      case Some(LongType) => ElemType.i32(b, off).toLong + 2147483648L
+      case _ => zero + scale * storedDouble(b, off)
+    }
+
+    def decode(b: Array[Byte], off: Int): Any =
+      if (!isArray) one(b, off)
+      else {
+        val out = new Array[Any](repeat)
+        var i = 0
+        while (i < repeat) { out(i) = one(b, off + i * elem.width); i += 1 }
+        out
+      }
+  }
+
+  /** Wraps `t` in [[Scaled]] when non-trivial scaling applies and the
+    * column is numeric; logical/string/bit/undecoded columns ignore the
+    * keywords (the standard defines scaling for numeric fields only). */
+  def scaled(t: TForm, scale: Double, zero: Double): TForm =
+    if (scale == 1.0 && zero == 0.0) t
+    else t match {
+      case Scalar(_, e) if e != ElemType.L => Scaled(t, scale, zero)
+      case Vec(_, e, _) if e != ElemType.L => Scaled(t, scale, zero)
+      case other => other
+    }
+
   /** Variable-length (`P`/`Q`) and complex (`C`/`M`) descriptors are
     * not decoded (reference prints a warning and degrades,
     * FitsSchema.scala:70-75); we surface a null-valued string column so

@@ -110,6 +110,16 @@ class StreamingSpec extends SparkTestBase {
       s"state should hold only open windows, got $lastStateRows")
   }
 
+  test("streaming ingest dedup equals batch distinct-text set") {
+    val streamed = Streaming.stream_dedup(spark, sf0001)
+      .collect().map(_.getString(0))
+    val batch = Tables.load(spark, sf0001, "documents")
+      .select("text").distinct().collect().map(_.getString(0))
+    assert(streamed.length == batch.length)
+    assert(streamed.toSet == batch.toSet)
+    assert(streamed.sorted.sameElements(streamed), "output is sorted")
+  }
+
   test("stateful session count equals session-window session count") {
     val byState = Streaming.stream_state_sessions(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
