@@ -123,6 +123,8 @@ final class FitsColumnarReader(part: FitsInputPartition,
             child.putFloat(idx, java.lang.Float.intBitsToFloat(i32(o)))
           case ElemType.D =>
             child.putDouble(idx, java.lang.Double.longBitsToDouble(i64(o)))
+          case e: ElemType.ScaledElem => throw new IllegalStateException(
+            s"scaled element $e cannot take the vectorized path")
         }
         j += 1
       }
@@ -168,6 +170,8 @@ final class FitsColumnarReader(part: FitsInputPartition,
               v.putDouble(r, java.lang.Double.longBitsToDouble(i64(r * rowBytes + off)))
               r += 1
             }
+          case e: ElemType.ScaledElem => throw new IllegalStateException(
+            s"scaled element $e cannot take the vectorized path")
         }
       case TForm.Vec(_, elem, repeat) =>
         val child = v.arrayData()
@@ -190,6 +194,8 @@ final class FitsColumnarReader(part: FitsInputPartition,
                 child.putFloat(idx, java.lang.Float.intBitsToFloat(i32(o)))
               case ElemType.D =>
                 child.putDouble(idx, java.lang.Double.longBitsToDouble(i64(o)))
+              case e: ElemType.ScaledElem => throw new IllegalStateException(
+                s"scaled element $e cannot take the vectorized path")
             }
             j += 1
           }

@@ -373,7 +373,8 @@ final class FitsPartitionReaderFactory(confProps: Array[(String, String)])
              _: TForm.Unsupported => true
         case _ => false
       })
-      case _: DecodeSpec.Image => true
+      case img: DecodeSpec.Image =>
+        !img.elem.isInstanceOf[ElemType.ScaledElem]
     }
     case _ => false
   }

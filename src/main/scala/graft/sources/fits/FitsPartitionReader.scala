@@ -163,6 +163,8 @@ final class FitsPartitionReader(part: FitsInputPartition,
               java.lang.Float.intBitsToFloat(readInt(off)))
             case ElemType.D => w.write(i,
               java.lang.Double.longBitsToDouble(readLong(off)))
+            case e: ElemType.ScaledElem => throw new IllegalStateException(
+              s"scaled element $e cannot take the unsafe path")
           }
         case TForm.Str(_, len) =>
           w.write(i, UTF8String.fromString(

@@ -213,7 +213,7 @@ object FitsStructure {
 
   private def imageMeta(h: FitsHeader): HduMeta = {
     val bitpix = h.intOr("BITPIX", 8)
-    val elem = bitpix match {
+    val raw = bitpix match {
       case 8 => ElemType.B // sane ByteType (reference maps 8→Boolean slot)
       case 16 => ElemType.I
       case 32 => ElemType.J
@@ -223,6 +223,9 @@ object FitsStructure {
       case other => throw new IllegalArgumentException(
         s"Unsupported image BITPIX $other")
     }
+    // BSCALE/BZERO linear scaling (beyond reference — ElemType.ScaledElem)
+    val elem = ElemType.scaled(raw,
+      h.doubleOr("BSCALE", 1.0), h.doubleOr("BZERO", 0.0))
     val meta = HduMeta.Image(elem, h.axes)
     if (meta.nRows == 0) HduMeta.Opaque else meta
   }

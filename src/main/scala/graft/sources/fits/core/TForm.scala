@@ -67,6 +67,54 @@ object ElemType {
 
   val byCode: Map[Char, ElemType] =
     Seq(L, B, I, J, K, E, D).map(e => e.code -> e).toMap
+
+  /** BSCALE/BZERO-scaled image element (FITS 4.0 §4.4.2.5): physical =
+    * BZERO + BSCALE × stored. Same type rules as bintable TSCAL/TZERO
+    * (TForm.Scaled): integer sign conventions widen exactly, anything
+    * else promotes to double. Scaled images decode on the boxed row
+    * path — the vectorized reader declines them (FitsDataSource
+    * supportColumnarReads). Beyond reference, which ignores BSCALE. */
+  final case class ScaledElem(inner: ElemType, scale: Double, zero: Double)
+      extends ElemType {
+    def code: Char = inner.code
+    def width: Int = inner.width
+
+    private val widened: Option[DataType] = (inner, scale, zero) match {
+      case (B, 1.0, -128.0) => Some(ByteType)
+      case (I, 1.0, 32768.0) => Some(IntegerType)
+      case (J, 1.0, 2147483648.0) => Some(LongType)
+      case _ => None
+    }
+    def sparkType: DataType = widened.getOrElse(DoubleType)
+
+    def decode(b: Array[Byte], off: Int): Any = widened match {
+      // physical = stored + BZERO, exact integer arithmetic (stored B
+      // is unsigned per the standard; I/J are signed two's complement)
+      case Some(ByteType) => ((b(off) & 0xff) - 128).toByte
+      case Some(IntegerType) => s16(b, off) + 32768
+      case Some(LongType) => i32(b, off).toLong + 2147483648L
+      case _ =>
+        val stored = inner match {
+          case B => (b(off) & 0xff).toDouble // unsigned per standard
+          case I => s16(b, off).toDouble
+          case J => i32(b, off).toDouble
+          case K => i64(b, off).toDouble
+          case E => java.lang.Float.intBitsToFloat(i32(b, off)).toDouble
+          case D => java.lang.Double.longBitsToDouble(i64(b, off))
+          case other => throw new IllegalStateException(
+            s"unscalable element $other")
+        }
+        zero + scale * stored
+    }
+  }
+
+  /** Wraps `e` when non-trivial scaling applies (numeric elements only). */
+  def scaled(e: ElemType, scale: Double, zero: Double): ElemType =
+    if (scale == 1.0 && zero == 0.0) e
+    else e match {
+      case L | _: ScaledElem => e
+      case _ => ScaledElem(e, scale, zero)
+    }
 }
 
 /** A parsed TFORM: repeat count + element code.
@@ -168,6 +216,8 @@ object TForm {
       case ElemType.D =>
         java.lang.Double.longBitsToDouble(ElemType.i64(b, off))
       case ElemType.L => if (b(off) == 'T'.toByte) 1.0 else 0.0
+      case e: ElemType.ScaledElem => throw new IllegalStateException(
+        s"TForm.Scaled cannot wrap an already-scaled element $e")
     }
 
     private def one(b: Array[Byte], off: Int): Any = widened match {

@@ -69,6 +69,36 @@ class FitsScaledSpec extends SparkTestBase {
     f.toString
   }
 
+  // unsigned 16-bit image (BZERO=32768) — the most common archive format
+  private lazy val imageFile: String = {
+    val f = Files.createTempDirectory("fits-scaled-img").resolve("img.fits")
+    val out = new DataOutputStream(new FileOutputStream(f.toString))
+    try {
+      writeHeader(out, Seq(card("SIMPLE", "T"), card("BITPIX", "8"),
+        card("NAXIS", "0"), pad("END", 80)))
+      writeHeader(out, Seq(
+        card("XTENSION", "'IMAGE   '"), card("BITPIX", "16"),
+        card("NAXIS", "2"), card("NAXIS1", "4"), card("NAXIS2", "3"),
+        card("PCOUNT", "0"), card("GCOUNT", "1"),
+        card("BSCALE", "1"), card("BZERO", "32768"),
+        pad("END", 80)))
+      // stored[y][x] = (y*4+x) - 32768 → physical = y*4+x (unsigned)
+      (0 until 12).foreach(i => out.writeShort(i - 32768))
+      out.write(new Array[Byte](2880 - 24))
+    } finally out.close()
+    f.toString
+  }
+
+  test("BZERO=32768 image decodes as unsigned ints, line per row") {
+    val df = spark.read.format("fits").option("hdu", 1).load(imageFile)
+    assert(df.schema("Image").dataType.simpleString == "array<int>")
+    val rows = df.orderBy("ImgIndex").collect()
+    assert(rows.length == 3)
+    rows.zipWithIndex.foreach { case (r, y) =>
+      assert(r.getSeq[Int](0) == (0 until 4).map(x => y * 4 + x), s"line $y")
+    }
+  }
+
   test("integer sign conventions decode exactly with widened types") {
     val df = spark.read.format("fits").option("hdu", 1).load(file)
     val s = df.schema
