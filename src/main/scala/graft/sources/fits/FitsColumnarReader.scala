@@ -123,8 +123,7 @@ final class FitsColumnarReader(part: FitsInputPartition,
             child.putFloat(idx, java.lang.Float.intBitsToFloat(i32(o)))
           case ElemType.D =>
             child.putDouble(idx, java.lang.Double.longBitsToDouble(i64(o)))
-          case e: ElemType.ScaledElem => throw new IllegalStateException(
-            s"scaled element $e cannot take the vectorized path")
+          case se: ElemType.ScaledElem => putScaled(se, child, idx, o)
         }
         j += 1
       }
@@ -132,6 +131,21 @@ final class FitsColumnarReader(part: FitsInputPartition,
       r += 1
     }
   }
+
+  /** BSCALE/TSCAL-scaled element into a column vector, unboxed (the
+    * primitive-typed decoders on ScaledElem exist for exactly this). */
+  @inline private def putScaled(se: ElemType.ScaledElem,
+      v: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+      idx: Int, o: Int): Unit =
+    se.sparkType match {
+      case org.apache.spark.sql.types.ByteType =>
+        v.putByte(idx, se.decodeByteExact(buf, o))
+      case org.apache.spark.sql.types.IntegerType =>
+        v.putInt(idx, se.decodeIntExact(buf, o))
+      case org.apache.spark.sql.types.LongType =>
+        v.putLong(idx, se.decodeLongExact(buf, o))
+      case _ => v.putDouble(idx, se.decodeDouble(buf, o))
+    }
 
   private def fillColumn(col: BintableColumn, v: OnHeapColumnVector,
       chunkBase: Int, n: Int): Unit = {
@@ -171,7 +185,8 @@ final class FitsColumnarReader(part: FitsInputPartition,
               r += 1
             }
           case e: ElemType.ScaledElem => throw new IllegalStateException(
-            s"scaled element $e cannot take the vectorized path")
+            s"scaled element $e inside a raw Scalar — TForm.scaled wraps " +
+              "at the TForm level (TForm.Scaled), never inside Scalar")
         }
       case TForm.Vec(_, elem, repeat) =>
         val child = v.arrayData()
@@ -212,6 +227,25 @@ final class FitsColumnarReader(part: FitsInputPartition,
           while (from < until && (buf(from) & 0xff) <= 0x20) from += 1
           while (until > from && (buf(until - 1) & 0xff) <= 0x20) until -= 1
           v.putByteArray(r, buf, from, until - from)
+          r += 1
+        }
+      case sc: TForm.Scaled if !sc.isArray =>
+        var r = 0
+        while (r < n) { putScaled(sc.element, v, r, r * rowBytes + off); r += 1 }
+      case sc: TForm.Scaled =>
+        val child = v.arrayData()
+        val repeat = sc.repeat
+        child.reserve(n * repeat)
+        val w = sc.element.width
+        var r = 0
+        while (r < n) {
+          val rowOff = off + r * rowBytes
+          var j = 0
+          while (j < repeat) {
+            putScaled(sc.element, child, r * repeat + j, rowOff + j * w)
+            j += 1
+          }
+          v.putArray(r, r * repeat, repeat)
           r += 1
         }
       case _ =>

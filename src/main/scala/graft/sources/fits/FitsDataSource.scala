@@ -360,21 +360,20 @@ final class FitsPartitionReaderFactory(confProps: Array[(String, String)])
   override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
     new FitsPartitionReader(p.asInstanceOf[FitsInputPartition], hadoopConf)
 
-  /** Everything except bit-field (`nX`) and TSCAL/TZERO-scaled columns
-    * reads vectorized (ColumnarBatch → the same ColumnarToRow path as
-    * Spark's parquet reader), including fixed-repeat array columns and
-    * image HDUs; scaled tables take the boxed row path. The spec is
-    * identical across one scan's partitions, so the answer is
-    * scan-consistent. */
+  /** Everything except bit-field (`nX`) columns reads vectorized
+    * (ColumnarBatch → the same ColumnarToRow path as Spark's parquet
+    * reader), including fixed-repeat array columns, image HDUs, and
+    * TSCAL/TZERO/BSCALE-scaled data (unboxed via ScaledElem's
+    * primitive-typed decoders). The spec is identical across one scan's
+    * partitions, so the answer is scan-consistent. */
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
     case f: FitsInputPartition => f.spec match {
       case DecodeSpec.Bintable(cols) => cols.nonEmpty && cols.forall(_.tform match {
         case _: TForm.Scalar | _: TForm.Str | _: TForm.Vec |
-             _: TForm.Unsupported => true
+             _: TForm.Scaled | _: TForm.Unsupported => true
         case _ => false
       })
-      case img: DecodeSpec.Image =>
-        !img.elem.isInstanceOf[ElemType.ScaledElem]
+      case _: DecodeSpec.Image => true
     }
     case _ => false
   }

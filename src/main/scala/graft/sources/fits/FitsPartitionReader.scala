@@ -49,11 +49,12 @@ final class FitsPartitionReader(part: FitsInputPartition,
   }
 
   /** Unsafe path applies when every column is fixed-width scalar,
-    * string, or unsupported-null — no array output. */
+    * string, scaled-scalar, or unsupported-null — no array output. */
   private val useUnsafe: Boolean = bintableCols != null &&
     bintableCols.forall {
       _.tform match {
         case _: TForm.Scalar | _: TForm.Str | _: TForm.Unsupported => true
+        case sc: TForm.Scaled => !sc.isArray
         case _ => false
       }
     }
@@ -169,6 +170,16 @@ final class FitsPartitionReader(part: FitsInputPartition,
         case TForm.Str(_, len) =>
           w.write(i, UTF8String.fromString(
             new String(buf, off, len, "UTF-8").trim))
+        case sc: TForm.Scaled =>
+          sc.element.sparkType match {
+            case org.apache.spark.sql.types.ByteType =>
+              w.write(i, sc.element.decodeByteExact(buf, off))
+            case org.apache.spark.sql.types.IntegerType =>
+              w.write(i, sc.element.decodeIntExact(buf, off))
+            case org.apache.spark.sql.types.LongType =>
+              w.write(i, sc.element.decodeLongExact(buf, off))
+            case _ => w.write(i, sc.element.decodeDouble(buf, off))
+          }
         case _ => w.setNullAt(i)
       }
       i += 1

@@ -87,24 +87,33 @@ object ElemType {
     }
     def sparkType: DataType = widened.getOrElse(DoubleType)
 
+    // primitive-typed decoders (no boxing) for the vectorized reader;
+    // physical = stored + zero, exact integer arithmetic (stored B is
+    // unsigned per the standard; I/J are signed two's complement)
+    def decodeByteExact(b: Array[Byte], off: Int): Byte =
+      ((b(off) & 0xff) - 128).toByte
+    def decodeIntExact(b: Array[Byte], off: Int): Int = s16(b, off) + 32768
+    def decodeLongExact(b: Array[Byte], off: Int): Long =
+      i32(b, off).toLong + 2147483648L
+    def decodeDouble(b: Array[Byte], off: Int): Double = {
+      val stored = inner match {
+        case B => (b(off) & 0xff).toDouble // unsigned per standard
+        case I => s16(b, off).toDouble
+        case J => i32(b, off).toDouble
+        case K => i64(b, off).toDouble
+        case E => java.lang.Float.intBitsToFloat(i32(b, off)).toDouble
+        case D => java.lang.Double.longBitsToDouble(i64(b, off))
+        case other => throw new IllegalStateException(
+          s"unscalable element $other")
+      }
+      zero + scale * stored
+    }
+
     def decode(b: Array[Byte], off: Int): Any = widened match {
-      // physical = stored + BZERO, exact integer arithmetic (stored B
-      // is unsigned per the standard; I/J are signed two's complement)
-      case Some(ByteType) => ((b(off) & 0xff) - 128).toByte
-      case Some(IntegerType) => s16(b, off) + 32768
-      case Some(LongType) => i32(b, off).toLong + 2147483648L
-      case _ =>
-        val stored = inner match {
-          case B => (b(off) & 0xff).toDouble // unsigned per standard
-          case I => s16(b, off).toDouble
-          case J => i32(b, off).toDouble
-          case K => i64(b, off).toDouble
-          case E => java.lang.Float.intBitsToFloat(i32(b, off)).toDouble
-          case D => java.lang.Double.longBitsToDouble(i64(b, off))
-          case other => throw new IllegalStateException(
-            s"unscalable element $other")
-        }
-        zero + scale * stored
+      case Some(ByteType) => decodeByteExact(b, off)
+      case Some(IntegerType) => decodeIntExact(b, off)
+      case Some(LongType) => decodeLongExact(b, off)
+      case _ => decodeDouble(b, off)
     }
   }
 
@@ -188,53 +197,29 @@ object TForm {
     def raw: String = inner.raw
     def byteWidth: Int = inner.byteWidth
 
-    private val (elem: ElemType, repeat: Int) = (inner: @unchecked) match {
+    private val (elem: ElemType, rep: Int) = (inner: @unchecked) match {
       case Scalar(_, e) => (e, 1)
       case Vec(_, e, n) => (e, n)
     }
-    def isArray: Boolean = repeat > 1
+    def isArray: Boolean = rep > 1
+    def repeat: Int = rep
 
-    // exact integer conventions; None ⇒ general double scaling
-    private val widened: Option[DataType] = (elem, scale, zero) match {
-      case (ElemType.B, 1.0, -128.0) => Some(ByteType)
-      case (ElemType.I, 1.0, 32768.0) => Some(IntegerType)
-      case (ElemType.J, 1.0, 2147483648.0) => Some(LongType)
-      case _ => None
-    }
-    private val elemSparkType: DataType = widened.getOrElse(DoubleType)
+    /** single scaling implementation, shared with the image path and
+      * usable unboxed by the vectorized reader */
+    val element: ElemType.ScaledElem = ElemType.ScaledElem(elem, scale, zero)
+
     def sparkType: DataType =
-      if (isArray) ArrayType(elemSparkType, containsNull = true)
-      else elemSparkType
-
-    private def storedDouble(b: Array[Byte], off: Int): Double = elem match {
-      case ElemType.B => (b(off) & 0xff).toDouble // unsigned per standard
-      case ElemType.I => ElemType.s16(b, off).toDouble
-      case ElemType.J => ElemType.i32(b, off).toDouble
-      case ElemType.K => ElemType.i64(b, off).toDouble
-      case ElemType.E =>
-        java.lang.Float.intBitsToFloat(ElemType.i32(b, off)).toDouble
-      case ElemType.D =>
-        java.lang.Double.longBitsToDouble(ElemType.i64(b, off))
-      case ElemType.L => if (b(off) == 'T'.toByte) 1.0 else 0.0
-      case e: ElemType.ScaledElem => throw new IllegalStateException(
-        s"TForm.Scaled cannot wrap an already-scaled element $e")
-    }
-
-    private def one(b: Array[Byte], off: Int): Any = widened match {
-      // physical = stored + TZERO, exact integer arithmetic (stored B is
-      // unsigned per the standard; I/J are signed two's complement)
-      case Some(ByteType) => ((b(off) & 0xff) - 128).toByte
-      case Some(IntegerType) => ElemType.s16(b, off) + 32768
-      case Some(LongType) => ElemType.i32(b, off).toLong + 2147483648L
-      case _ => zero + scale * storedDouble(b, off)
-    }
+      if (isArray) ArrayType(element.sparkType, containsNull = true)
+      else element.sparkType
 
     def decode(b: Array[Byte], off: Int): Any =
-      if (!isArray) one(b, off)
+      if (!isArray) element.decode(b, off)
       else {
-        val out = new Array[Any](repeat)
+        val out = new Array[Any](rep)
         var i = 0
-        while (i < repeat) { out(i) = one(b, off + i * elem.width); i += 1 }
+        while (i < rep) {
+          out(i) = element.decode(b, off + i * elem.width); i += 1
+        }
         out
       }
   }

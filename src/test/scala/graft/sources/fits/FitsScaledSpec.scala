@@ -135,6 +135,35 @@ class FitsScaledSpec extends SparkTestBase {
     }
   }
 
+  // a bit-field (nX) column forces the boxed row path — the scaled
+  // decode must agree with the vectorized answer there too
+  test("scaled columns decode identically on the boxed row path") {
+    val f = Files.createTempDirectory("fits-scaled-row").resolve("row.fits")
+    val rb = 2 + 1 // u16(I) + bits(8X)
+    val out = new DataOutputStream(new FileOutputStream(f.toString))
+    try {
+      writeHeader(out, Seq(card("SIMPLE", "T"), card("BITPIX", "8"),
+        card("NAXIS", "0"), pad("END", 80)))
+      writeHeader(out, Seq(
+        card("XTENSION", "'BINTABLE'"),
+        card("BITPIX", "8"), card("NAXIS", "2"),
+        card("NAXIS1", rb.toString), card("NAXIS2", "50"),
+        card("PCOUNT", "0"), card("GCOUNT", "1"), card("TFIELDS", "2"),
+        card("TTYPE1", "'u16     '"), card("TFORM1", "'I       '"),
+        card("TSCAL1", "1"), card("TZERO1", "32768"),
+        card("TTYPE2", "'flags   '"), card("TFORM2", "'8X      '"),
+        pad("END", 80)))
+      (0 until 50).foreach { i =>
+        out.writeShort(i * 7 - 32768); out.writeByte(i)
+      }
+      val dataLen = rb.toLong * 50
+      out.write(new Array[Byte](((dataLen + 2879) / 2880 * 2880 - dataLen).toInt))
+    } finally out.close()
+    val df = spark.read.format("fits").option("hdu", 1).load(f.toString)
+    val vals = df.select("u16").orderBy("u16").collect().map(_.getInt(0))
+    assert(vals.toSeq == (0 until 50).map(_ * 7))
+  }
+
   test("unscaled sibling column and pruning are untouched") {
     val df = spark.read.format("fits").option("hdu", 1).load(file)
     assert(df.schema("raw").dataType.typeName == "short")
