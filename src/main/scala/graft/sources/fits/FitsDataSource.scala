@@ -119,7 +119,8 @@ final class FitsTable(res: FitsResolution, userSchema: Option[StructType])
   override def name(): String = s"fits:${res.pathSpec}@hdu${res.hduIndex}"
   override def schema(): StructType = userSchema.getOrElse(res.inferredSchema)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new FitsScanBuilder(res, schema())
 }
@@ -217,7 +218,13 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
       s"cols=${required.fieldNames.mkString(",")}" +
       limit.map(l => s" limit=$l").getOrElse("")
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    planFor(res.files)
+
+  /** Plans row-aligned partitions for `files` — shared by the batch
+    * path (all resolved files) and the micro-batch stream (only the
+    * files new to the current batch). */
+  private[fits] def planFor(files: Seq[Path]): Array[InputPartition] = {
     val session = SparkSession.active
     val conf = session.sessionState.conf
     // Positional pruning: user-supplied schemas rename columns, so map
@@ -230,7 +237,7 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
     // walk (a few KB of reads) per file. The reference re-walks every
     // file inside every task instead (FitsLib.scala:181-202).
     val fileMetas: Seq[(Path, Vector[Hdu])] =
-      FitsFiles.parMap(res.files, 16)(p => p -> res.scanFile(p))
+      FitsFiles.parMap(files, 16)(p => p -> res.scanFile(p))
 
     val firstSchema = res.inferredSchema
     // Same split sizing as Spark's own file sources: honor
@@ -315,6 +322,69 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
       .map(e => (e.getKey, e.getValue)).toArray
     new FitsPartitionReaderFactory(props)
   }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new FitsMicroBatchStream(this, res)
+}
+
+/** Offset of the FITS micro-batch stream: the set of files already
+  * processed, as a sorted JSON list. Self-describing, so restarts
+  * recover exactly-once semantics from the checkpointed offset alone —
+  * no reliance on listing order or modification times (Spark's own
+  * file source keeps a separate compacted file log for the same
+  * reason; at this source's scale the offset IS the log). */
+final case class FitsStreamOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+    org.json4s.jackson.Serialization.write(files.sorted)
+  }
+}
+
+/** Micro-batch streaming over an append-only directory of FITS files
+  * (`spark.readStream.format("fits")`): each batch reads exactly the
+  * files not yet committed, planned with the SAME driver-side
+  * row-aligned partitioner as the batch path. The reference has no
+  * streaming surface at all — this is the alert-stream ingestion shape
+  * (new exposures land as files; downstream watermarked aggregations
+  * consume them incrementally).
+  *
+  * Assumes files are immutable once visible (the standard file-stream
+  * contract); deletions after commit are fine. */
+final class FitsMicroBatchStream(scan: FitsScan, res: FitsResolution)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with Logging {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => StreamOffset}
+
+  override def initialOffset(): StreamOffset = FitsStreamOffset(Nil)
+
+  override def latestOffset(): StreamOffset = {
+    val files =
+      try FitsFiles.resolve(res.pathSpec, res.hadoopConf).map(_.toString)
+      catch { case _: IllegalArgumentException => Nil } // empty dir (yet)
+    FitsStreamOffset(files.sorted)
+  }
+
+  override def deserializeOffset(json: String): StreamOffset = {
+    implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+    FitsStreamOffset(org.json4s.jackson.Serialization.read[Seq[String]](json))
+  }
+
+  override def planInputPartitions(start: StreamOffset,
+      end: StreamOffset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[FitsStreamOffset].files.toSet
+    val fresh = end.asInstanceOf[FitsStreamOffset].files
+      .filterNot(seen).sorted.map(new Path(_))
+    if (fresh.isEmpty) Array.empty
+    else scan.planFor(fresh)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
+
+  override def commit(end: StreamOffset): Unit = () // files are immutable
+  override def stop(): Unit = ()
 }
 
 /** What an executor needs to decode its slice — fully serialized, no
