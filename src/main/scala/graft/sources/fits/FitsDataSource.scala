@@ -46,7 +46,10 @@ class FitsDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val res = FitsResolution(properties.asScala.toMap)
-    new FitsTable(res, Option(schema).filter(_ != res.inferredSchema))
+    // the inferred-schema comparison must not force file resolution:
+    // a write targets a directory that may not exist yet
+    new FitsTable(res, Option(schema).filter(s =>
+      scala.util.Try(res.inferredSchema).map(_ != s).getOrElse(true)))
   }
 }
 
@@ -58,7 +61,10 @@ final case class FitsResolution(options: Map[String, String]) {
 
   val pathSpec: String = ci.getOrElse("path",
     throw new IllegalArgumentException("'path' must be specified"))
-  val hduIndex: Int = ci.getOrElse("hdu",
+  // lazy: the write path needs no HDU; every read path forces it up
+  // front (schema inference / scan planning), keeping the eager-error
+  // parity with the reference for reads
+  lazy val hduIndex: Int = ci.getOrElse("hdu",
     throw new IllegalArgumentException(
       "You need to specify the HDU to be read! Set the 'hdu' option.")).toInt
   val mode: String = ci.getOrElse("mode", "PERMISSIVE").toUpperCase
@@ -115,14 +121,20 @@ final case class FitsResolution(options: Map[String, String]) {
 }
 
 final class FitsTable(res: FitsResolution, userSchema: Option[StructType])
-    extends Table with SupportsRead {
-  override def name(): String = s"fits:${res.pathSpec}@hdu${res.hduIndex}"
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  override def name(): String = s"fits:${res.pathSpec}"
   override def schema(): StructType = userSchema.getOrElse(res.inferredSchema)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new FitsScanBuilder(res, schema())
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new FitsWriteBuilder(res, info)
 }
 
 final class FitsScanBuilder(res: FitsResolution, tableSchema: StructType)

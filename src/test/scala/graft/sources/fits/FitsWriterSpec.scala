@@ -1,0 +1,89 @@
+package graft.sources.fits
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** FITS batch write (beyond reference): part-file-per-partition layout
+  * that reads straight back through this source's multi-file union. */
+class FitsWriterSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def roundTrip(dir: String) =
+    spark.read.format("fits").option("hdu", 1).load(dir)
+
+  test("write/read round-trip preserves every supported type") {
+    val dir = Files.createTempDirectory("fits-write").toString + "/t1"
+    val df = (0 until 500).map { i =>
+      (i.toLong, i, (i % 100).toShort, i.toByte, i % 3 == 0,
+        i * 1.5f, i * 2.5, s"name-$i")
+    }.toDF("k", "j", "i16", "b", "flag", "e", "d", "s")
+    df.write.format("fits").mode("append").save(dir)
+
+    val back = roundTrip(dir)
+    assert(back.schema.map(f => (f.name, f.dataType.typeName)).toSeq ==
+      Seq("k" -> "long", "j" -> "integer", "i16" -> "short", "b" -> "byte",
+        "flag" -> "boolean", "e" -> "float", "d" -> "double", "s" -> "string"))
+    assert(back.count() == 500)
+    val got = back.collect().map(r => (r.getLong(0), r.getInt(1), r.getShort(2),
+      r.getByte(3), r.getBoolean(4), r.getFloat(5), r.getDouble(6),
+      r.getString(7))).toSet
+    val want = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getShort(2),
+      r.getByte(3), r.getBoolean(4), r.getFloat(5), r.getDouble(6),
+      r.getString(7))).toSet
+    assert(got == want)
+  }
+
+  test("multi-partition write yields one part file each; union reads whole") {
+    val dir = Files.createTempDirectory("fits-write").toString + "/t2"
+    spark.range(0, 1000).select(col("id"), (col("id") * 2).as("v"))
+      .repartition(4)
+      .write.format("fits").mode("append").save(dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".fits"))
+    assert(files.length == 4)
+    val back = roundTrip(dir)
+    assert(back.count() == 1000)
+    assert(back.agg(sum("v")).head.getLong(0) == (0L until 1000L).map(_ * 2).sum)
+  }
+
+  test("append adds files; overwrite replaces them") {
+    val dir = Files.createTempDirectory("fits-write").toString + "/t3"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+      .coalesce(1).write.format("fits").mode("append").save(dir)
+    Seq((3L, "c")).toDF("id", "tag")
+      .coalesce(1).write.format("fits").mode("append").save(dir)
+    assert(roundTrip(dir).count() == 3)
+    Seq((9L, "z")).toDF("id", "tag")
+      .coalesce(1).write.format("fits").mode("overwrite").save(dir)
+    val rows = roundTrip(dir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((9L, "z")))
+  }
+
+  test("nulls write as zero / empty string; unsupported types error clearly") {
+    val dir = Files.createTempDirectory("fits-write").toString + "/t4"
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(null, null), Row(5L, "x")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+    df.write.format("fits").mode("append").save(dir)
+    val got = roundTrip(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((0L, ""), (5L, "x")))
+
+    val bad = Seq((1L, Array(1f, 2f))).toDF("id", "vec")
+    val e = intercept[Exception] {
+      bad.write.format("fits").mode("append")
+        .save(Files.createTempDirectory("fits-write").toString + "/t5")
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("FITS write does not support")), e)
+  }
+}
