@@ -67,6 +67,45 @@ final class FitsWriteBuilder(res: FitsResolution, info: LogicalWriteInfo)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new FitsBatchWrite(res, info.schema(), doTruncate)
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new FitsStreamingWrite(res, info.schema())
+  }
+}
+
+/** Streaming sink: each epoch's partitions land as epoch-tagged part
+  * files in the target directory (append semantics; at-least-once on
+  * recovery, like any non-transactional file sink — replayed epochs
+  * write new uniquely-named files). Combined with the micro-batch
+  * source this closes the loop: FITS dir → stream transform → FITS dir. */
+final class FitsStreamingWrite(res: FitsResolution, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  FitsWriteSupport.validate(schema)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val dir = new Path(res.pathSpec)
+    dir.getFileSystem(res.hadoopConf).mkdirs(dir)
+    import scala.jdk.CollectionConverters._
+    val props = res.hadoopConf.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+    val pathSpec = res.pathSpec
+    val s = schema
+    new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[InternalRow] =
+        new FitsDataWriter(pathSpec, s, partitionId, taskId, props,
+          nameTag = s"e$epochId")
+    }
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(res.pathSpec).getFileSystem(res.hadoopConf)
+    messages.collect { case m: FitsWriteCommitted => m }
+      .foreach(m => fs.delete(new Path(m.file), false))
   }
 }
 
@@ -111,7 +150,8 @@ final class FitsDataWriterFactory(dirSpec: String, schema: StructType,
 }
 
 final class FitsDataWriter(dirSpec: String, schema: StructType,
-    partitionId: Int, taskId: Long, confProps: Array[(String, String)])
+    partitionId: Int, taskId: Long, confProps: Array[(String, String)],
+    nameTag: String = "")
     extends DataWriter[InternalRow] {
   import FitsWriteSupport._
 
@@ -157,8 +197,9 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
       if (w >= 0) w else strWidth(i)
     }
     val rowBytes = widths.sum
+    val tag = if (nameTag.isEmpty) "" else s"-$nameTag"
     val file = new Path(dirSpec,
-      f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.fits")
+      f"part-$partitionId%05d-$taskId$tag%s-${UUID.randomUUID().toString.take(8)}.fits")
     val conf = new Configuration()
     confProps.foreach { case (k, v) => conf.set(k, v) }
     val out = file.getFileSystem(conf).create(file, false)

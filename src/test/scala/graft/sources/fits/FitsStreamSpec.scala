@@ -16,6 +16,33 @@ class FitsStreamSpec extends SparkTestBase {
   private val rowsPerFile = 100L
   private val sumPerFile = 4950.0
 
+  test("full FITS streaming loop: dir -> stream transform -> dir -> batch read") {
+    val src = Files.createTempDirectory("fits-loop-src").toString
+    val dst = Files.createTempDirectory("fits-loop-dst").toString + "/out"
+    val ckpt = Files.createTempDirectory("fits-loop-ckpt").toString
+    graft.examples.FitsBench.generate(s"$src/a.fits", rowsPerFile)
+    graft.examples.FitsBench.generate(s"$src/b.fits", rowsPerFile)
+
+    val q = spark.readStream.format("fits").option("hdu", 1).load(src)
+      .withColumn("doubled",
+        org.apache.spark.sql.functions.col("x") * 2.0f)
+      .writeStream.format("fits")
+      .option("path", dst)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val back = spark.read.format("fits").option("hdu", 1).load(dst)
+    assert(back.columns.toSeq == Seq("x", "doubled"))
+    assert(back.count() == 2 * rowsPerFile)
+    val sums = back.agg(
+      org.apache.spark.sql.functions.sum("x"),
+      org.apache.spark.sql.functions.sum("doubled")).collect().head
+    assert(sums.getDouble(0) == 2 * sumPerFile)
+    assert(sums.getDouble(1) == 4 * sumPerFile)
+  }
+
   test("streaming FITS source reads each file exactly once across restarts") {
     val dir = Files.createTempDirectory("fits-stream").toString
     val ckpt = Files.createTempDirectory("fits-stream-ckpt").toString
