@@ -32,9 +32,16 @@ import org.apache.spark.sql.types._
   * string nulls as empty — FITS binary tables have no native null
   * representation (the TNULLn convention is integer-only). */
 object FitsWriteSupport {
+  /** Right-pad WITHOUT truncation — an over-long column name must fail
+    * the 80-byte card check below, not be silently chopped. */
   def pad(s: String, n: Int): String =
-    if (s.length >= n) s.take(n) else s + " " * (n - s.length)
-  def card(k: String, v: String): String = pad(pad(k, 8) + "= " + pad(v, 20), 80)
+    if (s.length >= n) s else s + " " * (n - s.length)
+  def card(k: String, v: String): String = {
+    val c = pad(pad(k, 8) + "= " + pad(v, 20), 80)
+    require(c.length == 80,
+      s"FITS header card overflows 80 bytes: $k = $v")
+    c
+  }
 
   def headerBlock(cards: Seq[String]): Array[Byte] = {
     val s = cards.mkString
@@ -42,19 +49,32 @@ object FitsWriteSupport {
     padded.getBytes("US-ASCII")
   }
 
-  /** (TFORM code, fixed byte width; strings resolve width at commit). */
-  def elemOf(dt: DataType): (Char, Int) = dt match {
-    case BooleanType => ('L', 1)
-    case ByteType => ('B', 1)
-    case ShortType => ('I', 2)
-    case IntegerType => ('J', 4)
-    case LongType => ('K', 8)
-    case FloatType => ('E', 4)
-    case DoubleType => ('D', 8)
-    case StringType => ('A', -1)
+  /** One column's write shape. `elemWidth == -1` ⇒ string (width
+    * resolved at commit); `isArray` ⇒ fixed-repeat FITS vector whose
+    * repeat is locked by the first row written. */
+  final case class ColSpec(code: Char, elemWidth: Int, isArray: Boolean,
+      elemType: DataType)
+
+  def elemOf(dt: DataType): ColSpec = dt match {
+    case BooleanType => ColSpec('L', 1, isArray = false, dt)
+    case ByteType => ColSpec('B', 1, isArray = false, dt)
+    case ShortType => ColSpec('I', 2, isArray = false, dt)
+    case IntegerType => ColSpec('J', 4, isArray = false, dt)
+    case LongType => ColSpec('K', 8, isArray = false, dt)
+    case FloatType => ColSpec('E', 4, isArray = false, dt)
+    case DoubleType => ColSpec('D', 8, isArray = false, dt)
+    case StringType => ColSpec('A', -1, isArray = false, dt)
+    case ArrayType(et, _) =>
+      val inner = elemOf(et)
+      if (inner.isArray || inner.code == 'A')
+        throw new IllegalArgumentException(
+          s"FITS write supports arrays of fixed-width scalars only, " +
+            s"got array<${et.simpleString}>")
+      inner.copy(isArray = true)
     case other => throw new IllegalArgumentException(
       s"FITS write does not support column type ${other.simpleString} — " +
-        "supported: boolean, byte, short, int, long, float, double, string")
+        "supported: boolean, byte, short, int, long, float, double, string, " +
+        "array of those scalars (fixed length per column)")
   }
 
   def validate(schema: StructType): Unit = schema.fields.foreach(f => elemOf(f.dataType))
@@ -156,35 +176,61 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
   import FitsWriteSupport._
 
   private val fields = schema.fields
-  private val elems: Array[(Char, Int)] = fields.map(f => elemOf(f.dataType))
+  private val elems: Array[ColSpec] = fields.map(f => elemOf(f.dataType))
   private val strWidth: Array[Int] = Array.fill(fields.length)(1)
+  // fixed FITS vector repeat per array column, locked by the first row
+  private val repeat: Array[Int] = Array.fill(fields.length)(-1)
   private var nRows = 0L
 
   private val tmp: File = File.createTempFile("fits-write-spill", ".bin")
   private val spill = new DataOutputStream(
     new BufferedOutputStream(new FileOutputStream(tmp), 1 << 20))
 
+  private def writeScalar(dt: DataType, nul: Boolean, get: => Any): Unit =
+    dt match {
+      // FITS logical stores ASCII 'T'/'F' bytes, not 1/0
+      case BooleanType =>
+        spill.writeByte(if (!nul && get.asInstanceOf[Boolean]) 'T' else 'F')
+      case ByteType => spill.writeByte(if (nul) 0 else get.asInstanceOf[Byte])
+      case ShortType =>
+        spill.writeShort(if (nul) 0 else get.asInstanceOf[Short])
+      case IntegerType => spill.writeInt(if (nul) 0 else get.asInstanceOf[Int])
+      case LongType => spill.writeLong(if (nul) 0L else get.asInstanceOf[Long])
+      case FloatType =>
+        spill.writeFloat(if (nul) 0f else get.asInstanceOf[Float])
+      case DoubleType =>
+        spill.writeDouble(if (nul) 0d else get.asInstanceOf[Double])
+      case other => throw new IllegalStateException(other.simpleString)
+    }
+
   override def write(row: InternalRow): Unit = {
     var i = 0
     while (i < fields.length) {
       val nul = row.isNullAt(i)
+      val spec = elems(i)
       fields(i).dataType match {
-        // FITS logical stores ASCII 'T'/'F' bytes, not 1/0
-        case BooleanType =>
-          spill.writeByte(if (!nul && row.getBoolean(i)) 'T' else 'F')
-        case ByteType => spill.writeByte(if (nul) 0 else row.getByte(i))
-        case ShortType => spill.writeShort(if (nul) 0 else row.getShort(i))
-        case IntegerType => spill.writeInt(if (nul) 0 else row.getInt(i))
-        case LongType => spill.writeLong(if (nul) 0L else row.getLong(i))
-        case FloatType => spill.writeFloat(if (nul) 0f else row.getFloat(i))
-        case DoubleType => spill.writeDouble(if (nul) 0d else row.getDouble(i))
         case StringType =>
           val b =
             if (nul) Array.emptyByteArray else row.getUTF8String(i).getBytes
           if (b.length > strWidth(i)) strWidth(i) = b.length
           spill.writeInt(b.length)
           spill.write(b)
-        case other => throw new IllegalStateException(other.simpleString)
+        case ArrayType(et, _) =>
+          if (nul) throw new IllegalArgumentException(
+            s"null array in column '${fields(i).name}' — FITS vectors are " +
+              "fixed-width and have no null representation")
+          val arr = row.getArray(i)
+          val n = arr.numElements()
+          if (repeat(i) == -1) repeat(i) = n
+          else if (repeat(i) != n) throw new IllegalArgumentException(
+            s"column '${fields(i).name}': FITS vector columns are fixed-" +
+              s"length; first row had ${repeat(i)} elements, this row has $n")
+          var j = 0
+          while (j < n) {
+            writeScalar(et, nul = arr.isNullAt(j), arr.get(j, et))
+            j += 1
+          }
+        case dt => writeScalar(dt, nul, row.get(i, dt))
       }
       i += 1
     }
@@ -193,8 +239,10 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
 
   override def commit(): WriterCommitMessage = {
     spill.close()
-    val widths: Array[Int] = elems.zipWithIndex.map { case ((_, w), i) =>
-      if (w >= 0) w else strWidth(i)
+    val widths: Array[Int] = elems.zipWithIndex.map { case (spec, i) =>
+      if (spec.isArray) spec.elemWidth * math.max(repeat(i), 0)
+      else if (spec.elemWidth >= 0) spec.elemWidth
+      else strWidth(i)
     }
     val rowBytes = widths.sum
     val tag = if (nameTag.isEmpty) "" else s"-$nameTag"
@@ -209,8 +257,11 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
       out.write(headerBlock(Seq(card("SIMPLE", "T"), card("BITPIX", "8"),
         card("NAXIS", "0"), pad("END", 80))))
       val colCards = fields.toSeq.zipWithIndex.flatMap { case (f, i) =>
-        val (code, _) = elems(i)
-        val tform = if (code == 'A') s"${widths(i)}A" else code.toString
+        val spec = elems(i)
+        val tform =
+          if (spec.isArray) s"${math.max(repeat(i), 0)}${spec.code}"
+          else if (spec.code == 'A') s"${widths(i)}A"
+          else spec.code.toString
         Seq(card(s"TTYPE${i + 1}", "'" + pad(f.name, 8) + "'"),
           card(s"TFORM${i + 1}", "'" + pad(tform, 8) + "'"))
       }
@@ -223,12 +274,12 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
       // replay the spill: numerics are already big-endian (DataOutput),
       // strings get right-padded with ASCII spaces to their column width
       var r = 0L
-      val copyBuf = new Array[Byte](8)
+      val copyBuf = new Array[Byte](8192)
       while (r < nRows) {
         var i = 0
         while (i < fields.length) {
-          val (code, w) = elems(i)
-          if (code == 'A') {
+          val spec = elems(i)
+          if (!spec.isArray && spec.code == 'A') {
             val len = in.readInt()
             val b = new Array[Byte](len)
             in.readFully(b)
@@ -236,8 +287,14 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
             var p = len
             while (p < widths(i)) { out.write(' '); p += 1 }
           } else {
-            in.readFully(copyBuf, 0, w)
-            out.write(copyBuf, 0, w)
+            // scalar or fixed-repeat vector: raw big-endian copy
+            var remaining = widths(i)
+            while (remaining > 0) {
+              val take = math.min(remaining, copyBuf.length)
+              in.readFully(copyBuf, 0, take)
+              out.write(copyBuf, 0, take)
+              remaining -= take
+            }
           }
           i += 1
         }

@@ -77,13 +77,52 @@ class FitsWriterSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == Set((0L, ""), (5L, "x")))
 
-    val bad = Seq((1L, Array(1f, 2f))).toDF("id", "vec")
+    val bad = Seq((1L, Array("a", "b"))).toDF("id", "tags")
     val e = intercept[Exception] {
       bad.write.format("fits").mode("append")
         .save(Files.createTempDirectory("fits-write").toString + "/t5")
     }
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(_.contains("FITS write does not support")), e)
+    assert(messages(e).exists(m =>
+      m.contains("arrays of fixed-width scalars only")), e)
+  }
+
+  test("embeddings round-trip to FITS vectors; similarity runs on FITS storage") {
+    val dir = Files.createTempDirectory("fits-write").toString + "/emb"
+    val src = spark.read.parquet(s"$sf001/embeddings.parquet").limit(200)
+    src.write.format("fits").mode("append").save(dir)
+
+    val back = roundTrip(dir)
+    assert(back.schema("embedding").dataType.simpleString == "array<float>")
+    assert(back.count() == 200)
+    // exact element-level round-trip
+    val a = src.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b = back.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(a == b)
+    // the similarity surface runs unchanged over FITS-backed vectors
+    import graft.functions.VectorFunctions
+    val q = back.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val top = back.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        VectorFunctions.cosine_sim(col("q_emb"), col("embedding")).as("sim"))
+      .orderBy(col("sim").desc).limit(3).collect()
+    assert(top.length == 3 && top.forall(r => !r.getDouble(1).isNaN))
+  }
+
+  test("ragged array lengths fail with a clear fixed-width error") {
+    val dir = Files.createTempDirectory("fits-write").toString + "/ragged"
+    val df = Seq((1L, Array(1f, 2f)), (2L, Array(1f, 2f, 3f))).toDF("id", "v")
+      .coalesce(1)
+    val e = intercept[Exception] {
+      df.write.format("fits").mode("append").save(dir)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("fixed-length")), e)
   }
 }
