@@ -365,6 +365,22 @@ object Relational {
         $"sc.n".as("sc_n"))
       .orderBy($"event_type")
 
+  /** Skew-salted shuffle join surfaced as a driver-gated query: the
+    * large side salted over 8 buckets, the dimension replicated 8× —
+    * result provably identical to the plain join (hash-matched against
+    * the unsalted SQL), while each hot supplier key spreads across 8
+    * reducers instead of one. */
+  val q22_skewjoin: Q = (s, dir) =>
+    SkewJoin.salted(
+      t(s, dir, "lineitem")
+        .select($"l_suppkey".as("suppkey"), $"l_quantity"),
+      t(s, dir, "supplier")
+        .select($"s_suppkey".as("suppkey"), $"s_name"),
+      "suppkey", salts = 8)
+      .groupBy($"s_name")
+      .agg(sum($"l_quantity").as("sum_qty"))
+      .orderBy($"s_name")
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -401,6 +417,7 @@ object Relational {
     "q20_expr" -> q20_expr,
     "q21_stddev" -> q21_stddev,
     "q21_sigmaclip" -> q21_sigmaclip,
+    "q22_skewjoin" -> q22_skewjoin,
   )
 
   /** DuckDB-compatible oracle SQL. Keys mirror `queries`; column aliases
@@ -425,6 +442,12 @@ object Relational {
         |FROM lineitem""".stripMargin,
     "q05_distinct" ->
       "SELECT COUNT(DISTINCT l_suppkey) AS n_supp FROM lineitem",
+    // oracle is the UNSALTED join — hash equality IS the proof that the
+    // salt+replicate rewrite preserves join semantics exactly
+    "q22_skewjoin" ->
+      """SELECT s_name, SUM(l_quantity) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
     "q06_groupby" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
         |  SUM(l_quantity) AS sum_qty,
