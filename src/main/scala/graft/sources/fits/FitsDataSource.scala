@@ -222,10 +222,46 @@ final case class FitsCountPartition(nRows: Long) extends InputPartition
 
 final class FitsScan(res: FitsResolution, tableSchema: StructType,
     required: StructType, limit: Option[Long] = None)
-    extends Scan with Batch with Logging {
+    extends Scan with Batch with SupportsReportStatistics with Logging {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Exact row count and data size from HDU metadata (headers only, no
+    * data bytes read) — with real statistics Catalyst's size-based join
+    * planning works on FITS inputs: a small dimension table read from
+    * FITS auto-broadcasts exactly like a parquet one would. The size is
+    * scaled down to the pruned column fraction so projection-heavy
+    * plans see the bytes they will actually move. */
+  private lazy val stats: (Long, Long) = {
+    // targetMeta (not raw meta): the `columns` option reorders/prunes
+    // the column set that tableSchema's positions refer to
+    val metas = FitsFiles.parMap(res.files, 16)(p => p -> res.scanFile(p))
+      .collect { case (p, hdus) if res.hduIndex < hdus.length =>
+        res.targetMeta(hdus, p)
+      }
+      .filter(m => m.isReadable && m.rowBytes > 0)
+    val rows = metas.map(_.nRows).sum
+    // prune-aware row width, bound positionally like planFor (user
+    // schemas rename columns)
+    val positions = required.fieldNames.map(tableSchema.fieldIndex)
+    val prunedRowBytes = metas.headOption.map {
+      case b: HduMeta.Bintable =>
+        positions.map(p => b.columns(p).tform.byteWidth).sum.max(1)
+      case m => m.rowBytes
+    }.getOrElse(1)
+    (rows, rows * prunedRowBytes)
+  }
+
+  override def estimateStatistics(): Statistics = {
+    val (rows, bytes) = stats
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
   override def description(): String =
     s"FITS ${res.pathSpec} hdu=${res.hduIndex} " +
       s"cols=${required.fieldNames.mkString(",")}" +

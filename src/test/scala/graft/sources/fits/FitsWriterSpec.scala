@@ -114,6 +114,19 @@ class FitsWriterSpec extends SparkTestBase {
     assert(top.length == 3 && top.forall(r => !r.getDouble(1).isNaN))
   }
 
+  test("reported statistics let Catalyst auto-broadcast a small FITS dim") {
+    val dir = Files.createTempDirectory("fits-write").toString + "/dim"
+    (0L until 100L).map(i => (i, s"dim-$i")).toDF("id", "label")
+      .coalesce(1).write.format("fits").mode("append").save(dir)
+    val dim = roundTrip(dir)
+    val fact = spark.range(0, 50000).toDF("id")
+    // no broadcast() hint anywhere: the decision must come from the
+    // scan's SupportsReportStatistics (without it, a DSv2 relation
+    // defaults to "huge" and plans a shuffle join)
+    val plan = fact.join(dim, "id").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("ragged array lengths fail with a clear fixed-width error") {
     val dir = Files.createTempDirectory("fits-write").toString + "/ragged"
     val df = Seq((1L, Array(1f, 2f)), (2L, Array(1f, 2f, 3f))).toDF("id", "v")
