@@ -33,6 +33,9 @@ def main():
                         help="file, directory, glob, or comma-list of FITS paths")
     parser.add_argument("--hdu", type=int, default=1,
                         help="HDU index to read (1 = first extension)")
+    parser.add_argument("--write-out", default=None,
+                        help="optional dir: write the first 100 rows back "
+                             "out as FITS part files and read them again")
     args = parser.parse_args()
 
     spark = SparkSession.builder.appName("graft-readfits").getOrCreate()
@@ -62,6 +65,13 @@ def main():
     # (Uncomment for a file whose HDU 2 is an image.)
     # img = spark.read.format("fits").option("hdu", 2).load(args.inputpath)
     # img.select(F.size("Image").alias("row_px")).show(3)
+
+    # Writing works too (beyond the reference): one part file per
+    # partition, append/overwrite modes, read back via the dir union.
+    if args.write_out:
+        df.limit(100).write.format("fits").mode("overwrite").save(args.write_out)
+        (spark.read.format("fits").option("hdu", 1)
+         .load(args.write_out).show(3))
 
     spark.stop()
 
