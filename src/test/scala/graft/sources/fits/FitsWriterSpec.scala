@@ -127,6 +127,50 @@ class FitsWriterSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("property round-trip: random values through every type survive exactly") {
+    val rnd = new scala.util.Random(99)
+    def randStr(): String = {
+      val n = rnd.nextInt(20)
+      (0 until n).map(_ => (33 + rnd.nextInt(94)).toChar).mkString
+        .replace("'", "x") // FITS header quoting is not in play for data, keep printable
+    }
+    for (trial <- 0 until 3) {
+      val dir = Files.createTempDirectory("fits-write").toString + s"/prop$trial"
+      val n = 1 + rnd.nextInt(300)
+      val rows = (0 until n).map { _ =>
+        (rnd.nextLong(), rnd.nextInt(), rnd.nextInt().toShort,
+          rnd.nextInt().toByte, rnd.nextBoolean(),
+          // bounded: NaN would break tuple-set equality, not the writer
+          rnd.nextFloat() * 2e6f - 1e6f,
+          rnd.nextDouble(), randStr().trim,
+          Array.fill(7)(rnd.nextDouble()))
+      }
+      val df = rows.toDF("k", "j", "i16", "b8", "flag", "e", "d", "s", "v")
+        .repartition(3)
+      df.write.format("fits").mode("append").save(dir)
+      val back = roundTrip(dir)
+      def canon(r: Row) = (r.getLong(0), r.getInt(1), r.getShort(2),
+        r.getByte(3), r.getBoolean(4), r.getFloat(5), r.getDouble(6),
+        r.getString(7), r.getSeq[Double](8).toList)
+      val got = back.collect().map(canon).toSet
+      val want = df.collect().map(canon).toSet
+      assert(got == want, s"trial $trial, n=$n")
+    }
+  }
+
+  test("empty partitions write empty-but-valid files; the union still reads") {
+    val dir = Files.createTempDirectory("fits-write").toString + "/empties"
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .repartition(5) // most partitions hold zero rows
+      .write.format("fits").mode("append").save(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".fits"))
+    assert(files.length == 5)
+    val back = roundTrip(dir)
+    assert(back.count() == 2)
+    assert(back.agg(sum("v")).head.getDouble(0) == 30.0)
+  }
+
   test("ragged array lengths fail with a clear fixed-width error") {
     val dir = Files.createTempDirectory("fits-write").toString + "/ragged"
     val df = Seq((1L, Array(1f, 2f)), (2L, Array(1f, 2f, 3f))).toDF("id", "v")
