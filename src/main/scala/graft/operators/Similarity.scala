@@ -36,9 +36,17 @@ object Similarity {
     * through 5 tasks at 100 TB. The aggregate keeps a k-element heap
     * per (task, key) map-side, so the q_id exchange carries only
     * tasks × keys × k pairs and the merge is O(tasks·k log k). Ordering
-    * ties break on neighbor_id asc, identical to the window version. */
+    * ties break on neighbor_id asc, identical to the window version.
+    *
+    * NaN scores (cosine of a zero-norm embedding) are EXCLUDED here by
+    * an explicit filter, matching TopKAgg's update() which skips NaN —
+    * whereas a raw `row_number() OVER (ORDER BY sim DESC)` would rank
+    * NaN first (Spark sorts NaN greatest). A meaningless similarity
+    * must not displace a real neighbor, so the filter is the contract,
+    * not an implementation accident. */
   private def rankTopK(scored: DataFrame): DataFrame =
-    scored.groupBy(col("q_id"))
+    scored.filter(!isnan(col("sim")))
+      .groupBy(col("q_id"))
       .agg(VectorFunctions.topk_agg(col("sim"), col("neighbor_id"), K).as("tk"))
       .select(col("q_id"), posexplode(col("tk")))
       .select(col("q_id"), (col("pos") + 1).as("rnk"),

@@ -241,16 +241,31 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
         res.targetMeta(hdus, p)
       }
       .filter(m => m.isReadable && m.rowBytes > 0)
-    val rows = metas.map(_.nRows).sum
     // prune-aware row width, bound positionally like planFor (user
-    // schemas rename columns)
+    // schemas rename columns) — computed PER FILE: heterogeneous unions
+    // (e.g. differing string widths under PERMISSIVE) have different
+    // row sizes, so a first-file-only width would misreport the total
     val positions = required.fieldNames.map(tableSchema.fieldIndex)
-    val prunedRowBytes = metas.headOption.map {
+    def prunedRowBytes(m: HduMeta): Long = (m match {
       case b: HduMeta.Bintable =>
         positions.map(p => b.columns(p).tform.byteWidth).sum.max(1)
-      case m => m.rowBytes
-    }.getOrElse(1)
-    (rows, rows * prunedRowBytes)
+      case other => other.rowBytes
+    }).toLong
+    // a pushed limit caps the scan at the first `limit` rows in file
+    // order (planFor stops planning once the limit is covered), so the
+    // estimate walks files in the same order
+    var remaining = limit.getOrElse(Long.MaxValue)
+    var rows = 0L
+    var bytes = 0L
+    metas.foreach { m =>
+      val take = math.min(m.nRows, remaining)
+      if (take > 0) {
+        rows += take
+        bytes += take * prunedRowBytes(m)
+        remaining -= take
+      }
+    }
+    (rows, bytes)
   }
 
   override def estimateStatistics(): Statistics = {

@@ -36,12 +36,24 @@ object FitsWriteSupport {
     * the 80-byte card check below, not be silently chopped. */
   def pad(s: String, n: Int): String =
     if (s.length >= n) s else s + " " * (n - s.length)
+
+  /** Fixed-format card per FITS 4.0 §4.2.1: non-string values are
+    * right-justified so they END at byte 30 (required for mandatory
+    * keywords — SIMPLE/BITPIX/NAXISn/XTENSION/…); string values start
+    * with their opening quote at byte 11. */
   def card(k: String, v: String): String = {
-    val c = pad(pad(k, 8) + "= " + pad(v, 20), 80)
+    val field =
+      if (v.startsWith("'")) pad(v, 20)
+      else " " * math.max(0, 20 - v.length) + v
+    val c = pad(pad(k, 8) + "= " + field, 80)
     require(c.length == 80,
       s"FITS header card overflows 80 bytes: $k = $v")
     c
   }
+
+  /** Quoted string value with embedded `'` escaped as `''` (FITS 4.0
+    * §4.2.1.1) and padded to the 8-char minimum inside the quotes. */
+  def quoted(raw: String): String = "'" + pad(raw.replace("'", "''"), 8) + "'"
 
   def headerBlock(cards: Seq[String]): Array[Byte] = {
     val s = cards.mkString
@@ -237,6 +249,14 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
     nRows += 1
   }
 
+  // In-flight staging file, tracked so abort() can remove it. The final
+  // part-*.fits name only ever appears via an atomic rename at the END of
+  // commit(), so readers (batch multi-file union and the micro-batch
+  // stream alike) can never list a half-written file, and a failed task
+  // leaves nothing a retry's output would silently duplicate.
+  @volatile private var inFlight
+      : Option[(org.apache.hadoop.fs.FileSystem, Path)] = None
+
   override def commit(): WriterCommitMessage = {
     spill.close()
     val widths: Array[Int] = elems.zipWithIndex.map { case (spec, i) =>
@@ -246,11 +266,17 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
     }
     val rowBytes = widths.sum
     val tag = if (nameTag.isEmpty) "" else s"-$nameTag"
-    val file = new Path(dirSpec,
-      f"part-$partitionId%05d-$taskId$tag%s-${UUID.randomUUID().toString.take(8)}.fits")
+    val name =
+      f"part-$partitionId%05d-$taskId$tag%s-${UUID.randomUUID().toString.take(8)}.fits"
+    val file = new Path(dirSpec, name)
+    // dot-prefixed, non-.fits suffix: invisible both to directory listing
+    // (FitsFiles.listFits keeps *.fits only) and to '*.fits' globs
+    val staging = new Path(dirSpec, s".$name.inprogress")
     val conf = new Configuration()
     confProps.foreach { case (k, v) => conf.set(k, v) }
-    val out = file.getFileSystem(conf).create(file, false)
+    val fs = file.getFileSystem(conf)
+    inFlight = Some((fs, staging))
+    val out = fs.create(staging, false)
     val in = new DataInputStream(
       new java.io.BufferedInputStream(new FileInputStream(tmp), 1 << 20))
     try {
@@ -262,11 +288,11 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
           if (spec.isArray) s"${math.max(repeat(i), 0)}${spec.code}"
           else if (spec.code == 'A') s"${widths(i)}A"
           else spec.code.toString
-        Seq(card(s"TTYPE${i + 1}", "'" + pad(f.name, 8) + "'"),
-          card(s"TFORM${i + 1}", "'" + pad(tform, 8) + "'"))
+        Seq(card(s"TTYPE${i + 1}", quoted(f.name)),
+          card(s"TFORM${i + 1}", quoted(tform)))
       }
       out.write(headerBlock(Seq(
-        card("XTENSION", "'BINTABLE'"), card("BITPIX", "8"),
+        card("XTENSION", quoted("BINTABLE")), card("BITPIX", "8"),
         card("NAXIS", "2"), card("NAXIS1", rowBytes.toString),
         card("NAXIS2", nRows.toString), card("PCOUNT", "0"),
         card("GCOUNT", "1"), card("TFIELDS", fields.length.toString)) ++
@@ -308,9 +334,21 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
       in.close()
       tmp.delete()
     }
+    if (!fs.rename(staging, file))
+      throw new java.io.IOException(
+        s"FITS write: rename of staging file $staging to $file failed")
+    inFlight = None
     FitsWriteCommitted(file.toString, nRows)
   }
 
-  override def abort(): Unit = { spill.close(); tmp.delete() }
+  override def abort(): Unit = {
+    spill.close()
+    tmp.delete()
+    inFlight.foreach { case (fs, p) =>
+      try fs.delete(p, false)
+      catch { case _: java.io.IOException => () } // best-effort cleanup
+    }
+    inFlight = None
+  }
   override def close(): Unit = ()
 }

@@ -127,6 +127,24 @@ class FitsWriterSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("scan statistics honor a pushed limit and per-file row widths") {
+    val dir = Files.createTempDirectory("fits-write").toString + "/stats"
+    (0L until 100L).map(i => (i, i * 2.0)).toDF("id", "v")
+      .coalesce(1).write.format("fits").mode("append").save(dir)
+    val res = FitsResolution(Map("path" -> dir, "hdu" -> "1"))
+    val schema = res.inferredSchema
+    def sized(limit: Option[Long]) = {
+      val st = new FitsScan(res, schema, schema, limit).estimateStatistics()
+      (st.numRows().getAsLong, st.sizeInBytes().getAsLong)
+    }
+    val (fullRows, fullBytes) = sized(None)
+    assert(fullRows == 100 && fullBytes == 100L * (8 + 8))
+    val (limRows, limBytes) = sized(Some(7L))
+    assert(limRows == 7 && limBytes == 7L * (8 + 8))
+    // a limit beyond the table caps at the table
+    assert(sized(Some(1000L))._1 == 100)
+  }
+
   test("property round-trip: random values through every type survive exactly") {
     val rnd = new scala.util.Random(99)
     def randStr(): String = {
@@ -169,6 +187,41 @@ class FitsWriterSpec extends SparkTestBase {
     val back = roundTrip(dir)
     assert(back.count() == 2)
     assert(back.agg(sum("v")).head.getDouble(0) == 30.0)
+  }
+
+  test("failed commit leaves no visible or in-flight file behind") {
+    val dir = Files.createTempDirectory("fits-write").toString + "/abort"
+    // a >66-char column name passes type validation but overflows its
+    // 80-byte TTYPE card INSIDE commit(), after the staging file exists —
+    // exactly the mid-commit crash the temp-name+rename protocol covers
+    val longName = "c" * 100
+    intercept[Exception] {
+      Seq(1L).toDF(longName).coalesce(1)
+        .write.format("fits").mode("append").save(dir)
+    }
+    val left = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    assert(left.isEmpty, s"leftover files after aborted write: ${left.mkString(", ")}")
+  }
+
+  test("fixed-format mandatory cards; embedded quotes escape and round-trip") {
+    val dir = Files.createTempDirectory("fits-write").toString + "/cards"
+    Seq((1L, "x")).toDF("id", "na'me").coalesce(1)
+      .write.format("fits").mode("append").save(dir)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".fits")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val hdr0 = new String(bytes, 0, 2880, "US-ASCII")
+    // FITS 4.0 §4.2.1 fixed format: non-string value right-justified,
+    // ending at byte 30 (0-indexed char 29)
+    val simple = hdr0.grouped(80).find(_.startsWith("SIMPLE")).get
+    assert(simple.substring(8, 30) == "= " + " " * 19 + "T", s"[$simple]")
+    val hdr1 = new String(bytes, 2880, 2880, "US-ASCII")
+    val nax2 = hdr1.grouped(80).find(_.startsWith("NAXIS2")).get
+    assert(nax2.charAt(29) == '1' && nax2.substring(10, 29).trim.isEmpty,
+      s"[$nax2]")
+    // string values keep their opening quote at byte 11; ' escapes as ''
+    assert(hdr1.contains("na''me"))
+    assert(roundTrip(dir).schema.fieldNames.toSeq == Seq("id", "na'me"))
   }
 
   test("ragged array lengths fail with a clear fixed-width error") {
