@@ -43,7 +43,7 @@ final class FitsColumnarReader(part: FitsInputPartition,
   private var chunkRows = 0 // valid rows in buf
 
   private val schema: StructType = part.spec match {
-    case DecodeSpec.Bintable(cs) =>
+    case DecodeSpec.Bintable(cs, _) =>
       StructType(cs.map(c => org.apache.spark.sql.types.StructField(
         c.name, c.tform.sparkType, nullable = true)).toSeq)
     case DecodeSpec.Image(elem, _, fieldKinds) =>
@@ -73,7 +73,7 @@ final class FitsColumnarReader(part: FitsInputPartition,
     val n = math.min(batchRows.toLong,
       chunkStartRow + chunkRows - emitted).toInt
     part.spec match {
-      case DecodeSpec.Bintable(cs) =>
+      case DecodeSpec.Bintable(cs, _) =>
         var c = 0
         while (c < cs.length) {
           vectors(c).reset()

@@ -456,8 +456,11 @@ final class FitsMicroBatchStream(scan: FitsScan, res: FitsResolution)
   * reference's registerHeader/retrieveHeader, FitsLib.scala:608-629). */
 sealed trait DecodeSpec extends Serializable
 object DecodeSpec {
-  /** Bintable: pruned columns in output order. */
-  final case class Bintable(cols: Array[BintableColumn]) extends DecodeSpec
+  /** Bintable: pruned columns in output order. `heapStart` = absolute
+    * file offset of the variable-length heap (−1 when no P/Q column
+    * survives pruning — readers then never touch the heap). */
+  final case class Bintable(cols: Array[BintableColumn],
+      heapStart: Long = -1L) extends DecodeSpec
   /** Image: which of (Image, ImgIndex) to emit, in output order.
     * fieldKinds(i): 0 = Image array, 1 = ImgIndex. */
   final case class Image(elem: ElemType, lineElems: Int,
@@ -465,7 +468,10 @@ object DecodeSpec {
 
   def of(meta: HduMeta, positions: Array[Int]): DecodeSpec = meta match {
     case b: HduMeta.Bintable =>
-      Bintable(positions.map(b.columns))
+      val picked = positions.map(b.columns)
+      Bintable(picked,
+        if (picked.exists(_.tform.isInstanceOf[TForm.VarArr])) b.heapStart
+        else -1L)
     case i: HduMeta.Image =>
       Image(i.elem, i.lineElems, positions)
     case HduMeta.Opaque =>
@@ -502,7 +508,7 @@ final class FitsPartitionReaderFactory(confProps: Array[(String, String)])
     * partitions, so the answer is scan-consistent. */
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
     case f: FitsInputPartition => f.spec match {
-      case DecodeSpec.Bintable(cols) => cols.nonEmpty && cols.forall(_.tform match {
+      case DecodeSpec.Bintable(cols, _) => cols.nonEmpty && cols.forall(_.tform match {
         case _: TForm.Scalar | _: TForm.Str | _: TForm.Vec |
              _: TForm.Scaled | _: TForm.Unsupported => true
         case _ => false

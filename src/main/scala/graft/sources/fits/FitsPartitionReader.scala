@@ -44,16 +44,25 @@ final class FitsPartitionReader(part: FitsInputPartition,
   // ---------------------------------------------------------- fast path
 
   private val bintableCols: Array[BintableColumn] = part.spec match {
-    case DecodeSpec.Bintable(cols) => cols
+    case DecodeSpec.Bintable(cols, _) => cols
     case _ => null
   }
 
+  /** Absolute file offset of the variable-length heap (−1 ⇒ no P/Q
+    * column in this projection). */
+  private val heapStart: Long = part.spec match {
+    case DecodeSpec.Bintable(_, h) => h
+    case _ => -1L
+  }
+
   /** Unsafe path applies when every column is fixed-width scalar,
-    * string, scaled-scalar, or unsupported-null — no array output. */
+    * string, scaled-scalar, ASCII-text scalar, or unsupported-null —
+    * no array output and no heap indirection. */
   private val useUnsafe: Boolean = bintableCols != null &&
     bintableCols.forall {
       _.tform match {
-        case _: TForm.Scalar | _: TForm.Str | _: TForm.Unsupported => true
+        case _: TForm.Scalar | _: TForm.Str | _: TForm.Unsupported |
+             _: TForm.AsciiInt | _: TForm.AsciiReal => true
         case sc: TForm.Scaled => !sc.isArray
         case _ => false
       }
@@ -86,6 +95,36 @@ final class FitsPartitionReader(part: FitsInputPartition,
           sc.decode(b, base + off).asInstanceOf[Array[Any]])
       case sc: TForm.Scaled =>
         (b, base) => sc.decode(b, base + off)
+      case a: TForm.AsciiInt =>
+        (b, base) => a.decode(b, base + off)
+      case a: TForm.AsciiReal =>
+        (b, base) => a.decode(b, base + off)
+      case v: TForm.VarArr =>
+        // heap indirection: descriptor in the row, elements pread from
+        // the heap. One positioned read per row — latency-bound on
+        // object stores, but var-length data is inherently pointer-
+        // shaped; rows written sequentially have sequential heap spans,
+        // so the OS readahead usually absorbs it.
+        (b, base) => {
+          val (n0, hoff) = v.descriptor(b, base + off)
+          if (n0 < 0 || n0 > v.maxLen)
+            throw new IllegalArgumentException(
+              s"corrupt variable-length descriptor in '${c.name}': " +
+                s"count $n0 outside [0, ${v.maxLen}]")
+          val n = n0.toInt
+          val bytes = new Array[Byte](n * v.elem.width)
+          if (n > 0) in.readFully(heapStart + hoff, bytes, 0, bytes.length)
+          if (v.isString)
+            UTF8String.fromString(new String(bytes, "UTF-8").trim)
+          else {
+            val out = new Array[Any](n)
+            var j = 0
+            while (j < n) {
+              out(j) = v.elem.decode(bytes, j * v.elem.width); j += 1
+            }
+            new GenericArrayData(out)
+          }
+        }
       case _: TForm.Unsupported =>
         (_, _) => null
     }
@@ -109,7 +148,7 @@ final class FitsPartitionReader(part: FitsInputPartition,
     val row: InternalRow =
       if (useUnsafe) writeUnsafe(base)
       else part.spec match {
-        case DecodeSpec.Bintable(_) =>
+        case DecodeSpec.Bintable(_, _) =>
           val values = new Array[Any](converters.length)
           var i = 0
           while (i < converters.length) {
@@ -179,6 +218,16 @@ final class FitsPartitionReader(part: FitsInputPartition,
             case org.apache.spark.sql.types.LongType =>
               w.write(i, sc.element.decodeLongExact(buf, off))
             case _ => w.write(i, sc.element.decodeDouble(buf, off))
+          }
+        case a: TForm.AsciiInt =>
+          a.decode(buf, off) match {
+            case null => w.setNullAt(i)
+            case v: java.lang.Long => w.write(i, v.longValue())
+          }
+        case a: TForm.AsciiReal =>
+          a.decode(buf, off) match {
+            case null => w.setNullAt(i)
+            case v: java.lang.Double => w.write(i, v.doubleValue())
           }
         case _ => w.setNullAt(i)
       }

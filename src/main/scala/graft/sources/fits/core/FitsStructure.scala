@@ -30,9 +30,15 @@ sealed trait HduMeta {
 }
 
 object HduMeta {
+  /** `heapStart` is the ABSOLUTE file offset of the variable-length
+    * heap (−1 when the table has no P/Q columns); filled in by
+    * [[FitsStructure.scan]] once the HDU's data start is known. */
   final case class Bintable(
-      rowBytes: Int, nRows: Long, columns: Vector[BintableColumn])
+      rowBytes: Int, nRows: Long, columns: Vector[BintableColumn],
+      heapStart: Long = -1L)
       extends HduMeta {
+    def hasVarCols: Boolean =
+      columns.exists(_.tform.isInstanceOf[TForm.VarArr])
     def schema: StructType = StructType(columns.map(_.field))
     def isReadable: Boolean = true
     /** Projection in user order; unknown names throw like the reference
@@ -62,8 +68,10 @@ object HduMeta {
     def isReadable: Boolean = nRows > 0
   }
 
-  /** ASCII TABLE / empty / unrecognized HDUs: an empty DataFrame with an
-    * empty schema (reference: AnyHDU, FitsHdu.scala:242-267). */
+  /** Empty / unrecognized HDUs: an empty DataFrame with an empty schema
+    * (reference: AnyHDU, FitsHdu.scala:242-267 — which also treats
+    * ASCII TABLEs this way; we decode those for real, see
+    * [[FitsStructure.asciiTableMeta]]). */
   case object Opaque extends HduMeta {
     def rowBytes: Int = 0
     def nRows: Long = 0L
@@ -101,7 +109,15 @@ object FitsStructure {
         val dataStop = dataStart + dataLen
         val blockStop = dataStart + padTo(dataLen, BlockSize)
         val bounds = HduBounds(pos, dataStart, dataStop, blockStop)
-        var meta = resolveMeta(index, header)
+        var meta = resolveMeta(index, header) match {
+          // var-length tables: resolve the heap's absolute offset now
+          // that the data start is known (THEAP default = main table
+          // size, FITS 4.0 §7.3.5)
+          case b: HduMeta.Bintable if b.hasVarCols =>
+            b.copy(heapStart = dataStart +
+              header.longOr("THEAP", b.rowBytes.toLong * b.nRows))
+          case m => m
+        }
         if (dataStop > len) {
           // Truncated file: clamp to whole rows present instead of
           // letting executors die on EOF mid-read.
@@ -184,7 +200,8 @@ object FitsStructure {
     h.get("XTENSION").map(_.trim) match {
       case Some("BINTABLE") => bintableMeta(h)
       case Some("IMAGE") => imageMeta(h)
-      case Some(_) => HduMeta.Opaque // ASCII TABLE & friends
+      case Some("TABLE") => asciiTableMeta(h)
+      case Some(_) => HduMeta.Opaque
       case None =>
         // Primary HDU: data present ⇒ treated as an image (the reference
         // makes the same assumption for headerless data, FitsLib.scala:359-375).
@@ -209,6 +226,30 @@ object FitsStructure {
       i += 1
     }
     HduMeta.Bintable(rowBytes, nRows, cols.result())
+  }
+
+  /** ASCII TABLE extension (FITS 4.0 §7.2, beyond reference — it maps
+    * these to an empty DataFrame): fixed-width text rows of NAXIS1
+    * chars; column i starts at 1-based TBCOLn and parses per its ASCII
+    * TFORM grammar (Aw/Iw/Fw.d/Ew.d/Dw.d). Offsets are explicit — they
+    * may overlap or leave gaps, unlike bintable cumulative offsets —
+    * so this reuses [[HduMeta.Bintable]] with per-column positions. */
+  private def asciiTableMeta(h: FitsHeader): HduMeta = {
+    val rowBytes = h.intOr("NAXIS1", 0)
+    val nRows = h.longOr("NAXIS2", 0L)
+    val nCols = h.intOr("TFIELDS", 0)
+    val cols = (1 to nCols).toVector.map { i =>
+      val tform = TForm.parseAscii(h.values.getOrElse(s"TFORM$i", ""))
+      val name = h.values.getOrElse(s"TTYPE$i", s"col$i").trim
+      val start = math.max(0, h.intOr(s"TBCOL$i", 1) - 1)
+      BintableColumn(name,
+        // clamp a field running past the row end (malformed header)
+        if (start + tform.byteWidth > rowBytes && rowBytes > 0)
+          TForm.Unsupported(h.values.getOrElse(s"TFORM$i", ""), 0)
+        else tform,
+        start)
+    }
+    HduMeta.Bintable(rowBytes, nRows, cols)
   }
 
   private def imageMeta(h: FitsHeader): HduMeta = {

@@ -235,12 +235,36 @@ object TForm {
       case other => other
     }
 
-  /** Variable-length (`P`/`Q`) and complex (`C`/`M`) descriptors are
-    * not decoded (reference prints a warning and degrades,
-    * FitsSchema.scala:70-75); we surface a null-valued string column so
-    * schema inference never throws on exotic files. The byte width is
-    * still the FITS-standard element width — a zero width would corrupt
-    * the offsets of every subsequent column in the row. */
+  /** Variable-length array descriptor `rPt(max)` / `rQt(max)` (FITS 4.0
+    * §7.3.5, beyond reference — it degrades these to an unreadable
+    * column): the in-row value is a (count, heapOffset) pair of int32s
+    * (`P`) or int64s (`Q`) pointing into the HDU's heap area. Decoding
+    * therefore needs the heap, which `decode` here cannot see — the
+    * partition reader special-cases this form and preads the referenced
+    * heap span. `PA` surfaces as a variable-length StringType (the
+    * natural FITS encoding for documents); other element codes surface
+    * as ArrayType(elem). */
+  final case class VarArr(raw: String, elem: ElemType, isQ: Boolean,
+      isString: Boolean, maxLen: Int) extends TForm {
+    def byteWidth: Int = if (isQ) 16 else 8
+    def sparkType: DataType =
+      if (isString) StringType
+      else ArrayType(elem.sparkType, containsNull = true)
+    /** Descriptor only — (count, heap offset). Heap read is the reader's. */
+    def descriptor(b: Array[Byte], off: Int): (Long, Long) =
+      if (isQ) (ElemType.i64(b, off), ElemType.i64(b, off + 8))
+      else (ElemType.i32(b, off).toLong, ElemType.i32(b, off + 4).toLong)
+    def decode(b: Array[Byte], off: Int): Any =
+      throw new UnsupportedOperationException(
+        "variable-length column decode requires heap access")
+  }
+
+  /** Complex (`C`/`M`) descriptors are not decoded (reference prints a
+    * warning and degrades, FitsSchema.scala:70-75); we surface a
+    * null-valued string column so schema inference never throws on
+    * exotic files. The byte width is still the FITS-standard element
+    * width — a zero width would corrupt the offsets of every subsequent
+    * column in the row. */
   final case class Unsupported(raw: String, byteWidth: Int = 0) extends TForm {
     def sparkType: DataType = StringType
     def decode(b: Array[Byte], off: Int): Any = null
@@ -248,28 +272,92 @@ object TForm {
   }
 
   private val Pattern = """^(\d*)([LXBIJKAEDCMPQ])(.*)$""".r
+  private val VarPattern = """^(\d*)([PQ])([LXBIJKAED])(?:\((\d+)\))?\s*$""".r
 
   /** element widths of undecoded codes (FITS 4.0 table 18):
-    * P = 2×int32 descriptor, Q = 2×int64, C = 2×float32, M = 2×float64 */
-  private val undecodedWidths = Map('P' -> 8, 'Q' -> 16, 'C' -> 8, 'M' -> 16)
+    * C = 2×float32, M = 2×float64 */
+  private val undecodedWidths = Map('C' -> 8, 'M' -> 16)
 
   def parse(tform: String): TForm = {
     val t = tform.trim
     t match {
+      case VarPattern(_, pq, code, max) if code != "X" =>
+        // the repeat before P/Q is 0 or 1 by the standard; the in-row
+        // descriptor is one (count, offset) pair either way
+        val maxLen = if (max == null) Int.MaxValue else max.toInt
+        VarArr(t, if (code == "A") ElemType.B else ElemType.byCode(code.head),
+          isQ = pq == "Q", isString = code == "A", maxLen)
       case Pattern(rep, code, _) =>
         val n = if (rep.isEmpty) 1 else rep.toInt
         code.head match {
           case 'A' => Str(t, n)
           case 'X' => Bits(t, n)
-          case c @ ('P' | 'Q' | 'C' | 'M') =>
-            // P/Q repeat counts describe heap elements, but the in-row
-            // descriptor is a single element regardless of repeat;
-            // C/M scale with the repeat like other element codes.
-            val units = if (c == 'P' || c == 'Q') 1 else n
-            Unsupported(t, undecodedWidths(c) * units)
+          case c @ ('C' | 'M') =>
+            Unsupported(t, undecodedWidths(c) * n)
+          case c @ ('P' | 'Q') =>
+            // var-length of an element we can't decode (X bit fields):
+            // keep the descriptor width so later offsets stay aligned
+            Unsupported(t, if (c == 'Q') 16 else 8)
           case c =>
             val elem = ElemType.byCode(c)
             if (n == 1) Scalar(t, elem) else Vec(t, elem, n)
+        }
+      case _ => Unsupported(t)
+    }
+  }
+
+  // ------------------------------------------------------- ASCII tables
+
+  /** ASCII TABLE integer field `Iw` (FITS 4.0 §7.2.5): right-justified
+    * decimal text, blank field ⇒ SQL NULL. Surfaced as LongType — `w`
+    * can exceed Int range and the standard puts no bound on it. */
+  final case class AsciiInt(raw: String, byteWidth: Int) extends TForm {
+    def sparkType: DataType = LongType
+    def decode(b: Array[Byte], off: Int): Any = {
+      val s = new String(b, off, byteWidth, "US-ASCII").trim
+      if (s.isEmpty) null
+      else
+        try java.lang.Long.valueOf(java.lang.Long.parseLong(s))
+        catch { case _: NumberFormatException => null }
+    }
+  }
+
+  /** ASCII TABLE real field `Fw.d` / `Ew.d` / `Dw.d`: Fortran-style
+    * text. A `D` exponent reads like `E`; a value WITHOUT an explicit
+    * decimal point has one implied `d` digits from the right (Fortran
+    * input convention, same as astropy). Blank ⇒ NULL. */
+  final case class AsciiReal(raw: String, byteWidth: Int, implied: Int)
+      extends TForm {
+    def sparkType: DataType = DoubleType
+    def decode(b: Array[Byte], off: Int): Any = {
+      val s = new String(b, off, byteWidth, "US-ASCII").trim
+      if (s.isEmpty) return null
+      val e = s.replace('D', 'E').replace('d', 'E')
+      try {
+        val v = java.lang.Double.parseDouble(e)
+        // no explicit point ⇒ rightmost `d` mantissa digits are the
+        // fraction; mantissa/10^d ≡ value/10^d even with an exponent
+        if (implied > 0 && e.indexOf('.') < 0)
+          java.lang.Double.valueOf(v / math.pow(10, implied))
+        else java.lang.Double.valueOf(v)
+      } catch { case _: NumberFormatException => null }
+    }
+  }
+
+  private val AsciiPattern = """^([AIFED])(\d+)(?:\.(\d+))?\s*$""".r
+
+  /** TFORMn of an ASCII TABLE extension — a DIFFERENT grammar from the
+    * bintable one above (`A`/`I`/`E`/`D` letters collide but mean
+    * fixed-width text fields here). */
+  def parseAscii(tform: String): TForm = {
+    val t = tform.trim
+    t match {
+      case AsciiPattern(code, w, d) =>
+        val width = w.toInt
+        code.head match {
+          case 'A' => Str(t, width)
+          case 'I' => AsciiInt(t, width)
+          case _ => AsciiReal(t, width, if (d == null) 0 else d.toInt)
         }
       case _ => Unsupported(t)
     }

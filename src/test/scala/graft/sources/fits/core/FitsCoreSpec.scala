@@ -108,11 +108,18 @@ class FitsCoreSpec extends AnyFunSuite {
     assert(img.schema.fieldNames.toSeq == Seq("Image", "ImgIndex"))
   }
 
-  test("ASCII TABLE and empty primary HDUs are opaque") {
+  test("empty primary HDU is opaque; ASCII TABLE resolves its columns") {
     val hdus = scan("dirIm/0_i_am_not_empty.fits")
     assert(hdus(0).meta == HduMeta.Opaque) // empty primary
-    assert(hdus(1).meta == HduMeta.Opaque) // ASCII TABLE
-    assert(!hdus(1).meta.isReadable)
+    val t = hdus(1).meta.asInstanceOf[HduMeta.Bintable] // ASCII TABLE
+    assert(t.isReadable && t.nRows == 53 && t.rowBytes == 59)
+    assert(t.columns.map(_.name) == Vector("IDENT", "Mag", "Channel",
+      "Dist", "Mass", "Class", "Type", "Class_No"))
+    // TBCOLn are explicit 0-based offsets — Class and Type OVERLAP at 53
+    assert(t.columns.map(_.offset) == Vector(0, 10, 17, 21, 32, 53, 53, 54))
+    assert(t.columns.map(_.tform.sparkType) == Vector(StringType,
+      DoubleType, LongType, DoubleType, DoubleType, StringType,
+      StringType, LongType))
   }
 
   test("primary HDU with data is assumed to be an image") {
@@ -138,7 +145,17 @@ class FitsCoreSpec extends AnyFunSuite {
       assert(tf.byteWidth == width, raw)
       assert(tf.sparkType == tpe, raw)
     }
-    assert(!TForm.parse("PE(100)").supported)
+    // variable-length descriptors now decode (heap-backed)
+    val pe = TForm.parse("PE(100)").asInstanceOf[TForm.VarArr]
+    assert(pe.supported && pe.byteWidth == 8 &&
+      pe.sparkType == ArrayType(FloatType, true) && pe.maxLen == 100)
+    val qd = TForm.parse("QD(7)").asInstanceOf[TForm.VarArr]
+    assert(qd.isQ && qd.byteWidth == 16 &&
+      qd.sparkType == ArrayType(DoubleType, true))
+    assert(TForm.parse("PA(20)").sparkType == StringType) // var string
+    // var bit fields and complex stay undecoded, widths preserved
+    assert(!TForm.parse("PX(16)").supported)
+    assert(TForm.parse("PX(16)").byteWidth == 8)
     assert(!TForm.parse("C").supported)
   }
 
