@@ -28,9 +28,14 @@ import org.apache.spark.sql.types._
   * sequential stream with no header patch-up seek.
   *
   * Supported column types: Boolean/Byte/Short/Int/Long/Float/Double/
-  * String (TFORM L/B/I/J/K/E/nA). Numeric nulls write as zero and
-  * string nulls as empty — FITS binary tables have no native null
-  * representation (the TNULLn convention is integer-only). */
+  * String (TFORM L/B/I/J/K/E/nA) and arrays of the fixed-width
+  * scalars. Equal-length array columns write as fixed FITS vectors
+  * (`nT`); ragged ones automatically become variable-length
+  * `1PT(max)` columns backed by the HDU heap (Q descriptors when the
+  * heap outgrows int32 addressing) — both shapes read back through
+  * this source. Numeric nulls write as zero and string nulls as
+  * empty — FITS binary tables have no native null representation
+  * (the TNULLn convention is integer-only). */
 object FitsWriteSupport {
   /** Right-pad WITHOUT truncation — an over-long column name must fail
     * the 80-byte card check below, not be silently chopped. */
@@ -62,8 +67,9 @@ object FitsWriteSupport {
   }
 
   /** One column's write shape. `elemWidth == -1` ⇒ string (width
-    * resolved at commit); `isArray` ⇒ fixed-repeat FITS vector whose
-    * repeat is locked by the first row written. */
+    * resolved at commit); `isArray` ⇒ FITS vector — fixed-repeat when
+    * every row agrees with the first, var-length (P/Q + heap) when
+    * ragged; decided at commit. */
   final case class ColSpec(code: Char, elemWidth: Int, isArray: Boolean,
       elemType: DataType)
 
@@ -190,8 +196,14 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
   private val fields = schema.fields
   private val elems: Array[ColSpec] = fields.map(f => elemOf(f.dataType))
   private val strWidth: Array[Int] = Array.fill(fields.length)(1)
-  // fixed FITS vector repeat per array column, locked by the first row
+  // per array column: candidate fixed repeat (first row), raggedness,
+  // max length, and total payload bytes — commit() writes equal-length
+  // columns as fixed nT vectors and ragged ones as 1PT(max) descriptors
+  // into a heap, choosing Q descriptors if the heap outgrows int32
   private val repeat: Array[Int] = Array.fill(fields.length)(-1)
+  private val ragged: Array[Boolean] = new Array[Boolean](fields.length)
+  private val maxRepeat: Array[Int] = new Array[Int](fields.length)
+  private val colPayload: Array[Long] = new Array[Long](fields.length)
   private var nRows = 0L
 
   private val tmp: File = File.createTempFile("fits-write-spill", ".bin")
@@ -229,14 +241,15 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
           spill.write(b)
         case ArrayType(et, _) =>
           if (nul) throw new IllegalArgumentException(
-            s"null array in column '${fields(i).name}' — FITS vectors are " +
-              "fixed-width and have no null representation")
+            s"null array in column '${fields(i).name}' — FITS arrays have " +
+              "no null representation (write an empty array instead)")
           val arr = row.getArray(i)
           val n = arr.numElements()
           if (repeat(i) == -1) repeat(i) = n
-          else if (repeat(i) != n) throw new IllegalArgumentException(
-            s"column '${fields(i).name}': FITS vector columns are fixed-" +
-              s"length; first row had ${repeat(i)} elements, this row has $n")
+          else if (repeat(i) != n) ragged(i) = true
+          if (n > maxRepeat(i)) maxRepeat(i) = n
+          colPayload(i) += n.toLong * spec.elemWidth
+          spill.writeInt(n) // length prefix; fixed-vs-var decided at commit
           var j = 0
           while (j < n) {
             writeScalar(et, nul = arr.isNullAt(j), arr.get(j, et))
@@ -259,8 +272,17 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
 
   override def commit(): WriterCommitMessage = {
     spill.close()
+    // ragged array columns become heap-backed var-length columns; the
+    // descriptor flavor is file-wide (all-P or all-Q) keyed on whether
+    // the total heap can be addressed by int32 offsets
+    val heapTotal: Long = elems.indices
+      .collect { case i if elems(i).isArray && ragged(i) => colPayload(i) }
+      .sum
+    val useQ = heapTotal > Int.MaxValue.toLong
+    val descBytes = if (useQ) 16 else 8
     val widths: Array[Int] = elems.zipWithIndex.map { case (spec, i) =>
-      if (spec.isArray) spec.elemWidth * math.max(repeat(i), 0)
+      if (spec.isArray)
+        if (ragged(i)) descBytes else spec.elemWidth * math.max(repeat(i), 0)
       else if (spec.elemWidth >= 0) spec.elemWidth
       else strWidth(i)
     }
@@ -285,7 +307,9 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
       val colCards = fields.toSeq.zipWithIndex.flatMap { case (f, i) =>
         val spec = elems(i)
         val tform =
-          if (spec.isArray) s"${math.max(repeat(i), 0)}${spec.code}"
+          if (spec.isArray && ragged(i))
+            s"1${if (useQ) "Q" else "P"}${spec.code}(${maxRepeat(i)})"
+          else if (spec.isArray) s"${math.max(repeat(i), 0)}${spec.code}"
           else if (spec.code == 'A') s"${widths(i)}A"
           else spec.code.toString
         Seq(card(s"TTYPE${i + 1}", quoted(f.name)),
@@ -294,39 +318,97 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
       out.write(headerBlock(Seq(
         card("XTENSION", quoted("BINTABLE")), card("BITPIX", "8"),
         card("NAXIS", "2"), card("NAXIS1", rowBytes.toString),
-        card("NAXIS2", nRows.toString), card("PCOUNT", "0"),
+        card("NAXIS2", nRows.toString), card("PCOUNT", heapTotal.toString),
         card("GCOUNT", "1"), card("TFIELDS", fields.length.toString)) ++
         colCards :+ pad("END", 80)))
-      // replay the spill: numerics are already big-endian (DataOutput),
-      // strings get right-padded with ASCII spaces to their column width
+      // Pass 1 over the spill — the main table. Numerics are already
+      // big-endian (DataOutput); strings right-pad with ASCII spaces to
+      // their column width; ragged arrays emit a (count, offset)
+      // descriptor and leave their payload for pass 2. Heap offsets are
+      // the running payload total in (row, column) order — exactly the
+      // order pass 2 streams the heap in.
       var r = 0L
+      var heapOff = 0L
       val copyBuf = new Array[Byte](8192)
+      def copyBytes(n0: Long): Unit = {
+        var remaining = n0
+        while (remaining > 0) {
+          val take = math.min(remaining, copyBuf.length.toLong).toInt
+          in.readFully(copyBuf, 0, take)
+          out.write(copyBuf, 0, take)
+          remaining -= take
+        }
+      }
+      def skipBytes(n0: Long): Unit = {
+        var remaining = n0
+        while (remaining > 0) {
+          val take = math.min(remaining, copyBuf.length.toLong).toInt
+          in.readFully(copyBuf, 0, take)
+          remaining -= take
+        }
+      }
       while (r < nRows) {
         var i = 0
         while (i < fields.length) {
           val spec = elems(i)
           if (!spec.isArray && spec.code == 'A') {
             val len = in.readInt()
-            val b = new Array[Byte](len)
-            in.readFully(b)
-            out.write(b)
+            copyBytes(len.toLong)
             var p = len
             while (p < widths(i)) { out.write(' '); p += 1 }
-          } else {
-            // scalar or fixed-repeat vector: raw big-endian copy
-            var remaining = widths(i)
-            while (remaining > 0) {
-              val take = math.min(remaining, copyBuf.length)
-              in.readFully(copyBuf, 0, take)
-              out.write(copyBuf, 0, take)
-              remaining -= take
-            }
-          }
+          } else if (spec.isArray) {
+            val len = in.readInt()
+            val payload = len.toLong * spec.elemWidth
+            if (ragged(i)) {
+              if (useQ) { out.writeLong(len.toLong); out.writeLong(heapOff) }
+              else { out.writeInt(len); out.writeInt(heapOff.toInt) }
+              heapOff += payload
+              skipBytes(payload)
+            } else copyBytes(payload)
+          } else copyBytes(widths(i).toLong)
           i += 1
         }
         r += 1
       }
-      val dataLen = rowBytes * nRows
+      // Pass 2 — the heap (THEAP default: immediately after the rows).
+      if (heapTotal > 0) {
+        val in2 = new DataInputStream(new java.io.BufferedInputStream(
+          new FileInputStream(tmp), 1 << 20))
+        try {
+          def copy2(n0: Long): Unit = {
+            var remaining = n0
+            while (remaining > 0) {
+              val take = math.min(remaining, copyBuf.length.toLong).toInt
+              in2.readFully(copyBuf, 0, take)
+              out.write(copyBuf, 0, take)
+              remaining -= take
+            }
+          }
+          def skip2(n0: Long): Unit = {
+            var remaining = n0
+            while (remaining > 0) {
+              val take = math.min(remaining, copyBuf.length.toLong).toInt
+              in2.readFully(copyBuf, 0, take)
+              remaining -= take
+            }
+          }
+          var r2 = 0L
+          while (r2 < nRows) {
+            var i = 0
+            while (i < fields.length) {
+              val spec = elems(i)
+              if (!spec.isArray && spec.code == 'A') skip2(in2.readInt().toLong)
+              else if (spec.isArray) {
+                val payload = in2.readInt().toLong * spec.elemWidth
+                if (ragged(i)) copy2(payload) else skip2(payload)
+              } else skip2(widths(i).toLong)
+              i += 1
+            }
+            r2 += 1
+          }
+        } finally in2.close()
+      }
+      val dataLen = rowBytes * nRows + heapTotal
       val padLen = ((dataLen + 2879) / 2880 * 2880 - dataLen).toInt
       out.write(new Array[Byte](padLen))
     } finally {

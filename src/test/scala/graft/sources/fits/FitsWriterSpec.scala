@@ -161,7 +161,10 @@ class FitsWriterSpec extends SparkTestBase {
           // bounded: NaN would break tuple-set equality, not the writer
           rnd.nextFloat() * 2e6f - 1e6f,
           rnd.nextDouble(), randStr().trim,
-          Array.fill(7)(rnd.nextDouble()))
+          // random per-row length: partitions land on the fixed-vector
+          // path or the ragged var-length path by chance — both must
+          // round-trip exactly
+          Array.fill(rnd.nextInt(9))(rnd.nextDouble()))
       }
       val df = rows.toDF("k", "j", "i16", "b8", "flag", "e", "d", "s", "v")
         .repartition(3)
@@ -224,15 +227,44 @@ class FitsWriterSpec extends SparkTestBase {
     assert(roundTrip(dir).schema.fieldNames.toSeq == Seq("id", "na'me"))
   }
 
-  test("ragged array lengths fail with a clear fixed-width error") {
+  test("ragged arrays auto-write as var-length P columns and round-trip") {
     val dir = Files.createTempDirectory("fits-write").toString + "/ragged"
-    val df = Seq((1L, Array(1f, 2f)), (2L, Array(1f, 2f, 3f))).toDF("id", "v")
-      .coalesce(1)
+    val rows = Seq(
+      (1L, Array(1f, 2f), Array(10.0, 20.0)),
+      (2L, Array(3f, 4f, 5f), Array(10.0, 20.0)), // v ragged, w fixed
+      (3L, Array.empty[Float], Array(30.0, 40.0)))
+    // one partition: raggedness is detected per part-file
+    rows.toDF("id", "v", "w").coalesce(1)
+      .write.format("fits").mode("append").save(dir)
+    // header: ragged column declares 1PE(max); fixed one stays 2D
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".fits")).head
+    val hdr1 = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), 2880, 2880, "US-ASCII")
+    assert(hdr1.contains("1PE("), hdr1.grouped(80).filter(_.startsWith("TFORM")).mkString("|"))
+    assert(hdr1.grouped(80).exists(c => c.startsWith("TFORM3") && c.contains("2D")))
+    val back = roundTrip(dir)
+    assert(back.schema("v").dataType.simpleString == "array<float>")
+    val got = back.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).toList, r.getSeq[Double](2).toList)).toSet
+    assert(got == rows.map(t => (t._1, t._2.toList, t._3.toList)).toSet)
+  }
+
+  test("null arrays still fail with a clear error") {
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, null)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType), nullable = true))))
     val e = intercept[Exception] {
-      df.write.format("fits").mode("append").save(dir)
+      df.coalesce(1).write.format("fits").mode("append")
+        .save(Files.createTempDirectory("fits-write").toString + "/nullarr")
     }
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(_.contains("fixed-length")), e)
+    assert(messages(e).exists(_.contains("no null representation")), e)
   }
 }
