@@ -100,11 +100,12 @@ final class FitsPartitionReader(part: FitsInputPartition,
       case a: TForm.AsciiReal =>
         (b, base) => a.decode(b, base + off)
       case v: TForm.VarArr =>
-        // heap indirection: descriptor in the row, elements pread from
-        // the heap. One positioned read per row — latency-bound on
-        // object stores, but var-length data is inherently pointer-
-        // shaped; rows written sequentially have sequential heap spans,
-        // so the OS readahead usually absorbs it.
+        // heap indirection: descriptor in the row, elements from the
+        // heap. fill() coalesces each chunk's heap span into ONE
+        // positioned read (rows written sequentially reference a
+        // near-contiguous span); only scattered descriptors fall back
+        // to a per-row pread — the difference between O(1) and O(rows)
+        // round trips per chunk on an object store.
         (b, base) => {
           val (n0, hoff) = v.descriptor(b, base + off)
           if (n0 < 0 || n0 > v.maxLen)
@@ -112,23 +113,46 @@ final class FitsPartitionReader(part: FitsInputPartition,
               s"corrupt variable-length descriptor in '${c.name}': " +
                 s"count $n0 outside [0, ${v.maxLen}]")
           val n = n0.toInt
-          val bytes = new Array[Byte](n * v.elem.width)
-          if (n > 0) in.readFully(heapStart + hoff, bytes, 0, bytes.length)
-          if (v.isString)
-            UTF8String.fromString(new String(bytes, "UTF-8").trim)
+          val payload = n * v.elem.width
+          if (heapLen > 0 && hoff >= heapBase &&
+            hoff + payload <= heapBase + heapLen)
+            decodeVar(v, heapBuf, (hoff - heapBase).toInt, n)
           else {
-            val out = new Array[Any](n)
-            var j = 0
-            while (j < n) {
-              out(j) = v.elem.decode(bytes, j * v.elem.width); j += 1
-            }
-            new GenericArrayData(out)
+            val bytes = new Array[Byte](payload)
+            if (n > 0) in.readFully(heapStart + hoff, bytes, 0, payload)
+            decodeVar(v, bytes, 0, n)
           }
         }
       case _: TForm.Unsupported =>
         (_, _) => null
     }
   }
+
+  private def decodeVar(v: TForm.VarArr, src: Array[Byte], at: Int,
+      n: Int): Any =
+    if (v.isString)
+      UTF8String.fromString(new String(src, at, n, "UTF-8").trim)
+    else {
+      val out = new Array[Any](n)
+      var j = 0
+      while (j < n) { out(j) = v.elem.decode(src, at + j * v.elem.width); j += 1 }
+      new GenericArrayData(out)
+    }
+
+  // var-length columns in this projection, for chunk heap coalescing
+  private val varCols: Array[(Int, TForm.VarArr)] =
+    if (bintableCols == null) Array.empty
+    else bintableCols.collect {
+      case col if col.tform.isInstanceOf[TForm.VarArr] =>
+        (col.offset, col.tform.asInstanceOf[TForm.VarArr])
+    }
+  /** Coalesced heap window for the current chunk (len 0 ⇒ fall back to
+    * per-row preads). Cap keeps one pathological chunk from buffering
+    * an arbitrarily large heap span. */
+  private val MaxHeapSpan: Long = 64L << 20
+  private var heapBuf: Array[Byte] = Array.emptyByteArray
+  private var heapBase = 0L
+  private var heapLen = 0L
 
   override def next(): Boolean = {
     if (emitted >= part.numRows) return false
@@ -141,6 +165,35 @@ final class FitsPartitionReader(part: FitsInputPartition,
     in.readFully(part.startByte + emitted * rowBytes, buf, 0,
       chunkRows * rowBytes)
     rowInChunk = 0
+    heapLen = 0L
+    if (varCols.nonEmpty && heapStart >= 0) {
+      // one pass over the chunk's descriptors: the union heap span
+      var lo = Long.MaxValue
+      var hi = 0L
+      var r = 0
+      while (r < chunkRows) {
+        val base = r * rowBytes
+        var k = 0
+        while (k < varCols.length) {
+          val (off, v) = varCols(k)
+          val (n, hoff) = v.descriptor(buf, base + off)
+          if (n > 0 && n <= v.maxLen && hoff >= 0) {
+            val end = hoff + n * v.elem.width
+            if (hoff < lo) lo = hoff
+            if (end > hi) hi = end
+          }
+          k += 1
+        }
+        r += 1
+      }
+      if (lo < hi && hi - lo <= MaxHeapSpan) {
+        if (heapBuf.length < (hi - lo).toInt)
+          heapBuf = new Array[Byte]((hi - lo).toInt)
+        in.readFully(heapStart + lo, heapBuf, 0, (hi - lo).toInt)
+        heapBase = lo
+        heapLen = hi - lo
+      }
+    }
   }
 
   override def get(): InternalRow = {
