@@ -206,6 +206,12 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
   private val colPayload: Array[Long] = new Array[Long](fields.length)
   private var nRows = 0L
 
+  /** Var-length string threshold: a column whose fixed `nA` form would
+    * waste more than half its bytes on padding (and is at least this
+    * wide) is stored as `1PA(max)` instead — a corpus with one long
+    * document must not balloon every row to the longest one. */
+  private val VarStrMinWidth = 64
+
   private val tmp: File = File.createTempFile("fits-write-spill", ".bin")
   private val spill = new DataOutputStream(
     new BufferedOutputStream(new FileOutputStream(tmp), 1 << 20))
@@ -237,6 +243,7 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
           val b =
             if (nul) Array.emptyByteArray else row.getUTF8String(i).getBytes
           if (b.length > strWidth(i)) strWidth(i) = b.length
+          colPayload(i) += b.length
           spill.writeInt(b.length)
           spill.write(b)
         case ArrayType(et, _) =>
@@ -272,18 +279,25 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
 
   override def commit(): WriterCommitMessage = {
     spill.close()
-    // ragged array columns become heap-backed var-length columns; the
+    // ragged array columns — and string columns whose fixed form would
+    // be mostly padding — become heap-backed var-length columns; the
     // descriptor flavor is file-wide (all-P or all-Q) keyed on whether
     // the total heap can be addressed by int32 offsets
-    val heapTotal: Long = elems.indices
-      .collect { case i if elems(i).isArray && ragged(i) => colPayload(i) }
-      .sum
+    val varStr: Array[Boolean] = elems.zipWithIndex.map { case (spec, i) =>
+      !spec.isArray && spec.code == 'A' &&
+        strWidth(i) >= VarStrMinWidth &&
+        strWidth(i).toLong * nRows > 2L * colPayload(i)
+    }
+    val heapTotal: Long = elems.indices.collect {
+      case i if (elems(i).isArray && ragged(i)) || varStr(i) => colPayload(i)
+    }.sum
     val useQ = heapTotal > Int.MaxValue.toLong
     val descBytes = if (useQ) 16 else 8
     val widths: Array[Int] = elems.zipWithIndex.map { case (spec, i) =>
       if (spec.isArray)
         if (ragged(i)) descBytes else spec.elemWidth * math.max(repeat(i), 0)
       else if (spec.elemWidth >= 0) spec.elemWidth
+      else if (varStr(i)) descBytes
       else strWidth(i)
     }
     val rowBytes = widths.sum
@@ -310,6 +324,8 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
           if (spec.isArray && ragged(i))
             s"1${if (useQ) "Q" else "P"}${spec.code}(${maxRepeat(i)})"
           else if (spec.isArray) s"${math.max(repeat(i), 0)}${spec.code}"
+          else if (varStr(i))
+            s"1${if (useQ) "Q" else "P"}A(${strWidth(i)})"
           else if (spec.code == 'A') s"${widths(i)}A"
           else spec.code.toString
         Seq(card(s"TTYPE${i + 1}", quoted(f.name)),
@@ -353,9 +369,16 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
           val spec = elems(i)
           if (!spec.isArray && spec.code == 'A') {
             val len = in.readInt()
-            copyBytes(len.toLong)
-            var p = len
-            while (p < widths(i)) { out.write(' '); p += 1 }
+            if (varStr(i)) {
+              if (useQ) { out.writeLong(len.toLong); out.writeLong(heapOff) }
+              else { out.writeInt(len); out.writeInt(heapOff.toInt) }
+              heapOff += len
+              skipBytes(len.toLong)
+            } else {
+              copyBytes(len.toLong)
+              var p = len
+              while (p < widths(i)) { out.write(' '); p += 1 }
+            }
           } else if (spec.isArray) {
             val len = in.readInt()
             val payload = len.toLong * spec.elemWidth
@@ -397,8 +420,10 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
             var i = 0
             while (i < fields.length) {
               val spec = elems(i)
-              if (!spec.isArray && spec.code == 'A') skip2(in2.readInt().toLong)
-              else if (spec.isArray) {
+              if (!spec.isArray && spec.code == 'A') {
+                val len = in2.readInt().toLong
+                if (varStr(i)) copy2(len) else skip2(len)
+              } else if (spec.isArray) {
                 val payload = in2.readInt().toLong * spec.elemWidth
                 if (ragged(i)) copy2(payload) else skip2(payload)
               } else skip2(widths(i).toLong)

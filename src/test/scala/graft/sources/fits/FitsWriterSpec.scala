@@ -250,6 +250,57 @@ class FitsWriterSpec extends SparkTestBase {
     assert(got == rows.map(t => (t._1, t._2.toList, t._3.toList)).toSet)
   }
 
+  test("skewed-width string columns adaptively store as var-length PA") {
+    val dir = Files.createTempDirectory("fits-write").toString + "/docs"
+    // one 5 KB document among short ones: fixed nA would pad every row
+    val docs = (0 until 200).map { i =>
+      (i.toLong, if (i == 7) "x" * 5000 else s"short doc $i")
+    }
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.format("fits").mode("append").save(dir)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".fits")).head
+    val hdr1 = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), 2880, 2880, "US-ASCII")
+    assert(hdr1.contains("1PA("), hdr1.grouped(80)
+      .filter(_.startsWith("TFORM")).mkString("|"))
+    // padding saved: file is ~KBs, not 200 x 5000 B
+    assert(f.length < 100 * 1024, f.length)
+    val back = roundTrip(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back == docs.toSet)
+
+    // narrow / dense string columns keep the fixed nA form
+    val dir2 = Files.createTempDirectory("fits-write").toString + "/dense"
+    docs.map { case (i, _) => (i, s"tag-$i") }.toDF("doc_id", "text")
+      .coalesce(1).write.format("fits").mode("append").save(dir2)
+    val f2 = new java.io.File(dir2).listFiles()
+      .filter(_.getName.endsWith(".fits")).head
+    val hdr2 = new String(
+      java.nio.file.Files.readAllBytes(f2.toPath), 2880, 2880, "US-ASCII")
+    assert(!hdr2.contains("1PA("))
+  }
+
+  test("document pipeline runs identically on FITS-backed storage") {
+    val dir = Files.createTempDirectory("fits-write").toString + "/corpus"
+    val src = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text")
+    src.write.format("fits").mode("append").save(dir)
+    val back = roundTrip(dir)
+    // text round-trips modulo the FITS trim convention (strings are
+    // space-padded on disk, so leading/trailing whitespace is not
+    // representable — same as the reference's nA decode)
+    val a = src.collect().map(r => (r.getLong(0), r.getString(1).trim)).toSet
+    val b = back.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b)
+    // the text operators produce identical results over either storage
+    def tokens(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(tokens(back) == tokens(src))
+  }
+
   test("null arrays still fail with a clear error") {
     val df = spark.createDataFrame(
       java.util.Arrays.asList(Row(1L, null)),
