@@ -381,6 +381,42 @@ object Relational {
       .agg(sum($"l_quantity").as("sum_qty"))
       .orderBy($"s_name")
 
+  /** As-of join (nearest at-or-before match), the canonical time-series
+    * operator Spark's joiner lacks: each 'view' event matches the same
+    * user's most recent 'purchase' at or before its timestamp (left
+    * semantics — views with no prior purchase keep NULLs).
+    *
+    * Scale shape: the naive formulation is an inequality join (O(n·m)
+    * pairs per user, then an argmax per probe). This instead UNIONs the
+    * two sides, sorts each user's timeline once, and carries the last
+    * purchase forward with `last(ignoreNulls)` over an unbounded-
+    * preceding row window — ONE shuffle on user_id, linear work, no
+    * range explosion. Ref rows sort before probes at equal ts (`side`
+    * key), giving exact ≤ semantics. Window partitions are per-user
+    * (millions of keys at 100 TB), never a global funnel. */
+  val q23_asof: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val refStruct = struct($"ts".as("ts"), $"value".as("value"))
+    val probes = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts", lit(1).as("side"), $"event_id",
+        lit(null).cast(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.DoubleType)))).as("ref"))
+    val refs = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", lit(0).as("side"),
+        lit(null).cast(LongType).as("event_id"), refStruct.as("ref"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    probes.unionByName(refs)
+      .withColumn("m", last($"ref", ignoreNulls = true).over(w))
+      .filter($"side" === 1)
+      .select($"event_id", $"m.ts".as("asof_ts"), $"m.value".as("asof_value"))
+      .orderBy($"event_id")
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -418,6 +454,7 @@ object Relational {
     "q21_stddev" -> q21_stddev,
     "q21_sigmaclip" -> q21_sigmaclip,
     "q22_skewjoin" -> q22_skewjoin,
+    "q23_asof" -> q23_asof,
   )
 
   /** DuckDB-compatible oracle SQL. Keys mirror `queries`; column aliases
@@ -448,6 +485,19 @@ object Relational {
       """SELECT s_name, SUM(l_quantity) AS sum_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    // inequality-join + argmax formulation; deterministic because
+    // (user_id, ts) is unique within an event_type in the test data
+    // (verified at sf0.01 and sf0.1) — the engine's union+window
+    // formulation must hash-match it exactly
+    "q23_asof" ->
+      """SELECT a.event_id, MAX(b.ts) AS asof_ts,
+        |  ARG_MAX(b.value, b.ts) AS asof_value
+        |FROM (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'view') a
+        |LEFT JOIN (SELECT user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id AND b.ts <= a.ts
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin,
     "q06_groupby" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
         |  SUM(l_quantity) AS sum_qty,

@@ -64,4 +64,36 @@ class RelationalSpec extends SparkTestBase {
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q23 as-of semantics: latest at-or-before, per user, left-joined") {
+    val probes = Relational.q23_asof(spark, sf0001).collect()
+    // every probe ('view') row survives — left semantics
+    val views = graft.Tables.load(spark, sf0001, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "view")
+    assert(probes.length == views.count())
+    // each matched purchase is truly at-or-before its view, same user
+    val ev = graft.Tables.load(spark, sf0001, "events")
+      .select("event_id", "user_id", "ts").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getTimestamp(2))).toMap
+    val purchases = graft.Tables.load(spark, sf0001, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    probes.filterNot(_.isNullAt(1)).foreach { r =>
+      val (user, viewTs) = ev(r.getLong(0))
+      val asofTs = r.getTimestamp(1)
+      assert(!asofTs.after(viewTs), s"match after probe: $r")
+      // it is the LATEST eligible purchase for that user
+      val best = purchases.filter(p => p._1 == user && !p._2.after(viewTs))
+        .map(_._2).max((a: java.sql.Timestamp, b: java.sql.Timestamp) =>
+          a.compareTo(b))
+      assert(asofTs == best, s"not the latest match: $r vs $best")
+    }
+    // and probes with no eligible purchase are NULL, not dropped
+    val nullRows = probes.filter(_.isNullAt(1))
+    nullRows.foreach { r =>
+      val (user, viewTs) = ev(r.getLong(0))
+      assert(!purchases.exists(p => p._1 == user && !p._2.after(viewTs)), r)
+    }
+  }
 }
