@@ -352,16 +352,19 @@ object Dedup {
     * join key, so buckets larger than `spark.graft.lsh.maxBucket` are
     * excluded entirely (with a logged drop count) — at 100 TB one
     * degenerate bucket (all-identical boilerplate, an all-zeros band)
-    * would otherwise dominate the whole job. The default (1M) is a
-    * no-op at test scale so the oracled outputs stay exact.
+    * would otherwise dominate the whole job. DEFAULT-ON at 1M: orders
+    * of magnitude above any legitimate near-dup bucket and a no-op at
+    * test scale, so the oracled outputs stay exact while a degenerate
+    * corpus cannot take the job down. `spark.graft.lsh.maxBucket=0`
+    * disables the cap (and its audit aggregation) entirely.
     */
   private def candidatesFromBands(bands0: DataFrame): DataFrame = {
     val confBucket = bands0.sparkSession.conf
       .getOption("spark.graft.lsh.maxBucket")
+      .map(_.toLong).getOrElse(1000000L)
     val kept = confBucket match {
-      case None => bands0 // no cap configured → no audit job
-      case Some(raw) =>
-        val maxBucket = raw.toLong
+      case n if n <= 0 => bands0 // cap disabled → no audit job
+      case maxBucket =>
         val bands = bands0.cache()
         val hot = bands.groupBy(col("band"), col("bv"))
           .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)

@@ -120,14 +120,15 @@ final case class ApproxCosineJoinExec(
     // Hot-bucket guard: a band bucket of f rows on both sides is an f²
     // all-pairs loop AND an f-row in-memory cogroup buffer — one
     // degenerate band value (all-identical boilerplate vectors) owns
-    // the whole job at scale. With `spark.graft.lsh.maxBucket` set,
-    // buckets larger than the cap on EITHER side are excluded before
-    // the cogroup shuffle, so neither the pairs nor the buffers ever
-    // materialize (same knob + logged-drop contract as the dedup
-    // layer's candidatesFromBands guard). Unset by default: the cap
-    // drops pairs, and the test corpora need exact output.
-    Option(conf.getConfString("spark.graft.lsh.maxBucket", null))
-      .map(_.toLong).foreach { cap =>
+    // the whole job at scale. Buckets larger than the cap on EITHER
+    // side are excluded before the cogroup shuffle, so neither the
+    // pairs nor the buffers ever materialize (same knob + logged-drop
+    // contract as the dedup layer's candidatesFromBands guard).
+    // DEFAULT-ON at 1M — far above any legitimate near-dup bucket and
+    // a no-op at test scale, so oracled outputs stay exact while a
+    // degenerate corpus cannot OOM an executor. `=0` disables.
+    Option(conf.getConfString("spark.graft.lsh.maxBucket", "1000000"))
+      .map(_.toLong).filter(_ > 0).foreach { cap =>
         def hotKeys(rdd: RDD[((Int, Int), (InternalRow, Long, ArrayData))]) =
           rdd.map(kv => (kv._1, 1L)).reduceByKey(_ + _)
             .filter(_._2 > cap).keys
