@@ -68,6 +68,9 @@ final case class FitsResolution(options: Map[String, String]) {
     throw new IllegalArgumentException(
       "You need to specify the HDU to be read! Set the 'hdu' option.")).toInt
   val mode: String = ci.getOrElse("mode", "PERMISSIVE").toUpperCase
+  /** Write option: `option("image", true)` writes an IMAGE primary HDU
+    * (one row per image line) instead of a BINTABLE extension. */
+  val imageWrite: Boolean = ci.get("image").exists(_.toBoolean)
   val verbose: Boolean = ci.get("verbose").exists(_.toBoolean)
   val recordLength: Option[Int] = ci.get("recordlength").map(_.toInt)
   val columnsOption: Option[Seq[String]] =

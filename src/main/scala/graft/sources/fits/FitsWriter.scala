@@ -96,6 +96,42 @@ object FitsWriteSupport {
   }
 
   def validate(schema: StructType): Unit = schema.fields.foreach(f => elemOf(f.dataType))
+
+  /** Image-mode schema contract: exactly one numeric array column (the
+    * image lines; its element type sets BITPIX) plus optionally one
+    * integral column (an ImgIndex-style line number, NOT stored — row
+    * order within the partition is the line order, exactly what the
+    * reader reproduces). Returns the array column's field index. */
+  def validateImage(schema: StructType): Int = {
+    val arrays = schema.fields.zipWithIndex.collect {
+      case (f, i) if f.dataType.isInstanceOf[ArrayType] => i
+    }
+    require(arrays.length == 1,
+      s"image write needs exactly one array column, got " +
+        s"${arrays.length} in ${schema.simpleString}")
+    val others = schema.fields.zipWithIndex.filter(_._2 != arrays.head)
+    require(others.forall(f => f._1.dataType == LongType ||
+      f._1.dataType == IntegerType) && others.length <= 1,
+      "image write allows at most one integral line-index column " +
+        s"besides the image array, got ${schema.simpleString}")
+    val spec = elemOf(schema.fields(arrays.head).dataType)
+    require(spec.code != 'L' && spec.code != 'A',
+      s"FITS images hold numeric pixels; column " +
+        s"'${schema.fields(arrays.head).name}' has element code ${spec.code}")
+    arrays.head
+  }
+
+  /** BITPIX for an image element code. */
+  def bitpixOf(code: Char): Int = code match {
+    case 'B' => 8
+    case 'I' => 16
+    case 'J' => 32
+    case 'K' => 64
+    case 'E' => -32
+    case 'D' => -64
+    case other => throw new IllegalArgumentException(
+      s"no image BITPIX for element code $other")
+  }
 }
 
 final class FitsWriteBuilder(res: FitsResolution, info: LogicalWriteInfo)
@@ -118,7 +154,8 @@ final class FitsWriteBuilder(res: FitsResolution, info: LogicalWriteInfo)
   * source this closes the loop: FITS dir → stream transform → FITS dir. */
 final class FitsStreamingWrite(res: FitsResolution, schema: StructType)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
-  FitsWriteSupport.validate(schema)
+  if (res.imageWrite) FitsWriteSupport.validateImage(schema)
+  else FitsWriteSupport.validate(schema)
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
@@ -129,11 +166,12 @@ final class FitsStreamingWrite(res: FitsResolution, schema: StructType)
       .map(e => (e.getKey, e.getValue)).toArray
     val pathSpec = res.pathSpec
     val s = schema
+    val img = res.imageWrite
     new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] =
         new FitsDataWriter(pathSpec, s, partitionId, taskId, props,
-          nameTag = s"e$epochId")
+          nameTag = s"e$epochId", imageMode = img)
     }
   }
 
@@ -149,7 +187,8 @@ final class FitsStreamingWrite(res: FitsResolution, schema: StructType)
 
 final class FitsBatchWrite(res: FitsResolution, schema: StructType,
     truncate: Boolean) extends BatchWrite {
-  FitsWriteSupport.validate(schema)
+  if (res.imageWrite) FitsWriteSupport.validateImage(schema)
+  else FitsWriteSupport.validate(schema)
 
   // captured BEFORE tasks run: overwrite deletes exactly these at commit
   private val preExisting: Seq[String] =
@@ -163,7 +202,7 @@ final class FitsBatchWrite(res: FitsResolution, schema: StructType,
     import scala.jdk.CollectionConverters._
     val props = res.hadoopConf.iterator().asScala
       .map(e => (e.getKey, e.getValue)).toArray
-    new FitsDataWriterFactory(res.pathSpec, schema, props)
+    new FitsDataWriterFactory(res.pathSpec, schema, props, res.imageWrite)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -182,14 +221,16 @@ final case class FitsWriteCommitted(file: String, rows: Long)
     extends WriterCommitMessage
 
 final class FitsDataWriterFactory(dirSpec: String, schema: StructType,
-    confProps: Array[(String, String)]) extends DataWriterFactory {
+    confProps: Array[(String, String)], imageMode: Boolean = false)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new FitsDataWriter(dirSpec, schema, partitionId, taskId, confProps)
+    new FitsDataWriter(dirSpec, schema, partitionId, taskId, confProps,
+      imageMode = imageMode)
 }
 
 final class FitsDataWriter(dirSpec: String, schema: StructType,
     partitionId: Int, taskId: Long, confProps: Array[(String, String)],
-    nameTag: String = "")
+    nameTag: String = "", imageMode: Boolean = false)
     extends DataWriter[InternalRow] {
   import FitsWriteSupport._
 
@@ -212,6 +253,14 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
     * document must not balloon every row to the longest one. */
   private val VarStrMinWidth = 64
 
+  // image mode: the single array column's index, element spec, and the
+  // locked rectangular line length
+  private val imgCol: Int =
+    if (imageMode) FitsWriteSupport.validateImage(schema) else -1
+  private val imgElem: ColSpec =
+    if (imageMode) elemOf(fields(imgCol).dataType) else null
+  private var imgLine = -1
+
   private val tmp: File = File.createTempFile("fits-write-spill", ".bin")
   private val spill = new DataOutputStream(
     new BufferedOutputStream(new FileOutputStream(tmp), 1 << 20))
@@ -233,7 +282,31 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
       case other => throw new IllegalStateException(other.simpleString)
     }
 
-  override def write(row: InternalRow): Unit = {
+  override def write(row: InternalRow): Unit =
+    if (imageMode) writeImageLine(row) else writeTableRow(row)
+
+  /** Image mode: each row is one image line; pixels spill raw (the
+    * line length is locked rectangular by the first row). An integral
+    * line-index column, if present, is not stored — row order is the
+    * line order, exactly what the image reader reproduces. */
+  private def writeImageLine(row: InternalRow): Unit = {
+    if (row.isNullAt(imgCol)) throw new IllegalArgumentException(
+      s"null image line in column '${fields(imgCol).name}'")
+    val arr = row.getArray(imgCol)
+    val n = arr.numElements()
+    if (imgLine == -1) imgLine = n
+    else if (imgLine != n) throw new IllegalArgumentException(
+      s"FITS images are rectangular: first line had $imgLine pixels, " +
+        s"this row has $n")
+    val et = imgElem.elemType
+    var j = 0
+    while (j < n) {
+      writeScalar(et, nul = arr.isNullAt(j), arr.get(j, et)); j += 1
+    }
+    nRows += 1
+  }
+
+  private def writeTableRow(row: InternalRow): Unit = {
     var i = 0
     while (i < fields.length) {
       val nul = row.isNullAt(i)
@@ -277,8 +350,68 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
   @volatile private var inFlight
       : Option[(org.apache.hadoop.fs.FileSystem, Path)] = None
 
+  /** Opens the staging file for this part (tracked for abort). */
+  private def openStaging(): (org.apache.hadoop.fs.FileSystem, Path, Path,
+      org.apache.hadoop.fs.FSDataOutputStream) = {
+    val tag = if (nameTag.isEmpty) "" else s"-$nameTag"
+    val name =
+      f"part-$partitionId%05d-$taskId$tag%s-${UUID.randomUUID().toString.take(8)}.fits"
+    val file = new Path(dirSpec, name)
+    // dot-prefixed, non-.fits suffix: invisible both to directory listing
+    // (FitsFiles.listFits keeps *.fits only) and to '*.fits' globs
+    val staging = new Path(dirSpec, s".$name.inprogress")
+    val conf = new Configuration()
+    confProps.foreach { case (k, v) => conf.set(k, v) }
+    val fs = file.getFileSystem(conf)
+    inFlight = Some((fs, staging))
+    (fs, file, staging, fs.create(staging, false))
+  }
+
+  private def publish(fs: org.apache.hadoop.fs.FileSystem, staging: Path,
+      file: Path): Unit = {
+    if (!fs.rename(staging, file))
+      throw new java.io.IOException(
+        s"FITS write: rename of staging file $staging to $file failed")
+    inFlight = None
+  }
+
+  /** Image mode: one IMAGE primary HDU per partition — NAXIS1 = pixels
+    * per line, NAXIS2 = lines written; reads back as (Image, ImgIndex)
+    * rows at hdu 0. Closes the loop with the image reader: decode →
+    * transform → write back as real FITS images. */
+  private def commitImage(): WriterCommitMessage = {
+    val line = math.max(imgLine, 0)
+    val (fs, file, staging, out) = openStaging()
+    val in = new DataInputStream(
+      new java.io.BufferedInputStream(new FileInputStream(tmp), 1 << 20))
+    try {
+      out.write(headerBlock(Seq(card("SIMPLE", "T"),
+        card("BITPIX", bitpixOf(imgElem.code).toString),
+        card("NAXIS", "2"), card("NAXIS1", line.toString),
+        card("NAXIS2", nRows.toString), pad("END", 80))))
+      val dataLen = nRows * line.toLong * imgElem.elemWidth
+      val copyBuf = new Array[Byte](1 << 16)
+      var remaining = dataLen
+      while (remaining > 0) {
+        val take = math.min(remaining, copyBuf.length.toLong).toInt
+        in.readFully(copyBuf, 0, take)
+        out.write(copyBuf, 0, take)
+        remaining -= take
+      }
+      out.write(new Array[Byte](
+        ((dataLen + 2879) / 2880 * 2880 - dataLen).toInt))
+    } finally {
+      out.close()
+      in.close()
+      tmp.delete()
+    }
+    publish(fs, staging, file)
+    FitsWriteCommitted(file.toString, nRows)
+  }
+
   override def commit(): WriterCommitMessage = {
     spill.close()
+    if (imageMode) return commitImage()
     // ragged array columns — and string columns whose fixed form would
     // be mostly padding — become heap-backed var-length columns; the
     // descriptor flavor is file-wide (all-P or all-Q) keyed on whether
@@ -301,18 +434,7 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
       else strWidth(i)
     }
     val rowBytes = widths.sum
-    val tag = if (nameTag.isEmpty) "" else s"-$nameTag"
-    val name =
-      f"part-$partitionId%05d-$taskId$tag%s-${UUID.randomUUID().toString.take(8)}.fits"
-    val file = new Path(dirSpec, name)
-    // dot-prefixed, non-.fits suffix: invisible both to directory listing
-    // (FitsFiles.listFits keeps *.fits only) and to '*.fits' globs
-    val staging = new Path(dirSpec, s".$name.inprogress")
-    val conf = new Configuration()
-    confProps.foreach { case (k, v) => conf.set(k, v) }
-    val fs = file.getFileSystem(conf)
-    inFlight = Some((fs, staging))
-    val out = fs.create(staging, false)
+    val (fs, file, staging, out) = openStaging()
     val in = new DataInputStream(
       new java.io.BufferedInputStream(new FileInputStream(tmp), 1 << 20))
     try {
@@ -441,10 +563,7 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
       in.close()
       tmp.delete()
     }
-    if (!fs.rename(staging, file))
-      throw new java.io.IOException(
-        s"FITS write: rename of staging file $staging to $file failed")
-    inFlight = None
+    publish(fs, staging, file)
     FitsWriteCommitted(file.toString, nRows)
   }
 

@@ -301,6 +301,60 @@ class FitsWriterSpec extends SparkTestBase {
     assert(tokens(back) == tokens(src))
   }
 
+  test("image mode writes an IMAGE primary HDU that round-trips at hdu 0") {
+    val dir = Files.createTempDirectory("fits-write").toString + "/img"
+    // a 31-line x 16-pixel int16 image, lines tagged with their index
+    val lines = (0 until 31).map(y =>
+      (y.toLong, (0 until 16).map(x => (y * 100 + x).toShort).toArray))
+    lines.toDF("ImgIndex", "Image").coalesce(1)
+      .sortWithinPartitions("ImgIndex")
+      .write.format("fits").option("image", true).mode("append").save(dir)
+    val back = spark.read.format("fits").option("hdu", 0).load(dir)
+    assert(back.schema.map(f => (f.name, f.dataType.simpleString)) ==
+      Seq("Image" -> "array<smallint>", "ImgIndex" -> "bigint"))
+    val got = back.collect()
+      .map(r => r.getLong(1) -> r.getSeq[Short](0).toList).toMap
+    assert(got.size == 31)
+    lines.foreach { case (y, px) => assert(got(y) == px.toList, s"line $y") }
+    // BITPIX recorded correctly for the element type
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".fits")).head
+    val hdr = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), 0, 2880, "US-ASCII")
+    val bp = hdr.grouped(80).find(_.startsWith("BITPIX")).get
+    assert(bp.substring(10, 30).trim == "16", s"[$bp]")
+
+    // float image: BITPIX -32 and exact pixel round-trip
+    val dir2 = Files.createTempDirectory("fits-write").toString + "/imgf"
+    val fl = (0 until 8).map(y =>
+      (y.toLong, Array.tabulate(4)(x => y * 1.5f + x)))
+    fl.toDF("ImgIndex", "Image").coalesce(1)
+      .sortWithinPartitions("ImgIndex")
+      .write.format("fits").option("image", true).mode("append").save(dir2)
+    val back2 = spark.read.format("fits").option("hdu", 0).load(dir2)
+    assert(back2.schema("Image").dataType.simpleString == "array<float>")
+    val got2 = back2.collect()
+      .map(r => r.getLong(1) -> r.getSeq[Float](0).toList).toMap
+    fl.foreach { case (y, px) => assert(got2(y) == px.toList) }
+
+    // contract violations fail clearly
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val ragged = Seq((0L, Array(1f, 2f)), (1L, Array(1f))).toDF("ImgIndex", "Image")
+    val e1 = intercept[Exception] {
+      ragged.coalesce(1).write.format("fits").option("image", true)
+        .mode("append")
+        .save(Files.createTempDirectory("fits-write").toString + "/bad1")
+    }
+    assert(messages(e1).exists(_.contains("rectangular")), e1)
+    val e2 = intercept[Exception] {
+      Seq((1L, "x")).toDF("a", "b").write.format("fits")
+        .option("image", true).mode("append")
+        .save(Files.createTempDirectory("fits-write").toString + "/bad2")
+    }
+    assert(messages(e2).exists(_.contains("exactly one array column")), e2)
+  }
+
   test("null arrays still fail with a clear error") {
     val df = spark.createDataFrame(
       java.util.Arrays.asList(Row(1L, null)),
