@@ -54,6 +54,27 @@ class MultimodalSpec extends SparkTestBase {
     assert(rebuilt == direct)
   }
 
+  test("full image loop: FITS read -> transform -> image write-back") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("fits").option("hdu", 2).load(imgFixture)
+    // a pixel transform (contrast stretch ×2) over the lines, written
+    // back as a REAL image HDU and re-read through the same source
+    val out = java.nio.file.Files
+      .createTempDirectory("mm-imgloop").toString + "/stretched"
+    df.orderBy("ImgIndex")
+      .select(col("ImgIndex"),
+        transform(col("Image"), p => (p * 2).cast("smallint")).as("Image"))
+      .coalesce(1).sortWithinPartitions("ImgIndex")
+      .write.format("fits").option("image", true).mode("append").save(out)
+    val back = spark.read.format("fits").option("hdu", 0).load(out)
+    assert(back.count() == df.count())
+    val a = df.orderBy("ImgIndex").collect()
+      .flatMap(_.getSeq[Short](0)).map(p => (p * 2).toShort).toSeq
+    val b = back.orderBy("ImgIndex").collect()
+      .flatMap(_.getSeq[Short](0)).toSeq
+    assert(a == b)
+  }
+
   test("stubbed codec path is deterministic and batch-shaped") {
     val df = Multimodal.mm_features(spark, sf0001)
     val a = df.collect()
