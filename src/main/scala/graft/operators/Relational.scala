@@ -417,6 +417,19 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** Exact percentiles (sort-based aggregate, distributed): median and
+    * p95 of l_quantity per return flag. Spark's `percentile` and
+    * DuckDB's `quantile_cont` share the continuous-interpolation
+    * definition; both sides round to 6 dp to absorb last-bit float
+    * divergence. */
+  val q24_percentile: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5D)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.95D)"), 6).as("p95"))
+      .orderBy($"l_returnflag")
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -455,6 +468,7 @@ object Relational {
     "q21_sigmaclip" -> q21_sigmaclip,
     "q22_skewjoin" -> q22_skewjoin,
     "q23_asof" -> q23_asof,
+    "q24_percentile" -> q24_percentile,
   )
 
   /** DuckDB-compatible oracle SQL. Keys mirror `queries`; column aliases
@@ -498,6 +512,12 @@ object Relational {
         |           WHERE event_type = 'purchase') b
         |  ON a.user_id = b.user_id AND b.ts <= a.ts
         |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin,
+    "q24_percentile" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(l_quantity, 0.95), 6) AS p95
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q06_groupby" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
         |  SUM(l_quantity) AS sum_qty,

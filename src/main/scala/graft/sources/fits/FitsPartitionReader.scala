@@ -108,10 +108,14 @@ final class FitsPartitionReader(part: FitsInputPartition,
         // round trips per chunk on an object store.
         (b, base) => {
           val (n0, hoff) = v.descriptor(b, base + off)
-          if (n0 < 0 || n0 > v.maxLen)
+          // payload sized as Long first: a corrupt count on a column
+          // with no declared (max) must fail loudly, not overflow Int
+          if (n0 < 0 || n0 > v.maxLen ||
+            n0 * v.elem.width > FitsPartitionReader.MaxVarElement)
             throw new IllegalArgumentException(
               s"corrupt variable-length descriptor in '${c.name}': " +
-                s"count $n0 outside [0, ${v.maxLen}]")
+                s"count $n0 outside [0, ${v.maxLen}] or element over " +
+                s"${FitsPartitionReader.MaxVarElement} bytes")
           val n = n0.toInt
           val payload = n * v.elem.width
           if (heapLen > 0 && hoff >= heapBase &&
@@ -293,4 +297,12 @@ final class FitsPartitionReader(part: FitsInputPartition,
   @inline private def readLong(o: Int): Long = ElemType.i64(buf, o)
 
   override def close(): Unit = in.close()
+}
+
+object FitsPartitionReader {
+  /** Upper bound on one variable-length element's payload (256 MB):
+    * far above any legitimate array or document, low enough that a
+    * corrupt descriptor cannot ask an executor for a multi-GB
+    * allocation. */
+  val MaxVarElement: Long = 256L << 20
 }
