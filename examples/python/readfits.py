@@ -68,6 +68,12 @@ def main():
 
     # Writing works too (beyond the reference): one part file per
     # partition, append/overwrite modes, read back via the dir union.
+    # Ragged array columns become heap-backed var-length (1PT) columns
+    # automatically, and a string column dominated by padding stores as
+    # var-length 1PA — so a document corpus round-trips compactly.
+    # An (Image, ImgIndex) frame writes back as a real IMAGE HDU with
+    # .option("image", True). ASCII TABLE extensions (hdu type TABLE)
+    # and variable-length P/Q bintable columns read transparently.
     if args.write_out:
         df.limit(100).write.format("fits").mode("overwrite").save(args.write_out)
         (spark.read.format("fits").option("hdu", 1)

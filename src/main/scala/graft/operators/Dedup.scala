@@ -350,21 +350,31 @@ object Dedup {
     *
     * Skew guard: a bucket of f docs yields f² candidate pairs on one
     * join key, so buckets larger than `spark.graft.lsh.maxBucket` are
-    * excluded entirely (with a logged drop count) — at 100 TB one
-    * degenerate bucket (all-identical boilerplate, an all-zeros band)
-    * would otherwise dominate the whole job. DEFAULT-ON at 1M: orders
-    * of magnitude above any legitimate near-dup bucket and a no-op at
-    * test scale, so the oracled outputs stay exact while a degenerate
-    * corpus cannot take the job down. `spark.graft.lsh.maxBucket=0`
-    * disables the cap (and its audit aggregation) entirely.
+    * excluded entirely — at 100 TB one degenerate bucket (all-identical
+    * boilerplate, an all-zeros band) would otherwise dominate the whole
+    * job. DEFAULT-ON at 1M, orders of magnitude above any legitimate
+    * near-dup bucket and a no-op at test scale, so the oracled outputs
+    * stay exact while a degenerate corpus cannot take the job down.
+    *
+    * Two mechanisms, chosen by how the cap was set: the DEFAULT cap
+    * filters via a per-bucket window count — zero extra actions, and
+    * its (band, bv) exchange is exactly the self-join's partitioning,
+    * so Catalyst reuses it. An EXPLICITLY configured cap takes the
+    * audited path instead: cache + hot-bucket count + logged drops
+    * (you set a knob, you get told what it did). `=0` disables.
     */
   private def candidatesFromBands(bands0: DataFrame): DataFrame = {
-    val confBucket = bands0.sparkSession.conf
-      .getOption("spark.graft.lsh.maxBucket")
-      .map(_.toLong).getOrElse(1000000L)
-    val kept = confBucket match {
-      case n if n <= 0 => bands0 // cap disabled → no audit job
-      case maxBucket =>
+    val explicit = bands0.sparkSession.conf
+      .getOption("spark.graft.lsh.maxBucket").map(_.toLong)
+    val kept = explicit match {
+      case Some(n) if n <= 0 => bands0 // cap disabled → no guard at all
+      case None =>
+        // default cap: silent-but-safe window filter, no extra job
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bv"))
+        bands0.withColumn("_bn", count(lit(1)).over(w))
+          .filter(col("_bn") <= 1000000L).drop("_bn")
+      case Some(maxBucket) =>
         val bands = bands0.cache()
         val hot = bands.groupBy(col("band"), col("bv"))
           .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)

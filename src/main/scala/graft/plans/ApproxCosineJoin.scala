@@ -120,21 +120,26 @@ final case class ApproxCosineJoinExec(
     // Hot-bucket guard: a band bucket of f rows on both sides is an f²
     // all-pairs loop AND an f-row in-memory cogroup buffer — one
     // degenerate band value (all-identical boilerplate vectors) owns
-    // the whole job at scale. Buckets larger than the cap on EITHER
-    // side are excluded before the cogroup shuffle, so neither the
-    // pairs nor the buffers ever materialize (same knob + logged-drop
-    // contract as the dedup layer's candidatesFromBands guard).
-    // DEFAULT-ON at 1M — far above any legitimate near-dup bucket and
-    // a no-op at test scale, so oracled outputs stay exact while a
-    // degenerate corpus cannot OOM an executor. `=0` disables.
-    Option(conf.getConfString("spark.graft.lsh.maxBucket", "1000000"))
-      .map(_.toLong).filter(_ > 0).foreach { cap =>
+    // the whole job at scale. DEFAULT-ON at 1M — far above any
+    // legitimate near-dup bucket and a no-op at test scale, so oracled
+    // outputs stay exact while a degenerate corpus cannot own the job.
+    // Two mechanisms by how the cap was set (mirroring the dedup
+    // layer's candidatesFromBands): the DEFAULT cap is enforced inside
+    // the cogroup with an O(1) size check per bucket — no extra job
+    // (cogroup's spillable buffers bound memory; the f² LOOP is what
+    // the check skips). An EXPLICITLY configured cap pre-filters hot
+    // buckets before the shuffle with a logged drop count — you set a
+    // knob, you get told what it did. `=0` disables both.
+    val explicitCap = Option(
+      conf.getConfString("spark.graft.lsh.maxBucket", null)).map(_.toLong)
+    val cap: Long = explicitCap.getOrElse(1000000L)
+    explicitCap.filter(_ > 0).foreach { c =>
         def hotKeys(rdd: RDD[((Int, Int), (InternalRow, Long, ArrayData))]) =
           rdd.map(kv => (kv._1, 1L)).reduceByKey(_ + _)
-            .filter(_._2 > cap).keys
+            .filter(_._2 > c).keys
         val hot = (hotKeys(lk) ++ hotKeys(rk)).distinct().collect().toSet
         if (hot.nonEmpty) {
-          System.err.println(s"[graft] ApproxCosineJoinExec: maxBucket=$cap " +
+          System.err.println(s"[graft] ApproxCosineJoinExec: maxBucket=$c " +
             s"dropped ${hot.size} hot band buckets")
           val hotB = lk.sparkContext.broadcast(hot)
           lk = lk.filter(kv => !hotB.value(kv._1))
@@ -144,6 +149,8 @@ final case class ApproxCosineJoinExec(
     lk.cogroup(rk).flatMap {
       case ((band, _), (ls, rs)) =>
         if (ls.isEmpty || rs.isEmpty) Iterator.empty
+        else if (cap > 0 && (ls.size > cap || rs.size > cap))
+          Iterator.empty // degenerate bucket: skip the f² loop entirely
         else for {
           (lRow, lSig, lVec) <- ls.iterator
           (rRow, rSig, rVec) <- rs.iterator
