@@ -64,6 +64,7 @@ final class FitsPartitionReader(part: FitsInputPartition,
         case _: TForm.Scalar | _: TForm.Str | _: TForm.Unsupported |
              _: TForm.AsciiInt | _: TForm.AsciiReal => true
         case sc: TForm.Scaled => !sc.isArray
+        case wn: TForm.WithNull => wn.inner.isInstanceOf[TForm.Scalar]
         case _ => false
       }
     }
@@ -99,6 +100,11 @@ final class FitsPartitionReader(part: FitsInputPartition,
         (b, base) => a.decode(b, base + off)
       case a: TForm.AsciiReal =>
         (b, base) => a.decode(b, base + off)
+      case wn: TForm.WithNull if wn.inner.isInstanceOf[TForm.Vec] =>
+        (b, base) => new GenericArrayData(
+          wn.decode(b, base + off).asInstanceOf[Array[Any]])
+      case wn: TForm.WithNull =>
+        (b, base) => wn.decode(b, base + off)
       case v: TForm.VarArr =>
         // heap indirection: descriptor in the row, elements from the
         // heap. fill() coalesces each chunk's heap span into ONE
@@ -285,6 +291,15 @@ final class FitsPartitionReader(part: FitsInputPartition,
           a.decode(buf, off) match {
             case null => w.setNullAt(i)
             case v: java.lang.Double => w.write(i, v.doubleValue())
+          }
+        case wn: TForm.WithNull =>
+          wn.decode(buf, off) match {
+            case null => w.setNullAt(i)
+            case v: java.lang.Byte => w.write(i, v.byteValue())
+            case v: java.lang.Short => w.write(i, v.shortValue())
+            case v: java.lang.Integer => w.write(i, v.intValue())
+            case v: java.lang.Long => w.write(i, v.longValue())
+            case other => throw new IllegalStateException(s"$other")
           }
         case _ => w.setNullAt(i)
       }

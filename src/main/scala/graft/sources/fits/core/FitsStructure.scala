@@ -216,10 +216,14 @@ object FitsStructure {
     val cols = Vector.newBuilder[BintableColumn]
     var i = 1
     while (i <= nCols) {
-      // TSCALn/TZEROn linear scaling (beyond reference — see TForm.Scaled)
-      val tform = TForm.scaled(
-        TForm.parse(h.values.getOrElse(s"TFORM$i", "")),
-        h.doubleOr(s"TSCAL$i", 1.0), h.doubleOr(s"TZERO$i", 0.0))
+      // TSCALn/TZEROn linear scaling + TNULLn integer sentinel
+      // (both beyond reference — TForm.Scaled / TForm.WithNull)
+      val tform = TForm.withNull(
+        TForm.scaled(
+          TForm.parse(h.values.getOrElse(s"TFORM$i", "")),
+          h.doubleOr(s"TSCAL$i", 1.0), h.doubleOr(s"TZERO$i", 0.0)),
+        h.values.get(s"TNULL$i")
+          .flatMap(v => scala.util.Try(v.trim.toLong).toOption))
       val name = h.values.getOrElse(s"TTYPE$i", s"col$i").trim
       cols += BintableColumn(name, tform, offset)
       offset += tform.byteWidth

@@ -306,6 +306,42 @@ object TForm {
     }
   }
 
+  /** TNULLn integer null sentinel (FITS 4.0 §7.3.2, beyond reference —
+    * it surfaces sentinels as ordinary values): stored elements equal
+    * to the sentinel decode as SQL NULL. Defined by the standard for
+    * integer columns only; applied here to UNSCALED B/I/J/K scalars
+    * and vectors (the TSCAL+TNULL combination is rare enough that
+    * scaled columns keep their raw behavior, documented). */
+  final case class WithNull(inner: TForm, sentinel: Long) extends TForm {
+    def raw: String = inner.raw
+    def byteWidth: Int = inner.byteWidth
+    def sparkType: DataType = inner.sparkType
+    private def scrub(v: Any): Any = v match {
+      case b: Byte => if (b.toLong == sentinel) null else b
+      case s: Short => if (s.toLong == sentinel) null else s
+      case i: Int => if (i.toLong == sentinel) null else i
+      case l: Long => if (l == sentinel) null else l
+      case other => other
+    }
+    def decode(b: Array[Byte], off: Int): Any = inner.decode(b, off) match {
+      case arr: Array[Any] => arr.map(scrub)
+      case v => scrub(v)
+    }
+  }
+
+  /** Wraps integer scalar/vector forms with the TNULL sentinel. */
+  def withNull(t: TForm, sentinel: Option[Long]): TForm = sentinel match {
+    case None => t
+    case Some(s) =>
+      t match {
+        case Scalar(_, e) if e == ElemType.B || e == ElemType.I ||
+          e == ElemType.J || e == ElemType.K => WithNull(t, s)
+        case Vec(_, e, _) if e == ElemType.B || e == ElemType.I ||
+          e == ElemType.J || e == ElemType.K => WithNull(t, s)
+        case other => other // non-integer / scaled: keyword ignored
+      }
+  }
+
   // ------------------------------------------------------- ASCII tables
 
   /** ASCII TABLE integer field `Iw` (FITS 4.0 §7.2.5): right-justified

@@ -174,4 +174,48 @@ class FitsScaledSpec extends SparkTestBase {
     assert(spark.read.format("fits").option("hdu", 1)
       .option("columns", "u16").load(file).columns.toSeq == Seq("u16"))
   }
+
+  test("TNULL sentinel decodes as SQL NULL (scalar and vector)") {
+    // table: id(J, TNULL=-1), v(2I vector, TNULL=-9), s(8A untouched)
+    val dir = Files.createTempDirectory("fits-tnull")
+    val f = dir.resolve("t.fits").toFile
+    val out = new DataOutputStream(new FileOutputStream(f))
+    writeHeader(out, Seq(card("SIMPLE", "T"), card("BITPIX", "8"),
+      card("NAXIS", "0"), pad("END", 80)))
+    writeHeader(out, Seq(
+      card("XTENSION", "'BINTABLE'"), card("BITPIX", "8"),
+      card("NAXIS", "2"), card("NAXIS1", (4 + 4 + 8).toString),
+      card("NAXIS2", "4"), card("PCOUNT", "0"), card("GCOUNT", "1"),
+      card("TFIELDS", "3"),
+      card("TTYPE1", "'id      '"), card("TFORM1", "'J       '"),
+      card("TNULL1", "-1"),
+      card("TTYPE2", "'v       '"), card("TFORM2", "'2I      '"),
+      card("TNULL2", "-9"),
+      card("TTYPE3", "'s       '"), card("TFORM3", "'8A      '"),
+      pad("END", 80)))
+    val rows = Seq((10, Seq(1, 2), "aa"), (-1, Seq(-9, 5), "bb"),
+      (30, Seq(7, -9), "cc"), (-1, Seq(-9, -9), "dd"))
+    rows.foreach { case (id, v, s) =>
+      out.writeInt(id); v.foreach(x => out.writeShort(x))
+      out.write(pad(s, 8).getBytes("US-ASCII"))
+    }
+    val dataLen = 16 * 4
+    out.write(new Array[Byte]((2880 - dataLen % 2880) % 2880))
+    out.close()
+
+    val df = spark.read.format("fits").option("hdu", 1).load(f.toString)
+    val got = df.collect().map { r =>
+      (if (r.isNullAt(0)) null else r.getInt(0),
+        r.getSeq[Any](1).toList, r.getString(2))
+    }
+    assert(got.toSeq == Seq(
+      (10, List(1.toShort, 2.toShort), "aa"),
+      (null, List(null, 5.toShort), "bb"),
+      (30, List(7.toShort, null), "cc"),
+      (null, List(null, null), "dd")))
+    // NULL-aware relational behavior downstream: nulls drop from aggs
+    import org.apache.spark.sql.functions._
+    val agg = df.agg(count(col("id")).as("n"), sum(col("id")).as("s")).head
+    assert(agg.getLong(0) == 2 && agg.getLong(1) == 40)
+  }
 }
