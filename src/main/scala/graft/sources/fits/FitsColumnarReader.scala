@@ -188,6 +188,51 @@ final class FitsColumnarReader(part: FitsInputPartition,
             s"scaled element $e inside a raw Scalar — TForm.scaled wraps " +
               "at the TForm level (TForm.Scaled), never inside Scalar")
         }
+      case wn: TForm.WithNull =>
+        // TNULL sentinel scalars: compare stored integer, putNull on hit
+        val s = wn.sentinel
+        val elem = (wn.inner: @unchecked) match {
+          case TForm.Scalar(_, e) => e
+        }
+        var r = 0
+        while (r < n) {
+          val o = r * rowBytes + off
+          elem match {
+            case ElemType.B =>
+              val x = buf(o)
+              if (x.toLong == s) v.putNull(r) else v.putByte(r, x)
+            case ElemType.I =>
+              val x = ElemType.s16(buf, o)
+              if (x.toLong == s) v.putNull(r) else v.putShort(r, x)
+            case ElemType.J =>
+              val x = i32(o)
+              if (x.toLong == s) v.putNull(r) else v.putInt(r, x)
+            case ElemType.K =>
+              val x = i64(o)
+              if (x == s) v.putNull(r) else v.putLong(r, x)
+            case other => throw new IllegalStateException(
+              s"TNULL on non-integer element $other")
+          }
+          r += 1
+        }
+      case a: TForm.AsciiInt =>
+        var r = 0
+        while (r < n) {
+          a.decode(buf, r * rowBytes + off) match {
+            case null => v.putNull(r)
+            case l: java.lang.Long => v.putLong(r, l.longValue())
+          }
+          r += 1
+        }
+      case a: TForm.AsciiReal =>
+        var r = 0
+        while (r < n) {
+          a.decode(buf, r * rowBytes + off) match {
+            case null => v.putNull(r)
+            case d: java.lang.Double => v.putDouble(r, d.doubleValue())
+          }
+          r += 1
+        }
       case TForm.Vec(_, elem, repeat) =>
         val child = v.arrayData()
         child.reserve(n * repeat)

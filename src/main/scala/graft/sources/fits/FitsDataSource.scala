@@ -513,8 +513,10 @@ final class FitsPartitionReaderFactory(confProps: Array[(String, String)])
     case f: FitsInputPartition => f.spec match {
       case DecodeSpec.Bintable(cols, _) => cols.nonEmpty && cols.forall(_.tform match {
         case _: TForm.Scalar | _: TForm.Str | _: TForm.Vec |
-             _: TForm.Scaled | _: TForm.Unsupported => true
-        case _ => false
+             _: TForm.Scaled | _: TForm.Unsupported |
+             _: TForm.AsciiInt | _: TForm.AsciiReal => true
+        case wn: TForm.WithNull => wn.inner.isInstanceOf[TForm.Scalar]
+        case _ => false // variable-length columns take the row path
       })
       case _: DecodeSpec.Image => true
     }
