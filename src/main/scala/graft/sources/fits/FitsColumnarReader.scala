@@ -156,7 +156,12 @@ final class FitsColumnarReader(part: FitsInputPartition,
           case ElemType.L =>
             var r = 0
             while (r < n) {
-              v.putBoolean(r, buf(r * rowBytes + off) == 'T'.toByte); r += 1
+              buf(r * rowBytes + off) match {
+                case 'T' => v.putBoolean(r, true)
+                case 'F' => v.putBoolean(r, false)
+                case _ => v.putNull(r) // undefined logical
+              }
+              r += 1
             }
           case ElemType.B =>
             var r = 0
@@ -245,7 +250,11 @@ final class FitsColumnarReader(part: FitsInputPartition,
             val o = rowOff + j * w
             val idx = r * repeat + j
             elem match {
-              case ElemType.L => child.putBoolean(idx, buf(o) == 'T'.toByte)
+              case ElemType.L => buf(o) match {
+                case 'T' => child.putBoolean(idx, true)
+                case 'F' => child.putBoolean(idx, false)
+                case _ => child.putNull(idx) // undefined logical
+              }
               case ElemType.B => child.putByte(idx, buf(o))
               case ElemType.I => child.putShort(idx, ElemType.s16(buf, o))
               case ElemType.J => child.putInt(idx, i32(o))

@@ -257,7 +257,11 @@ final class FitsPartitionReader(part: FitsInputPartition,
       c.tform match {
         case TForm.Scalar(_, elem) =>
           elem match {
-            case ElemType.L => w.write(i, buf(off) == 'T'.toByte)
+            case ElemType.L => buf(off) match {
+              case 'T' => w.write(i, true)
+              case 'F' => w.write(i, false)
+              case _ => w.setNullAt(i) // undefined logical
+            }
             case ElemType.B => w.write(i, buf(off))
             case ElemType.I => w.write(i, ElemType.s16(buf, off))
             case ElemType.J => w.write(i, readInt(off))

@@ -33,9 +33,15 @@ import org.apache.spark.sql.types._
   * (`nT`); ragged ones automatically become variable-length
   * `1PT(max)` columns backed by the HDU heap (Q descriptors when the
   * heap outgrows int32 addressing) — both shapes read back through
-  * this source. Numeric nulls write as zero and string nulls as
-  * empty — FITS binary tables have no native null representation
-  * (the TNULLn convention is integer-only). */
+  * this source.
+  *
+  * Nulls: integer nulls (scalar and fixed-vector) write the type's
+  * MinValue sentinel plus a TNULLn card, so they READ BACK AS SQL
+  * NULL; boolean nulls write the standard's undefined-logical byte 0
+  * (also round-trips); float/double nulls write 0 and string nulls
+  * write empty (no FITS representation); null elements inside ragged
+  * var-length arrays write the sentinel without a card (TNULL is
+  * untyped for heap data here — documented corner). */
 object FitsWriteSupport {
   /** Right-pad WITHOUT truncation — an over-long column name must fail
     * the 80-byte card check below, not be silently chopped. */
@@ -265,16 +271,59 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
   private val spill = new DataOutputStream(
     new BufferedOutputStream(new FileOutputStream(tmp), 1 << 20))
 
-  private def writeScalar(dt: DataType, nul: Boolean, get: => Any): Unit =
+  // integer-null round-trip: a null writes the type's MinValue and the
+  // column gains a TNULLn card at commit, so it reads back as SQL NULL.
+  // A column holding BOTH nulls and a legitimate MinValue cannot be
+  // encoded unambiguously and fails loudly at commit.
+  private val intHasNull = new Array[Boolean](fields.length)
+  private val intSawMin = new Array[Boolean](fields.length)
+
+  /** `i` = column index for null bookkeeping; −1 (image mode) keeps the
+    * legacy nulls→0 behavior (TNULL is a table keyword; images would
+    * need BLANK, out of scope). */
+  private def writeScalar(i: Int, dt: DataType, nul: Boolean,
+      get: => Any): Unit =
     dt match {
-      // FITS logical stores ASCII 'T'/'F' bytes, not 1/0
+      // FITS logical: 'T' / 'F' / 0 = undefined (null round-trips)
       case BooleanType =>
-        spill.writeByte(if (!nul && get.asInstanceOf[Boolean]) 'T' else 'F')
-      case ByteType => spill.writeByte(if (nul) 0 else get.asInstanceOf[Byte])
+        spill.writeByte(
+          if (nul) 0 else if (get.asInstanceOf[Boolean]) 'T' else 'F')
+      case ByteType =>
+        if (nul) {
+          if (i >= 0) { intHasNull(i) = true; spill.writeByte(Byte.MinValue) }
+          else spill.writeByte(0)
+        } else {
+          val v = get.asInstanceOf[Byte]
+          if (i >= 0 && v == Byte.MinValue) intSawMin(i) = true
+          spill.writeByte(v)
+        }
       case ShortType =>
-        spill.writeShort(if (nul) 0 else get.asInstanceOf[Short])
-      case IntegerType => spill.writeInt(if (nul) 0 else get.asInstanceOf[Int])
-      case LongType => spill.writeLong(if (nul) 0L else get.asInstanceOf[Long])
+        if (nul) {
+          if (i >= 0) { intHasNull(i) = true; spill.writeShort(Short.MinValue) }
+          else spill.writeShort(0)
+        } else {
+          val v = get.asInstanceOf[Short]
+          if (i >= 0 && v == Short.MinValue) intSawMin(i) = true
+          spill.writeShort(v)
+        }
+      case IntegerType =>
+        if (nul) {
+          if (i >= 0) { intHasNull(i) = true; spill.writeInt(Int.MinValue) }
+          else spill.writeInt(0)
+        } else {
+          val v = get.asInstanceOf[Int]
+          if (i >= 0 && v == Int.MinValue) intSawMin(i) = true
+          spill.writeInt(v)
+        }
+      case LongType =>
+        if (nul) {
+          if (i >= 0) { intHasNull(i) = true; spill.writeLong(Long.MinValue) }
+          else spill.writeLong(0L)
+        } else {
+          val v = get.asInstanceOf[Long]
+          if (i >= 0 && v == Long.MinValue) intSawMin(i) = true
+          spill.writeLong(v)
+        }
       case FloatType =>
         spill.writeFloat(if (nul) 0f else get.asInstanceOf[Float])
       case DoubleType =>
@@ -301,7 +350,7 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
     val et = imgElem.elemType
     var j = 0
     while (j < n) {
-      writeScalar(et, nul = arr.isNullAt(j), arr.get(j, et)); j += 1
+      writeScalar(-1, et, nul = arr.isNullAt(j), arr.get(j, et)); j += 1
     }
     nRows += 1
   }
@@ -332,10 +381,10 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
           spill.writeInt(n) // length prefix; fixed-vs-var decided at commit
           var j = 0
           while (j < n) {
-            writeScalar(et, nul = arr.isNullAt(j), arr.get(j, et))
+            writeScalar(i, et, nul = arr.isNullAt(j), arr.get(j, et))
             j += 1
           }
-        case dt => writeScalar(dt, nul, row.get(i, dt))
+        case dt => writeScalar(i, dt, nul, row.get(i, dt))
       }
       i += 1
     }
@@ -440,6 +489,9 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
     try {
       out.write(headerBlock(Seq(card("SIMPLE", "T"), card("BITPIX", "8"),
         card("NAXIS", "0"), pad("END", 80))))
+      val sentinelOf = Map('B' -> Byte.MinValue.toLong,
+        'I' -> Short.MinValue.toLong, 'J' -> Int.MinValue.toLong,
+        'K' -> Long.MinValue)
       val colCards = fields.toSeq.zipWithIndex.flatMap { case (f, i) =>
         val spec = elems(i)
         val tform =
@@ -450,8 +502,16 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
             s"1${if (useQ) "Q" else "P"}A(${strWidth(i)})"
           else if (spec.code == 'A') s"${widths(i)}A"
           else spec.code.toString
+        val tnull =
+          if (!intHasNull(i)) Nil
+          else if (intSawMin(i)) throw new IllegalArgumentException(
+            s"column '${f.name}' contains both NULLs and the type's " +
+              "MinValue — the TNULL sentinel encoding is ambiguous; " +
+              "shift the data or drop the nulls")
+          else if (spec.isArray && ragged(i)) Nil // var-col TNULL undefined
+          else Seq(card(s"TNULL${i + 1}", sentinelOf(spec.code).toString))
         Seq(card(s"TTYPE${i + 1}", quoted(f.name)),
-          card(s"TFORM${i + 1}", quoted(tform)))
+          card(s"TFORM${i + 1}", quoted(tform))) ++ tnull
       }
       out.write(headerBlock(Seq(
         card("XTENSION", quoted("BINTABLE")), card("BITPIX", "8"),

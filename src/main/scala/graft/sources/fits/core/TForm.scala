@@ -31,9 +31,17 @@ object ElemType {
   @inline def i64(b: Array[Byte], o: Int): Long =
     ((i32(b, o).toLong) << 32) | (i32(b, o + 4).toLong & 0xffffffffL)
 
+  /** FITS logical: 'T', 'F', or anything else = undefined (FITS 4.0
+    * table 15 defines 0 as the undefined value) → SQL NULL. The
+    * reference decodes undefined as false; NULL is the standard-correct
+    * reading and lets boolean nulls round-trip through the writer. */
   case object L extends ElemType {
     val code = 'L'; val width = 1; val sparkType = BooleanType
-    def decode(b: Array[Byte], off: Int): Any = b(off) == 'T'.toByte
+    def decode(b: Array[Byte], off: Int): Any = b(off) match {
+      case 'T' => true
+      case 'F' => false
+      case _ => null
+    }
   }
   /** FITS `B` is unsigned, but the reference maps it to signed ByteType
     * (FitsHdu.scala:214-217, asserted by ReadFitsTest.scala:310-316).

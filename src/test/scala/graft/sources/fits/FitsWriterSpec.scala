@@ -63,28 +63,46 @@ class FitsWriterSpec extends SparkTestBase {
     assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((9L, "z")))
   }
 
-  test("nulls write as zero / empty string; unsupported types error clearly") {
+  test("nulls round-trip: integers via TNULL, booleans via undefined-L") {
     val dir = Files.createTempDirectory("fits-write").toString + "/t4"
     val df = spark.createDataFrame(
-      java.util.Arrays.asList(Row(null, null), Row(5L, "x")),
+      java.util.Arrays.asList(
+        Row(null, null, null), Row(5L, "x", true), Row(7L, "y", false)),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id",
           org.apache.spark.sql.types.LongType, nullable = true),
         org.apache.spark.sql.types.StructField("s",
-          org.apache.spark.sql.types.StringType, nullable = true))))
-    df.write.format("fits").mode("append").save(dir)
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("f",
+          org.apache.spark.sql.types.BooleanType, nullable = true))))
+    df.coalesce(1).write.format("fits").mode("append").save(dir)
     val got = roundTrip(dir).collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(got == Set((0L, ""), (5L, "x")))
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getBoolean(2))).toSet
+    // integer + boolean nulls survive; string null reads as "" (FITS
+    // strings have no null representation)
+    assert(got == Set((null, "", null), (5L, "x", true), (7L, "y", false)))
 
-    val bad = Seq((1L, Array("a", "b"))).toDF("id", "tags")
+    // null + legitimate MinValue in one column is unencodable → clear error
+    val bad = spark.createDataFrame(
+      java.util.Arrays.asList(Row(null), Row(Long.MinValue)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+    val eAmb = intercept[Exception] {
+      bad.coalesce(1).write.format("fits").mode("append")
+        .save(Files.createTempDirectory("fits-write").toString + "/amb")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(eAmb).exists(_.contains("ambiguous")), eAmb)
+
+    val badType = Seq((1L, Array("a", "b"))).toDF("id", "tags")
     val e = intercept[Exception] {
-      bad.write.format("fits").mode("append")
+      badType.write.format("fits").mode("append")
         .save(Files.createTempDirectory("fits-write").toString + "/t5")
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(m =>
+    assert(msgs(e).exists(m =>
       m.contains("arrays of fixed-width scalars only")), e)
   }
 
