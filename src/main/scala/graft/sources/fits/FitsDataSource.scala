@@ -71,6 +71,11 @@ final case class FitsResolution(options: Map[String, String]) {
   /** Write option: `option("image", true)` writes an IMAGE primary HDU
     * (one row per image line) instead of a BINTABLE extension. */
   val imageWrite: Boolean = ci.get("image").exists(_.toBoolean)
+  /** Streaming-read option: cap how many new files one micro-batch
+    * admits (same contract as Spark's file source) — without it a
+    * large backlog becomes a single giant batch. */
+  val maxFilesPerTrigger: Option[Int] =
+    ci.get("maxfilespertrigger").map(_.toInt)
   val verbose: Boolean = ci.get("verbose").exists(_.toBoolean)
   val recordLength: Option[Int] = ci.get("recordlength").map(_.toInt)
   val columnsOption: Option[Seq[String]] =
@@ -421,17 +426,52 @@ final case class FitsStreamOffset(files: Seq[String])
   * contract); deletions after commit are fine. */
 final class FitsMicroBatchStream(scan: FitsScan, res: FitsResolution)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
     with Logging {
-  import org.apache.spark.sql.connector.read.streaming.{Offset => StreamOffset}
+  import org.apache.spark.sql.connector.read.streaming.{
+    Offset => StreamOffset, ReadLimit, ReadMaxFiles}
 
   override def initialOffset(): StreamOffset = FitsStreamOffset(Nil)
 
-  override def latestOffset(): StreamOffset = {
-    val files =
-      try FitsFiles.resolve(res.pathSpec, res.hadoopConf).map(_.toString)
-      catch { case _: IllegalArgumentException => Nil } // empty dir (yet)
-    FitsStreamOffset(files.sorted)
+  private def allFiles(): Seq[String] =
+    (try FitsFiles.resolve(res.pathSpec, res.hadoopConf).map(_.toString)
+    catch { case _: IllegalArgumentException => Nil }).sorted // empty dir (yet)
+
+  /** AvailableNow contract: batches stop at the file set that existed
+    * when the trigger fired, even if more files keep landing. */
+  @volatile private var availableNowTarget: Option[Set[String]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(allFiles().toSet)
+
+  /** `maxFilesPerTrigger` bounds each micro-batch — a 10k-file backlog
+    * drains as many bounded batches instead of one giant one (Spark's
+    * own file source contract; AvailableNow still processes everything,
+    * just in capped steps). */
+  override def getDefaultReadLimit: ReadLimit =
+    res.maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: StreamOffset, limit: ReadLimit)
+      : StreamOffset = {
+    val seen = start.asInstanceOf[FitsStreamOffset].files.toSet
+    val visible = availableNowTarget match {
+      case Some(target) => allFiles().filter(target)
+      case None => allFiles()
+    }
+    val fresh = visible.filterNot(seen)
+    val admitted = limit match {
+      case mf: ReadMaxFiles => fresh.take(mf.maxFiles())
+      case _ => fresh
+    }
+    FitsStreamOffset((seen ++ admitted).toSeq.sorted)
   }
+
+  override def reportLatestOffset(): StreamOffset =
+    FitsStreamOffset(allFiles())
+
+  override def latestOffset(): StreamOffset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
 
   override def deserializeOffset(json: String): StreamOffset = {
     implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats

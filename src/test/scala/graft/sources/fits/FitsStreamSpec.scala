@@ -86,4 +86,30 @@ class FitsStreamSpec extends SparkTestBase {
     assert(batches.map(_._1).sum == 3 * rowsPerFile,
       s"no-new-data run must emit nothing: $batches")
   }
+
+  test("maxFilesPerTrigger drains a backlog in bounded batches") {
+    val dir = Files.createTempDirectory("fits-stream-rate").toString
+    val ckpt = Files.createTempDirectory("fits-stream-rate-ckpt").toString
+    (0 until 3).foreach(i =>
+      graft.examples.FitsBench.generate(s"$dir/f$i.fits", rowsPerFile))
+
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("fits").option("hdu", 1)
+      .option("maxFilesPerTrigger", 1)
+      .load(dir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = df.count()
+        if (n > 0) batchSizes.synchronized { batchSizes += n }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+
+    // the 3-file backlog drains fully, but one file per batch
+    assert(batchSizes.toList == List(rowsPerFile, rowsPerFile, rowsPerFile),
+      s"expected 3 batches of one file each: $batchSizes")
+  }
 }
