@@ -373,6 +373,45 @@ class FitsWriterSpec extends SparkTestBase {
     assert(messages(e2).exists(_.contains("exactly one array column")), e2)
   }
 
+  test("kitchen sink: nulls + ragged arrays + var strings in one table") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("fits-write").toString + "/sink"
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("flag", BooleanType, nullable = true),
+      StructField("vec", ArrayType(FloatType), nullable = true), // ragged
+      StructField("ivec", ArrayType(IntegerType, containsNull = true),
+        nullable = true), // fixed repeat, null elements
+      StructField("doc", StringType, nullable = true))) // skewed → PA
+    val rows = java.util.Arrays.asList(
+      Row(1L, true, Array(1f, 2f), Array[Any](1, null), "short"),
+      Row(null, null, Array.empty[Float], Array[Any](null, 4), "x" * 500),
+      Row(3L, false, Array(9f, 8f, 7f), Array[Any](5, 6), ""))
+    spark.createDataFrame(rows, schema).coalesce(1)
+      .write.format("fits").mode("append").save(dir)
+
+    val back = roundTrip(dir).orderBy("doc").collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0),
+        if (r.isNullAt(1)) null else r.getBoolean(1),
+        r.getSeq[Float](2).toList,
+        r.getSeq[Any](3).toList,
+        r.getString(4).length))
+    assert(back.toSet == Set(
+      (1L, true, List(1f, 2f), List(1, null), 5),
+      (null, null, Nil, List(null, 4), 500),
+      (3L, false, List(9f, 8f, 7f), List(5, 6), 0)))
+    // on-disk shapes: ragged vec → 1PE, skewed doc → 1PA, id gains TNULL
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".fits")).head
+    val hdr = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), 2880, 2880, "US-ASCII")
+    assert(hdr.contains("1PE(") && hdr.contains("1PA(") &&
+      hdr.grouped(80).exists(_.startsWith("TNULL1")) &&
+      hdr.grouped(80).exists(_.startsWith("TNULL4")), // ivec elements
+      hdr.grouped(80).filter(c => c.startsWith("TFORM") ||
+        c.startsWith("TNULL")).mkString("|"))
+  }
+
   test("null arrays still fail with a clear error") {
     val df = spark.createDataFrame(
       java.util.Arrays.asList(Row(1L, null)),
