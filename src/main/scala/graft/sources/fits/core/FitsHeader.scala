@@ -78,7 +78,38 @@ object FitsHeader {
       else if (keyword.nonEmpty) cards += parseCard(keyword, line)
       i += CardSize
     }
-    FitsHeader(cards.result())
+    FitsHeader(mergeContinuations(cards.result()))
+  }
+
+  /** OGIP long-string convention (FITS 4.0 §4.2.1.2): a quoted value
+    * ending in `&` is continued by the following CONTINUE card(s); the
+    * `&` is dropped and the continuation text appended. An `&`-less
+    * value followed by CONTINUE, or an orphan CONTINUE, is left as-is. */
+  private def mergeContinuations(cards: Vector[FitsCard]): Vector[FitsCard] = {
+    val out = Vector.newBuilder[FitsCard]
+    var idx = 0
+    while (idx < cards.length) {
+      val c = cards(idx)
+      if (c.value.exists(_.endsWith("&")) && idx + 1 < cards.length &&
+        cards(idx + 1).keyword == "CONTINUE") {
+        var v = c.value.get
+        var com = c.comment
+        var j = idx + 1
+        while (v.endsWith("&") && j < cards.length &&
+          cards(j).keyword == "CONTINUE") {
+          val (cv, cc) = splitValueComment(cards(j).comment.getOrElse(""))
+          v = v.dropRight(1) + cv
+          if (cc.isDefined) com = cc
+          j += 1
+        }
+        out += FitsCard(c.keyword, Some(v), com)
+        idx = j
+      } else {
+        out += c
+        idx += 1
+      }
+    }
+    out.result()
   }
 
   /** Commentary keywords never carry a value indicator (FITS 4.0
@@ -87,11 +118,19 @@ object FitsHeader {
 
   private def parseCard(keyword: String, line: String): FitsCard = {
     // Value indicator: "= " at bytes 8-9 (fixed by the standard).
-    if (!commentaryKeywords.contains(keyword) &&
+    if (!commentaryKeywords.contains(keyword) && keyword != "HIERARCH" &&
       line.length > 10 && line.charAt(8) == '=') {
       val field = line.substring(10)
       val (value, comment) = splitValueComment(field)
       FitsCard(keyword, Some(value), comment)
+    } else if (keyword == "HIERARCH" && line.indexOf('=') > MaxKeywordSize) {
+      // ESO HIERARCH convention: the real (long, space-separated)
+      // keyword runs from byte 8 to the `=`; stored without the
+      // HIERARCH prefix, astropy-style ("ESO TEL AIRM START").
+      val eq = line.indexOf('=')
+      val key = line.substring(MaxKeywordSize, eq).trim
+      val (value, comment) = splitValueComment(line.substring(eq + 1))
+      FitsCard(key, Some(value), comment)
     } else {
       // COMMENT / HISTORY / blank-keyword cards: free text, no value.
       FitsCard(keyword, None, Some(line.substring(MaxKeywordSize).trim))

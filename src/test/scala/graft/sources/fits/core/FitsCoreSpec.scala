@@ -71,6 +71,35 @@ class FitsCoreSpec extends AnyFunSuite {
     assert(h.comments("BITPIX") == "array data type")
   }
 
+  test("CONTINUE long strings and HIERARCH keywords parse") {
+    def card80(s: String) = s.padTo(80, ' ')
+    val raw = (
+      card80("SIMPLE  =                    T") +
+        card80("LONGSTRN= 'OGIP 1.0'") +
+        card80("ORIGIN  = 'a rather long va&'") +
+        card80("CONTINUE  'lue split over &'") +
+        card80("CONTINUE  'three cards' / the comment") +
+        card80("HIERARCH ESO TEL AIRM START = 1.204 / airmass") +
+        card80("HIERARCH ESO INS MODE = 'IMAGING ' / instrument mode") +
+        card80("PLAIN   =                    7") +
+        card80("END")).getBytes("US-ASCII")
+    val padded = java.util.Arrays.copyOf(raw, 2880)
+    java.util.Arrays.fill(padded, raw.length, 2880, ' '.toByte)
+    val h = FitsHeader.parse(padded)
+    assert(h("ORIGIN") == "a rather long value split over three cards")
+    assert(h.comments("ORIGIN") == "the comment")
+    assert(h.getDouble("ESO TEL AIRM START").contains(1.204))
+    assert(h.comments("ESO TEL AIRM START") == "airmass")
+    assert(h("ESO INS MODE") == "IMAGING")
+    assert(h.getInt("PLAIN").contains(7))
+    // a string legitimately ending in '&' with no CONTINUE stays intact
+    val raw2 = (card80("NOTE    = 'ends with amp&'") + card80("END"))
+      .getBytes("US-ASCII")
+    val padded2 = java.util.Arrays.copyOf(raw2, 2880)
+    java.util.Arrays.fill(padded2, raw2.length, 2880, ' '.toByte)
+    assert(FitsHeader.parse(padded2)("NOTE") == "ends with amp&")
+  }
+
   test("column names containing '/' survive parsing") {
     val meta = scan("colnames_with_slash.fits")(1)
       .meta.asInstanceOf[HduMeta.Bintable]
