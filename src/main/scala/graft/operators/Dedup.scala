@@ -363,17 +363,36 @@ object Dedup {
     * audited path instead: cache + hot-bucket count + logged drops
     * (you set a knob, you get told what it did). `=0` disables.
     */
+  /** Rows dropped by the DEFAULT hot-bucket guard: named accumulator
+    * (visible per-stage in the UI) + job-end log line when it grows,
+    * so zero-config drops at scale are never silent. */
+  private[operators] def hotBucketDropAcc(spark: SparkSession) =
+    graft.util.GuardMetrics.loggedAccumulator(spark.sparkContext,
+      "graft.lsh.defaultGuardDroppedRows") { v =>
+      "[graft] candidatesFromBands: default hot-bucket guard has " +
+        s"dropped $v band rows (buckets over $DefaultMaxBucket; set " +
+        "spark.graft.lsh.maxBucket for the audited path)"
+    }
+
+  private[operators] val DefaultMaxBucket = 1000000L
+
   private def candidatesFromBands(bands0: DataFrame): DataFrame = {
     val explicit = bands0.sparkSession.conf
       .getOption("spark.graft.lsh.maxBucket").map(_.toLong)
     val kept = explicit match {
       case Some(n) if n <= 0 => bands0 // cap disabled → no guard at all
       case None =>
-        // default cap: silent-but-safe window filter, no extra job
+        // default cap: safe window filter, no extra job; drops counted
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bv"))
+        val acc = hotBucketDropAcc(bands0.sparkSession)
+        val keepRow = udf { (n: Long) =>
+          val keep = n <= DefaultMaxBucket
+          if (!keep) acc.add(1L)
+          keep
+        }
         bands0.withColumn("_bn", count(lit(1)).over(w))
-          .filter(col("_bn") <= 1000000L).drop("_bn")
+          .filter(keepRow(col("_bn"))).drop("_bn")
       case Some(maxBucket) =>
         val bands = bands0.cache()
         val hot = bands.groupBy(col("band"), col("bv"))

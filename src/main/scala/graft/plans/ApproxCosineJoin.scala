@@ -146,11 +146,20 @@ final case class ApproxCosineJoinExec(
           rk = rk.filter(kv => !hotB.value(kv._1))
         }
       }
+    // default-path skips must be visible: named accumulator + job-end log
+    val skippedBuckets = graft.util.GuardMetrics.loggedAccumulator(
+      sparkContext, "graft.approxCosineJoin.guardSkippedBuckets") { v =>
+      s"[graft] ApproxCosineJoinExec: hot-bucket guard skipped $v " +
+        s"degenerate band buckets (over $cap rows on a side; set " +
+        "spark.graft.lsh.maxBucket to pre-filter with audited drops)"
+    }
     lk.cogroup(rk).flatMap {
       case ((band, _), (ls, rs)) =>
         if (ls.isEmpty || rs.isEmpty) Iterator.empty
-        else if (cap > 0 && (ls.size > cap || rs.size > cap))
+        else if (cap > 0 && (ls.size > cap || rs.size > cap)) {
+          skippedBuckets.add(1L)
           Iterator.empty // degenerate bucket: skip the f² loop entirely
+        }
         else for {
           (lRow, lSig, lVec) <- ls.iterator
           (rRow, rSig, rVec) <- rs.iterator

@@ -204,8 +204,9 @@ final class FitsColumnarReader(part: FitsInputPartition,
           val o = r * rowBytes + off
           elem match {
             case ElemType.B =>
+              // unsigned FITS byte: sentinel is the stored 0-255 value
               val x = buf(o)
-              if (x.toLong == s) v.putNull(r) else v.putByte(r, x)
+              if ((x & 0xff).toLong == s) v.putNull(r) else v.putByte(r, x)
             case ElemType.I =>
               val x = ElemType.s16(buf, o)
               if (x.toLong == s) v.putNull(r) else v.putShort(r, x)

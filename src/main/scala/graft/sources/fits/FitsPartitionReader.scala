@@ -105,6 +105,9 @@ final class FitsPartitionReader(part: FitsInputPartition,
           wn.decode(b, base + off).asInstanceOf[Array[Any]])
       case wn: TForm.WithNull =>
         (b, base) => wn.decode(b, base + off)
+      case v: TForm.VarArr if v.degraded =>
+        // heap truncated (see FitsStructure.degradeVarCols): NULL out
+        (_, _) => null
       case v: TForm.VarArr =>
         // heap indirection: descriptor in the row, elements from the
         // heap. fill() coalesces each chunk's heap span into ONE
@@ -141,7 +144,11 @@ final class FitsPartitionReader(part: FitsInputPartition,
   private def decodeVar(v: TForm.VarArr, src: Array[Byte], at: Int,
       n: Int): Any =
     if (v.isString)
-      UTF8String.fromString(new String(src, at, n, "UTF-8").trim)
+      // The heap descriptor length is exact — unlike fixed nA fields
+      // there is no blank padding, so trimming would corrupt documents
+      // with meaningful leading/trailing whitespace. Copy out of the
+      // (reused) coalesced heap buffer.
+      UTF8String.fromBytes(java.util.Arrays.copyOfRange(src, at, at + n))
     else {
       val out = new Array[Any](n)
       var j = 0
@@ -153,7 +160,8 @@ final class FitsPartitionReader(part: FitsInputPartition,
   private val varCols: Array[(Int, TForm.VarArr)] =
     if (bintableCols == null) Array.empty
     else bintableCols.collect {
-      case col if col.tform.isInstanceOf[TForm.VarArr] =>
+      case col if col.tform.isInstanceOf[TForm.VarArr] &&
+        !col.tform.asInstanceOf[TForm.VarArr].degraded =>
         (col.offset, col.tform.asInstanceOf[TForm.VarArr])
     }
   /** Coalesced heap window for the current chunk (len 0 ⇒ fall back to

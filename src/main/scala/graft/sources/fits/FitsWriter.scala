@@ -489,7 +489,10 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
     try {
       out.write(headerBlock(Seq(card("SIMPLE", "T"), card("BITPIX", "8"),
         card("NAXIS", "0"), pad("END", 80))))
-      val sentinelOf = Map('B' -> Byte.MinValue.toLong,
+      // FITS 'B' is unsigned (0-255): the stored sentinel byte 0x80 is
+      // the unsigned value 128, and the TNULL card must say so or
+      // standard-compliant readers (astropy/cfitsio) never match it.
+      val sentinelOf = Map('B' -> 128L,
         'I' -> Short.MinValue.toLong, 'J' -> Int.MinValue.toLong,
         'K' -> Long.MinValue)
       val colCards = fields.toSeq.zipWithIndex.flatMap { case (f, i) =>

@@ -39,6 +39,16 @@ object HduMeta {
       extends HduMeta {
     def hasVarCols: Boolean =
       columns.exists(_.tform.isInstanceOf[TForm.VarArr])
+    /** Truncated-heap fallback: var-length columns decode as NULL
+      * (schema-stable — the column stays in the StructType) instead of
+      * executors dying on EOF preads into a missing heap tail. */
+    def degradeVarCols: Bintable = copy(columns = columns.map { c =>
+      c.tform match {
+        case v: TForm.VarArr if !v.degraded =>
+          c.copy(tform = v.copy(degraded = true))
+        case _ => c
+      }
+    })
     def schema: StructType = StructType(columns.map(_.field))
     def isReadable: Boolean = true
     /** Projection in user order; unknown names throw like the reference
@@ -119,12 +129,23 @@ object FitsStructure {
           case m => m
         }
         if (dataStop > len) {
-          // Truncated file: clamp to whole rows present instead of
-          // letting executors die on EOF mid-read.
+          // Truncated file: clamp to whole MAIN-TABLE rows present
+          // instead of letting executors die on EOF mid-read. Note
+          // clampRows caps at the declared nRows, so PCOUNT heap bytes
+          // in the remainder never inflate the row count.
           meta =
             if (meta.rowBytes > 0)
               clampRows(meta, math.max(0L, (len - dataStart) / meta.rowBytes))
             else HduMeta.Opaque
+        }
+        // A bintable whose heap extent runs past EOF (file truncated
+        // mid-heap, or a pathological THEAP): var-length preads would
+        // EOF on executors, so degrade those columns to NULL.
+        meta = meta match {
+          case b: HduMeta.Bintable if b.hasVarCols &&
+            b.heapStart + header.longOr("PCOUNT", 0L) > len =>
+            b.degradeVarCols
+          case m => m
         }
         hdus += Hdu(index, header,
           if (dataStop > len) bounds.copy(dataStop = len, blockStop = len)

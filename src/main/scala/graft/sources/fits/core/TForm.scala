@@ -253,7 +253,8 @@ object TForm {
     * natural FITS encoding for documents); other element codes surface
     * as ArrayType(elem). */
   final case class VarArr(raw: String, elem: ElemType, isQ: Boolean,
-      isString: Boolean, maxLen: Int) extends TForm {
+      isString: Boolean, maxLen: Int, degraded: Boolean = false)
+      extends TForm {
     def byteWidth: Int = if (isQ) 16 else 8
     def sparkType: DataType =
       if (isString) StringType
@@ -289,6 +290,11 @@ object TForm {
   def parse(tform: String): TForm = {
     val t = tform.trim
     t match {
+      case VarPattern(rep, _, _, _) if rep == "0" =>
+        // FITS 4.0 §7.3.1: a repeat of 0 before P/Q means field width
+        // r*8 = 0 bytes — NO descriptor is stored in the row. A full
+        // 8/16-byte width here would corrupt every subsequent offset.
+        Unsupported(t, 0)
       case VarPattern(_, pq, code, max) if code != "X" =>
         // the repeat before P/Q is 0 or 1 by the standard; the in-row
         // descriptor is one (count, offset) pair either way
@@ -325,7 +331,9 @@ object TForm {
     def byteWidth: Int = inner.byteWidth
     def sparkType: DataType = inner.sparkType
     private def scrub(v: Any): Any = v match {
-      case b: Byte => if (b.toLong == sentinel) null else b
+      // FITS 'B' is unsigned: TNULL is declared in 0-255 terms, so the
+      // signed decoded byte must be compared as its stored value
+      case b: Byte => if ((b & 0xff).toLong == sentinel) null else b
       case s: Short => if (s.toLong == sentinel) null else s
       case i: Int => if (i.toLong == sentinel) null else i
       case l: Long => if (l == sentinel) null else l
@@ -337,15 +345,19 @@ object TForm {
     }
   }
 
-  /** Wraps integer scalar/vector forms with the TNULL sentinel. */
+  /** Wraps integer scalar/vector forms with the TNULL sentinel.
+    * For 'B' columns the sentinel is normalized to the unsigned stored
+    * value (`& 0xff`) so both the standard convention (TNULL in 0-255)
+    * and legacy signed cards (e.g. -128) match the same stored byte. */
   def withNull(t: TForm, sentinel: Option[Long]): TForm = sentinel match {
     case None => t
     case Some(s) =>
+      def norm(e: ElemType): Long = if (e == ElemType.B) s & 0xffL else s
       t match {
         case Scalar(_, e) if e == ElemType.B || e == ElemType.I ||
-          e == ElemType.J || e == ElemType.K => WithNull(t, s)
+          e == ElemType.J || e == ElemType.K => WithNull(t, norm(e))
         case Vec(_, e, _) if e == ElemType.B || e == ElemType.I ||
-          e == ElemType.J || e == ElemType.K => WithNull(t, s)
+          e == ElemType.J || e == ElemType.K => WithNull(t, norm(e))
         case other => other // non-integer / scaled: keyword ignored
       }
   }
