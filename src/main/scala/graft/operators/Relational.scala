@@ -430,6 +430,19 @@ object Relational {
         round(expr("percentile(l_quantity, 0.95D)"), 6).as("p95"))
       .orderBy($"l_returnflag")
 
+  /** Pivot (long→wide reshape): sum of quantity per return flag, one
+    * column per line status. Values are passed EXPLICITLY — without
+    * them Spark runs a distinct-values discovery job over the whole
+    * input first, and the column set becomes data-dependent (both
+    * wrong at 100 TB). With explicit values this is a single two-phase
+    * hash aggregate, no extra pass. */
+  val q25_pivot: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum($"l_quantity"))
+      .orderBy($"l_returnflag")
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -469,6 +482,7 @@ object Relational {
     "q22_skewjoin" -> q22_skewjoin,
     "q23_asof" -> q23_asof,
     "q24_percentile" -> q24_percentile,
+    "q25_pivot" -> q25_pivot,
   )
 
   /** DuckDB-compatible oracle SQL. Keys mirror `queries`; column aliases
@@ -516,6 +530,14 @@ object Relational {
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
         |  ROUND(quantile_cont(l_quantity, 0.95), 6) AS p95
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // conditional-aggregation formulation of the same pivot; output
+    // column names F/O match Spark's pivot-value naming
+    "q25_pivot" ->
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F,
+        |  SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q06_groupby" ->
