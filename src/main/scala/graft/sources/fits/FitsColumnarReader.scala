@@ -46,6 +46,8 @@ final class FitsColumnarReader(part: FitsInputPartition,
     case DecodeSpec.Bintable(cs, _) =>
       StructType(cs.map(c => org.apache.spark.sql.types.StructField(
         c.name, c.tform.sparkType, nullable = true)).toSeq)
+    case _: DecodeSpec.CompImage => throw new IllegalStateException(
+      "tile-compressed images take the row path (supportColumnarReads)")
     case DecodeSpec.Image(elem, _, fieldKinds) =>
       StructType(fieldKinds.map {
         case 0 => org.apache.spark.sql.types.StructField("Image",
@@ -80,6 +82,8 @@ final class FitsColumnarReader(part: FitsInputPartition,
           fillColumn(cs(c), vectors(c), base, n)
           c += 1
         }
+      case _: DecodeSpec.CompImage => throw new IllegalStateException(
+        "tile-compressed images take the row path (supportColumnarReads)")
       case DecodeSpec.Image(elem, lineElems, fieldKinds) =>
         var c = 0
         while (c < fieldKinds.length) {

@@ -71,6 +71,11 @@ final case class FitsResolution(options: Map[String, String]) {
   /** Write option: `option("image", true)` writes an IMAGE primary HDU
     * (one row per image line) instead of a BINTABLE extension. */
   val imageWrite: Boolean = ci.get("image").exists(_.toBoolean)
+  /** Write option (image mode only): tile-compress each image line per
+    * the ZIMAGE convention — `RICE_1` (integer pixels), `GZIP_1`,
+    * `GZIP_2` or `NOCOMPRESS`. The output reads back through this
+    * source's compressed-image path (and fpack-compatible readers). */
+  val imageCompress: Option[String] = ci.get("compress").map(_.trim.toUpperCase)
   /** Streaming-read option: cap how many new files one micro-batch
     * admits (same contract as Spark's file source) — without it a
     * large backlog becomes a single giant batch. */
@@ -508,6 +513,10 @@ object DecodeSpec {
     * fieldKinds(i): 0 = Image array, 1 = ImgIndex. */
   final case class Image(elem: ElemType, lineElems: Int,
       fieldKinds: Array[Int]) extends DecodeSpec
+  /** Tile-compressed image: the full [[HduMeta.CompImage]] (codec
+    * params + descriptor-column layout) plus Image-style fieldKinds. */
+  final case class CompImage(meta: HduMeta.CompImage,
+      fieldKinds: Array[Int]) extends DecodeSpec
 
   def of(meta: HduMeta, positions: Array[Int]): DecodeSpec = meta match {
     case b: HduMeta.Bintable =>
@@ -517,6 +526,8 @@ object DecodeSpec {
         else -1L)
     case i: HduMeta.Image =>
       Image(i.elem, i.lineElems, positions)
+    case c: HduMeta.CompImage =>
+      CompImage(c, positions)
     case HduMeta.Opaque =>
       Bintable(Array.empty)
   }
@@ -559,6 +570,8 @@ final class FitsPartitionReaderFactory(confProps: Array[(String, String)])
         case _ => false // variable-length columns take the row path
       })
       case _: DecodeSpec.Image => true
+      // per-tile decompression takes the row path (boxed arrays)
+      case _: DecodeSpec.CompImage => false
     }
     case _ => false
   }

@@ -52,6 +52,7 @@ final class FitsPartitionReader(part: FitsInputPartition,
     * column in this projection). */
   private val heapStart: Long = part.spec match {
     case DecodeSpec.Bintable(_, h) => h
+    case DecodeSpec.CompImage(m, _) => m.heapStart
     case _ => -1L
   }
 
@@ -157,13 +158,17 @@ final class FitsPartitionReader(part: FitsInputPartition,
     }
 
   // var-length columns in this projection, for chunk heap coalescing
-  private val varCols: Array[(Int, TForm.VarArr)] =
-    if (bintableCols == null) Array.empty
-    else bintableCols.collect {
+  // (tile-compressed images coalesce their descriptor columns the same
+  // way — tiles written sequentially reference a contiguous heap span)
+  private val varCols: Array[(Int, TForm.VarArr)] = part.spec match {
+    case DecodeSpec.CompImage(m, _) => m.heapCols.toArray
+    case _ if bintableCols == null => Array.empty
+    case _ => bintableCols.collect {
       case col if col.tform.isInstanceOf[TForm.VarArr] &&
         !col.tform.asInstanceOf[TForm.VarArr].degraded =>
         (col.offset, col.tform.asInstanceOf[TForm.VarArr])
     }
+  }
   /** Coalesced heap window for the current chunk (len 0 ⇒ fall back to
     * per-row preads). Cap keeps one pathological chunk from buffering
     * an arbitrarily large heap span. */
@@ -244,10 +249,77 @@ final class FitsPartitionReader(part: FitsInputPartition,
             i += 1
           }
           new GenericInternalRow(values)
+        case DecodeSpec.CompImage(m, fieldKinds) =>
+          // one bintable row = one tile = one image line (row tiling
+          // is enforced at meta resolution)
+          val values = new Array[Any](fieldKinds.length)
+          var i = 0
+          while (i < fieldKinds.length) {
+            values(i) =
+              if (fieldKinds(i) == 0) {
+                val tile = compTileBytes(m, base)
+                if (tile == null) null
+                else {
+                  val elem = m.elem
+                  val arr = new Array[Any](m.lineElems)
+                  var j = 0
+                  while (j < m.lineElems) {
+                    arr(j) = elem.decode(tile, j * elem.width)
+                    j += 1
+                  }
+                  new GenericArrayData(arr)
+                }
+              } else java.lang.Long.valueOf(part.firstRowIndex + emitted)
+            i += 1
+          }
+          new GenericInternalRow(values)
       }
     rowInChunk += 1
     emitted += 1
     row
+  }
+
+  /** Uncompressed big-endian tile payload for the current row: the
+    * COMPRESSED_DATA descriptor, else the GZIP_COMPRESSED_DATA /
+    * UNCOMPRESSED_DATA per-tile fallbacks (a tile that didn't compress
+    * is stored there with a zero-length main descriptor); null when no
+    * column holds data. */
+  private def compTileBytes(m: HduMeta.CompImage, base: Int): Array[Byte] = {
+    val expect = m.lineElems * m.bytepix
+    def payloadOf(off: Int, v: TForm.VarArr): Array[Byte] = {
+      val (n0, hoff) = v.descriptor(buf, base + off)
+      if (n0 <= 0) return null
+      val payload = n0 * v.elem.width
+      if (n0 > v.maxLen || payload > FitsPartitionReader.MaxVarElement)
+        throw new IllegalArgumentException(
+          s"corrupt tile descriptor: count $n0 outside [0, ${v.maxLen}] " +
+            s"or payload over ${FitsPartitionReader.MaxVarElement} bytes")
+      val p = payload.toInt
+      if (heapLen > 0 && hoff >= heapBase && hoff + p <= heapBase + heapLen)
+        java.util.Arrays.copyOfRange(heapBuf,
+          (hoff - heapBase).toInt, (hoff - heapBase).toInt + p)
+      else {
+        val b = new Array[Byte](p)
+        in.readFully(heapStart + hoff, b, 0, p)
+        b
+      }
+    }
+    val cdB = payloadOf(m.cd._1, m.cd._2)
+    if (cdB != null)
+      TileCodec.decompress(m.cmpType, cdB, m.lineElems, m.bytepix,
+        m.blocksize)
+    else {
+      val gzB = m.gz.map(g => payloadOf(g._1, g._2)).orNull
+      if (gzB != null) TileCodec.gunzip(gzB, expect)
+      else {
+        val ucB = m.uc.map(u => payloadOf(u._1, u._2)).orNull
+        if (ucB == null) null
+        else if (ucB.length != expect)
+          throw new IllegalArgumentException(
+            s"UNCOMPRESSED_DATA tile: ${ucB.length} bytes, expected $expect")
+        else ucB
+      }
+    }
   }
 
   /** Zero-allocation decode of one fixed-width row (strings excepted —

@@ -127,6 +127,18 @@ object FitsWriteSupport {
     arrays.head
   }
 
+  /** `compress` write-option contract: image mode only, known codec
+    * (RICE_1's integer-only constraint is checked against the schema in
+    * the writer, where the element type is resolved). */
+  def validateCompress(res: FitsResolution): Unit =
+    res.imageCompress.foreach { c =>
+      require(res.imageWrite, "option 'compress' applies to image-mode " +
+        "writes only — set option(\"image\", true)")
+      require(core.TileCodec.Supported(c),
+        s"unsupported compress codec '$c' — supported: " +
+          core.TileCodec.Supported.mkString(", "))
+    }
+
   /** BITPIX for an image element code. */
   def bitpixOf(code: Char): Int = code match {
     case 'B' => 8
@@ -162,6 +174,7 @@ final class FitsStreamingWrite(res: FitsResolution, schema: StructType)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   if (res.imageWrite) FitsWriteSupport.validateImage(schema)
   else FitsWriteSupport.validate(schema)
+  FitsWriteSupport.validateCompress(res)
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
@@ -173,11 +186,13 @@ final class FitsStreamingWrite(res: FitsResolution, schema: StructType)
     val pathSpec = res.pathSpec
     val s = schema
     val img = res.imageWrite
+    val cmp = res.imageCompress
     new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] =
         new FitsDataWriter(pathSpec, s, partitionId, taskId, props,
-          nameTag = s"e$epochId", imageMode = img)
+          nameTag = s"e$epochId", imageMode = img,
+          imageCompress = cmp.orNull)
     }
   }
 
@@ -195,6 +210,7 @@ final class FitsBatchWrite(res: FitsResolution, schema: StructType,
     truncate: Boolean) extends BatchWrite {
   if (res.imageWrite) FitsWriteSupport.validateImage(schema)
   else FitsWriteSupport.validate(schema)
+  FitsWriteSupport.validateCompress(res)
 
   // captured BEFORE tasks run: overwrite deletes exactly these at commit
   private val preExisting: Seq[String] =
@@ -208,7 +224,8 @@ final class FitsBatchWrite(res: FitsResolution, schema: StructType,
     import scala.jdk.CollectionConverters._
     val props = res.hadoopConf.iterator().asScala
       .map(e => (e.getKey, e.getValue)).toArray
-    new FitsDataWriterFactory(res.pathSpec, schema, props, res.imageWrite)
+    new FitsDataWriterFactory(res.pathSpec, schema, props, res.imageWrite,
+      res.imageCompress.orNull)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -227,16 +244,18 @@ final case class FitsWriteCommitted(file: String, rows: Long)
     extends WriterCommitMessage
 
 final class FitsDataWriterFactory(dirSpec: String, schema: StructType,
-    confProps: Array[(String, String)], imageMode: Boolean = false)
+    confProps: Array[(String, String)], imageMode: Boolean = false,
+    imageCompress: String = null)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new FitsDataWriter(dirSpec, schema, partitionId, taskId, confProps,
-      imageMode = imageMode)
+      imageMode = imageMode, imageCompress = imageCompress)
 }
 
 final class FitsDataWriter(dirSpec: String, schema: StructType,
     partitionId: Int, taskId: Long, confProps: Array[(String, String)],
-    nameTag: String = "", imageMode: Boolean = false)
+    nameTag: String = "", imageMode: Boolean = false,
+    imageCompress: String = null)
     extends DataWriter[InternalRow] {
   import FitsWriteSupport._
 
@@ -266,6 +285,13 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
   private val imgElem: ColSpec =
     if (imageMode) elemOf(fields(imgCol).dataType) else null
   private var imgLine = -1
+  // tile compression (ZIMAGE write): codec resolved here so a bad
+  // codec/type combination fails at writer construction, not mid-commit
+  if (imageMode && imageCompress == "RICE_1" && imgElem != null &&
+    "BIJ".indexOf(imgElem.code) < 0)
+    throw new IllegalArgumentException(
+      s"RICE_1 compresses integer pixels only (byte/short/int lines); " +
+        s"element code '${imgElem.code}' — use GZIP_1/GZIP_2 instead")
 
   private val tmp: File = File.createTempFile("fits-write-spill", ".bin")
   private val spill = new DataOutputStream(
@@ -458,9 +484,109 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
     FitsWriteCommitted(file.toString, nRows)
   }
 
+  /** Image mode + `compress`: a ZIMAGE bintable in the fpack layout —
+    * one tile per image line, COMPRESSED_DATA P/Q byte column, tile
+    * payloads in the heap. Reads back through this source's
+    * compressed-image path (and any convention-compliant reader).
+    * Per-line tiling keeps the write single-pass-per-tile and makes the
+    * read side's partition planning identical to plain images. */
+  private def commitCompressedImage(): WriterCommitMessage = {
+    import graft.sources.fits.core.TileCodec
+    val line = math.max(imgLine, 0)
+    val tileBytes = line * imgElem.elemWidth
+    val bytepix = imgElem.elemWidth
+    require(nRows <= Int.MaxValue, s"too many lines in one partition: $nRows")
+    val nTiles = nRows.toInt
+    // pass 1: compress each line from the spill into a heap temp file
+    val heapTmp = File.createTempFile("graft-fits-zheap", ".tmp")
+    val lens = new Array[Int](nTiles)
+    var heapSize = 0L
+    var maxLen = 0
+    val in = new DataInputStream(
+      new java.io.BufferedInputStream(new FileInputStream(tmp), 1 << 20))
+    try {
+      val heapOut = new DataOutputStream(new BufferedOutputStream(
+        new FileOutputStream(heapTmp), 1 << 20))
+      try {
+        val tile = new Array[Byte](tileBytes)
+        var t = 0
+        while (t < nTiles) {
+          in.readFully(tile, 0, tileBytes)
+          val comp = TileCodec.compress(imageCompress, tile, bytepix, 32)
+          heapOut.write(comp)
+          lens(t) = comp.length
+          heapSize += comp.length
+          if (comp.length > maxLen) maxLen = comp.length
+          t += 1
+        }
+      } finally heapOut.close()
+
+      val useQ = heapSize > Int.MaxValue.toLong
+      val descBytes = if (useQ) 16 else 8
+      val (fs, file, staging, out) = openStaging()
+      out.write(headerBlock(Seq(card("SIMPLE", "T"), card("BITPIX", "8"),
+        card("NAXIS", "0"), pad("END", 80))))
+      out.write(headerBlock(Seq(
+        card("XTENSION", quoted("BINTABLE")), card("BITPIX", "8"),
+        card("NAXIS", "2"), card("NAXIS1", descBytes.toString),
+        card("NAXIS2", nTiles.toString),
+        card("PCOUNT", heapSize.toString), card("GCOUNT", "1"),
+        card("TFIELDS", "1"),
+        card("TTYPE1", quoted("COMPRESSED_DATA")),
+        card("TFORM1", quoted(s"1${if (useQ) "Q" else "P"}B($maxLen)")),
+        card("ZIMAGE", "T"), card("ZCMPTYPE", quoted(imageCompress)),
+        card("ZBITPIX", bitpixOf(imgElem.code).toString),
+        card("ZNAXIS", "2"), card("ZNAXIS1", line.toString),
+        card("ZNAXIS2", nTiles.toString),
+        card("ZTILE1", line.toString), card("ZTILE2", "1"),
+        card("ZNAME1", quoted("BLOCKSIZE")), card("ZVAL1", "32"),
+        card("ZNAME2", quoted("BYTEPIX")),
+        card("ZVAL2", bytepix.toString),
+        pad("END", 80))))
+      // descriptor rows, then the heap
+      var off = 0L
+      var t = 0
+      while (t < nTiles) {
+        if (useQ) {
+          out.write(java.nio.ByteBuffer.allocate(16)
+            .putLong(lens(t).toLong).putLong(off).array())
+        } else {
+          out.write(java.nio.ByteBuffer.allocate(8)
+            .putInt(lens(t)).putInt(off.toInt).array())
+        }
+        off += lens(t)
+        t += 1
+      }
+      val copyIn = new DataInputStream(new java.io.BufferedInputStream(
+        new FileInputStream(heapTmp), 1 << 20))
+      try {
+        val copyBuf = new Array[Byte](1 << 16)
+        var remaining = heapSize
+        while (remaining > 0) {
+          val take = math.min(remaining, copyBuf.length.toLong).toInt
+          copyIn.readFully(copyBuf, 0, take)
+          out.write(copyBuf, 0, take)
+          remaining -= take
+        }
+      } finally copyIn.close()
+      val dataLen = descBytes.toLong * nTiles + heapSize
+      out.write(new Array[Byte](
+        ((dataLen + 2879) / 2880 * 2880 - dataLen).toInt))
+      out.close()
+      publish(fs, staging, file)
+      FitsWriteCommitted(file.toString, nRows)
+    } finally {
+      in.close()
+      tmp.delete()
+      heapTmp.delete()
+    }
+  }
+
   override def commit(): WriterCommitMessage = {
     spill.close()
-    if (imageMode) return commitImage()
+    if (imageMode)
+      return if (imageCompress != null) commitCompressedImage()
+      else commitImage()
     // ragged array columns — and string columns whose fixed form would
     // be mostly padding — become heap-backed var-length columns; the
     // descriptor flavor is file-wide (all-P or all-Q) keyed on whether

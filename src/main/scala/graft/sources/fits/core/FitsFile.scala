@@ -72,6 +72,37 @@ final class FitsFile private (
             Seq(line, first + r): Seq[Any]
           }
         }
+      case c: HduMeta.CompImage =>
+        val chunk = math.max(1, bufferRows)
+        def payload(buf: Array[Byte], base: Int,
+            col: (Int, TForm.VarArr)): Array[Byte] = {
+          val (n0, hoff) = col._2.descriptor(buf, base + col._1)
+          if (n0 <= 0) null
+          else readChunk(c.heapStart + hoff, (n0 * col._2.elem.width).toInt)
+        }
+        (0L until c.nTiles by chunk).iterator.flatMap { first =>
+          val n = math.min(chunk.toLong, c.nTiles - first).toInt
+          val buf = readChunk(bounds.dataStart + first * c.tableRowBytes,
+            n * c.tableRowBytes)
+          (0 until n).iterator.map { r =>
+            val base = r * c.tableRowBytes
+            val cdB = payload(buf, base, c.cd)
+            val tile =
+              if (cdB != null) TileCodec.decompress(c.cmpType, cdB,
+                c.lineElems, c.bytepix, c.blocksize)
+              else {
+                val gzB = c.gz.map(payload(buf, base, _)).orNull
+                if (gzB != null)
+                  TileCodec.gunzip(gzB, c.lineElems * c.bytepix)
+                else c.uc.map(payload(buf, base, _)).orNull
+              }
+            val line =
+              if (tile == null) null
+              else (0 until c.lineElems)
+                .map(j => c.elem.decode(tile, j * c.elem.width))
+            Seq(line, first + r): Seq[Any]
+          }
+        }
       case HduMeta.Opaque => Iterator.empty
     }
   }

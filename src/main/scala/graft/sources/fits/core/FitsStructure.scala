@@ -78,6 +78,40 @@ object HduMeta {
     def isReadable: Boolean = nRows > 0
   }
 
+  /** Tile-compressed image (FITS Tiled Image Compression convention —
+    * `fpack` output, ZIMAGE=T bintables; beyond reference, which would
+    * surface the raw descriptor table). Supported envelope: row tiles
+    * (ZTILE1 = ZNAXIS1, other ZTILEn = 1 — the fpack default), codecs
+    * in [[TileCodec.Supported]], lossless only. One bintable row = one
+    * tile = one image line, so the surface, partitioning and row
+    * alignment are identical to [[Image]]: (Image: Array[elem],
+    * ImgIndex: Long), one row per line.
+    *
+    * `cdOffset`/`gzOffset`/`ucOffset` are row offsets of the
+    * COMPRESSED_DATA descriptor and the optional per-tile fallback
+    * columns GZIP_COMPRESSED_DATA / UNCOMPRESSED_DATA (−1 if absent —
+    * a zero-length COMPRESSED_DATA descriptor means the tile's payload
+    * lives in a fallback column instead). */
+  final case class CompImage(
+      elem: ElemType, axes: Vector[Long],
+      cmpType: String, bytepix: Int, blocksize: Int,
+      tableRowBytes: Int, nTiles: Long,
+      cd: (Int, TForm.VarArr),
+      gz: Option[(Int, TForm.VarArr)],
+      uc: Option[(Int, TForm.VarArr)],
+      heapStart: Long = -1L) extends HduMeta {
+    def lineElems: Int = if (axes.isEmpty) 0 else axes.head.toInt
+    def rowBytes: Int = tableRowBytes
+    def nRows: Long = nTiles
+    def schema: StructType = StructType(Seq(
+      StructField("Image", ArrayType(elem.sparkType, containsNull = true),
+        nullable = true),
+      StructField("ImgIndex", LongType, nullable = true)))
+    def isReadable: Boolean = nTiles > 0 && lineElems > 0
+    /** columns whose heap spans a chunk reader should coalesce */
+    def heapCols: Seq[(Int, TForm.VarArr)] = Seq(cd) ++ gz ++ uc
+  }
+
   /** Empty / unrecognized HDUs: an empty DataFrame with an empty schema
     * (reference: AnyHDU, FitsHdu.scala:242-267 — which also treats
     * ASCII TABLEs this way; we decode those for real, see
@@ -126,6 +160,9 @@ object FitsStructure {
           case b: HduMeta.Bintable if b.hasVarCols =>
             b.copy(heapStart = dataStart +
               header.longOr("THEAP", b.rowBytes.toLong * b.nRows))
+          case c: HduMeta.CompImage =>
+            c.copy(heapStart = dataStart +
+              header.longOr("THEAP", c.tableRowBytes.toLong * c.nTiles))
           case m => m
         }
         if (dataStop > len) {
@@ -145,6 +182,9 @@ object FitsStructure {
           case b: HduMeta.Bintable if b.hasVarCols &&
             b.heapStart + header.longOr("PCOUNT", 0L) > len =>
             b.degradeVarCols
+          case c: HduMeta.CompImage if
+            c.heapStart + header.longOr("PCOUNT", 0L) > len =>
+            HduMeta.Opaque // all tile payloads live in the heap
           case m => m
         }
         hdus += Hdu(index, header,
@@ -210,6 +250,9 @@ object FitsStructure {
 
   private def clampRows(meta: HduMeta, rows: Long): HduMeta = meta match {
     case b: HduMeta.Bintable => b.copy(nRows = math.min(b.nRows, rows))
+    // a truncated compressed image has lost (part of) its heap — every
+    // tile's payload lives there, so nothing is reliably decodable
+    case _: HduMeta.CompImage => HduMeta.Opaque
     case i: HduMeta.Image =>
       if (i.nRows <= rows) i
       else if (rows == 0) HduMeta.Opaque
@@ -219,7 +262,9 @@ object FitsStructure {
 
   private def resolveMeta(index: Int, h: FitsHeader): HduMeta =
     h.get("XTENSION").map(_.trim) match {
-      case Some("BINTABLE") => bintableMeta(h)
+      case Some("BINTABLE") =>
+        if (h.values.get("ZIMAGE").exists(_.trim == "T")) compImageMeta(h)
+        else bintableMeta(h)
       case Some("IMAGE") => imageMeta(h)
       case Some("TABLE") => asciiTableMeta(h)
       case Some(_) => HduMeta.Opaque
@@ -275,6 +320,78 @@ object FitsStructure {
         start)
     }
     HduMeta.Bintable(rowBytes, nRows, cols)
+  }
+
+  /** [[HduMeta.CompImage]] resolution with graceful degradation: any
+    * variant outside the supported envelope (codec, tiling, lossy
+    * quantization, BYTEPIX mismatch) logs once and surfaces the RAW
+    * bintable instead — the file stays readable, just not decoded as
+    * an image. */
+  private def compImageMeta(h: FitsHeader): HduMeta = {
+    val table = bintableMeta(h)
+    val bt = table match {
+      case b: HduMeta.Bintable => b
+      case _ => return HduMeta.Opaque
+    }
+    def fallback(why: String): HduMeta = {
+      System.err.println(s"[graft] tile-compressed image outside the " +
+        s"supported envelope ($why); surfacing the raw bintable")
+      table
+    }
+    val cmp = h.values.getOrElse("ZCMPTYPE", "").trim
+    if (!TileCodec.Supported(cmp)) return fallback(s"ZCMPTYPE '$cmp'")
+    val zbitpix = h.intOr("ZBITPIX", 0)
+    val znaxis = h.intOr("ZNAXIS", 0)
+    val axes = (1 to znaxis).toVector.map(n => h.longOr(s"ZNAXIS$n", 0L))
+    if (axes.isEmpty || axes.contains(0L)) return HduMeta.Opaque
+    val rowTiles = h.longOr("ZTILE1", axes.head) == axes.head &&
+      (2 to znaxis).forall(n => h.longOr(s"ZTILE$n", 1L) == 1L)
+    if (!rowTiles) return fallback("non-row ZTILE layout")
+    // lossy quantized floats need the ZSCALE/ZZERO (+dither) machinery
+    if (h.values.contains("ZSCALE") || h.values.contains("ZZERO") ||
+      bt.columns.exists(c => c.name == "ZSCALE" || c.name == "ZZERO"))
+      return fallback("quantized (lossy) float tiles")
+    val raw = zbitpix match {
+      case 8 => ElemType.B
+      case 16 => ElemType.I
+      case 32 => ElemType.J
+      case 64 => ElemType.K
+      case -32 => ElemType.E
+      case -64 => ElemType.D
+      case other => return fallback(s"ZBITPIX $other")
+    }
+    if (cmp == "RICE_1" && !Set(8, 16, 32)(zbitpix))
+      return fallback(s"RICE_1 with ZBITPIX $zbitpix")
+    // ZNAMEn/ZVALn compression parameter pairs
+    val zvals = Iterator.from(1)
+      .map(i => (h.values.get(s"ZNAME$i"), h.values.get(s"ZVAL$i")))
+      .takeWhile(_._1.isDefined)
+      .collect { case (Some(n), Some(v)) => n.trim -> v.trim }.toMap
+    def intParam(k: String, dflt: Int): Int =
+      zvals.get(k).flatMap(v =>
+        scala.util.Try(v.toDouble.toInt).toOption).getOrElse(dflt)
+    val bytepix = intParam("BYTEPIX", raw.width)
+    val blocksize = intParam("BLOCKSIZE", 32)
+    if (bytepix != raw.width)
+      return fallback(s"BYTEPIX $bytepix != element width ${raw.width}")
+    def varCol(name: String): Option[(Int, TForm.VarArr)] =
+      bt.columns.collectFirst {
+        case BintableColumn(`name`, v: TForm.VarArr, off) => (off, v)
+      }
+    val cd = varCol("COMPRESSED_DATA") match {
+      case Some(c) => c
+      case None => return fallback("no COMPRESSED_DATA P/Q column")
+    }
+    val lines = axes.product / axes.head
+    if (bt.nRows != lines)
+      return fallback(s"NAXIS2 ${bt.nRows} != $lines row tiles")
+    // original-image BSCALE/BZERO pass through unchanged (applied to
+    // the decompressed elements, same as the plain image path)
+    val elem = ElemType.scaled(raw,
+      h.doubleOr("BSCALE", 1.0), h.doubleOr("BZERO", 0.0))
+    HduMeta.CompImage(elem, axes, cmp, bytepix, blocksize,
+      bt.rowBytes, bt.nRows, cd,
+      varCol("GZIP_COMPRESSED_DATA"), varCol("UNCOMPRESSED_DATA"))
   }
 
   private def imageMeta(h: FitsHeader): HduMeta = {

@@ -1,0 +1,289 @@
+package graft.sources.fits
+
+import java.io.{DataOutputStream, FileOutputStream}
+import java.nio.ByteBuffer
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.sources.fits.core.{Rice, TileCodec}
+
+/** Tile-compressed image support (ZIMAGE / fpack convention):
+  * RICE_1 decode against hand-derived bitstreams from the published
+  * spec, encode↔decode properties, and full-source reads of
+  * hand-built .fz-style files for every supported codec. */
+class FitsCompressedSpec extends SparkTestBase {
+
+  // ------------------------------------------------------- RICE_1 unit
+
+  test("RICE_1 decode: hand-derived low-entropy stream (all-equal block)") {
+    // bytepix=1 → fsbits=3. Raw first pixel 5, then one block with
+    // F=000 (fs=-1): every difference is zero.
+    val comp = Array[Byte](5, 0x00)
+    assert(Rice.decode(comp, 4, 1).toSeq == Seq[Byte](5, 5, 5, 5))
+  }
+
+  test("RICE_1 decode: hand-derived Golomb-Rice stream (fs=1)") {
+    // pixels [10, 12, 9, 9], bytepix=1. Differences from lastpix=10:
+    // [0, +2, -3, 0] → zig-zag [0, 4, 5, 0]. With fs=1 the bit stream
+    // after the raw first byte is:
+    //   F=fs+1=2     → 010
+    //   zz=0: top=0  → 1, low=0       → 10
+    //   zz=4: top=2  → 001, low=0     → 0010
+    //   zz=5: top=2  → 001, low=1     → 0011
+    //   zz=0: top=0  → 1, low=0       → 10
+    // = 010 10 0010 0011 10 → bytes 0x51 0x1C (zero-padded).
+    val comp = Array[Byte](10, 0x51, 0x1C)
+    assert(Rice.decode(comp, 4, 1).toSeq == Seq[Byte](10, 12, 9, 9))
+  }
+
+  test("RICE_1 encode/decode round-trips across bytepix and extremes") {
+    val rnd = new scala.util.Random(7)
+    for (bytepix <- Seq(1, 2, 4); n <- Seq(1, 31, 32, 33, 257)) {
+      val tile = new Array[Byte](n * bytepix)
+      rnd.nextBytes(tile)
+      // sprinkle flat runs and extremes: exercises all three block modes
+      java.util.Arrays.fill(tile, 0, math.min(tile.length, bytepix * 8), 3.toByte)
+      assert(Rice.decode(Rice.encode(tile, bytepix), n, bytepix)
+        .toSeq == tile.toSeq, s"bytepix=$bytepix n=$n")
+    }
+    // wraparound: Int.MinValue / MaxValue adjacent (max zig-zag diffs)
+    val extreme = ByteBuffer.allocate(16)
+      .putInt(Int.MinValue).putInt(Int.MaxValue)
+      .putInt(0).putInt(-1).array()
+    assert(Rice.decode(Rice.encode(extreme, 4), 4, 4).toSeq == extreme.toSeq)
+    // empty tile
+    assert(Rice.decode(Rice.encode(Array.emptyByteArray, 2), 0, 2).isEmpty)
+  }
+
+  test("GZIP_2 byte-plane shuffle round-trips and transposes planes") {
+    val raw = Array[Byte](1, 2, 3, 4, 5, 6) // 3 pixels × bytepix 2
+    assert(TileCodec.shuffle(raw, 2).toSeq == Seq[Byte](1, 3, 5, 2, 4, 6))
+    assert(TileCodec.unshuffle(TileCodec.shuffle(raw, 2), 2).toSeq == raw.toSeq)
+  }
+
+  // ------------------------------------------------- full-source reads
+
+  private def pad(s: String, n: Int): String =
+    if (s.length >= n) s.take(n) else s + " " * (n - s.length)
+  private def card(k: String, v: String): String =
+    pad(pad(k, 8) + "= " + (if (v.length < 20) pad(v, 20) else v), 80)
+  private def block(cards: Seq[String]): Array[Byte] = {
+    val s = cards.mkString
+    (s + " " * (2880 - s.length % 2880)).getBytes("US-ASCII")
+  }
+
+  /** Builds a ZIMAGE bintable: one tile per image row. `rows` holds
+    * per-tile (compressedOrNull, gzipFallbackOrNull) heap payloads. */
+  private def writeFz(path: String, cmp: String, zbitpix: Int, width: Int,
+      rows: Seq[(Array[Byte], Array[Byte])], withGzCol: Boolean,
+      extraCards: Seq[String] = Nil): Unit = {
+    val rowBytes = if (withGzCol) 16 else 8
+    val heap = new java.io.ByteArrayOutputStream()
+    val descs = rows.map { case (cd, gz) =>
+      val cdD = (if (cd == null) 0 else cd.length, heap.size)
+      if (cd != null) heap.write(cd)
+      val gzD = (if (gz == null) 0 else gz.length, heap.size)
+      if (gz != null) heap.write(gz)
+      (cdD, gzD)
+    }
+    val out = new DataOutputStream(new FileOutputStream(path))
+    try {
+      out.write(block(Seq(card("SIMPLE", "T"), card("BITPIX", "8"),
+        card("NAXIS", "0"), pad("END", 80))))
+      val gzCards = if (withGzCol)
+        Seq(card("TTYPE2", "'GZIP_COMPRESSED_DATA'"),
+          card("TFORM2", "'1PB     '")) else Nil
+      out.write(block(Seq(
+        card("XTENSION", "'BINTABLE'"), card("BITPIX", "8"),
+        card("NAXIS", "2"), card("NAXIS1", rowBytes.toString),
+        card("NAXIS2", rows.length.toString),
+        card("PCOUNT", heap.size.toString), card("GCOUNT", "1"),
+        card("TFIELDS", if (withGzCol) "2" else "1"),
+        card("TTYPE1", "'COMPRESSED_DATA'"), card("TFORM1", "'1PB     '"),
+        card("ZIMAGE", "T"), card("ZCMPTYPE", s"'$cmp'"),
+        card("ZBITPIX", zbitpix.toString), card("ZNAXIS", "2"),
+        card("ZNAXIS1", width.toString),
+        card("ZNAXIS2", rows.length.toString),
+        card("ZTILE1", width.toString), card("ZTILE2", "1"),
+        card("ZNAME1", "'BLOCKSIZE'"), card("ZVAL1", "32"),
+        card("ZNAME2", "'BYTEPIX '"),
+        card("ZVAL2", (math.abs(zbitpix) / 8).toString)) ++
+        extraCards ++ gzCards :+ pad("END", 80)))
+      descs.foreach { case ((cdLen, cdOff), (gzLen, gzOff)) =>
+        out.writeInt(cdLen); out.writeInt(cdOff)
+        if (withGzCol) { out.writeInt(gzLen); out.writeInt(gzOff) }
+      }
+      out.write(heap.toByteArray)
+      val dataLen = rowBytes.toLong * rows.length + heap.size
+      out.write(new Array[Byte](
+        ((dataLen + 2879) / 2880 * 2880 - dataLen).toInt))
+    } finally out.close()
+  }
+
+  private def shortTile(vals: Short*): Array[Byte] = {
+    val bb = ByteBuffer.allocate(vals.length * 2)
+    vals.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("RICE_1 16-bit compressed image reads as (Image, ImgIndex) lines") {
+    val width = 8
+    val lines = (0 until 6).map(r =>
+      (0 until width).map(c => (100 * r + c * (if (c % 3 == 0) -7 else 13)).toShort))
+    val p = Files.createTempFile("graft-rice", ".fits").toString
+    writeFz(p, "RICE_1", 16, width,
+      lines.map(l => (TileCodec.compress("RICE_1", shortTile(l: _*), 2, 32),
+        null: Array[Byte])), withGzCol = false)
+    try {
+      val df = spark.read.format("fits").option("hdu", 1).load(p)
+      assert(df.schema.map(f => (f.name, f.dataType.simpleString)) ==
+        Seq("Image" -> "array<smallint>", "ImgIndex" -> "bigint"))
+      val rows = df.orderBy("ImgIndex").collect()
+      assert(rows.length == 6)
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) == i)
+        assert(r.getSeq[Short](0) == lines(i), s"line $i")
+      }
+      // column pruning: ImgIndex-only projection never touches the heap
+      assert(df.select("ImgIndex").collect().map(_.getLong(0)).sorted.toSeq
+        == (0L until 6L))
+    } finally Files.deleteIfExists(java.nio.file.Paths.get(p))
+  }
+
+  test("GZIP_1 float image and GZIP_2 int image decode exactly") {
+    val width = 5
+    val fl = (0 until 4).map(r => (0 until width).map(c => r * 1.5f - c / 3.0f))
+    def floatTile(vs: Seq[Float]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(vs.length * 4); vs.foreach(bb.putFloat)
+      bb.array()
+    }
+    val p1 = Files.createTempFile("graft-gz1", ".fits").toString
+    writeFz(p1, "GZIP_1", -32, width,
+      fl.map(l => (TileCodec.gzip(floatTile(l)), null: Array[Byte])),
+      withGzCol = false)
+    val iv = (0 until 3).map(r => (0 until width).map(c => r * 1000000 - c * 77))
+    def intTile(vs: Seq[Int]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(vs.length * 4); vs.foreach(bb.putInt)
+      bb.array()
+    }
+    val p2 = Files.createTempFile("graft-gz2", ".fits").toString
+    writeFz(p2, "GZIP_2", 32, width,
+      iv.map(l => (TileCodec.gzip(TileCodec.shuffle(intTile(l), 4)),
+        null: Array[Byte])), withGzCol = false)
+    try {
+      val r1 = spark.read.format("fits").option("hdu", 1).load(p1)
+        .orderBy("ImgIndex").collect()
+      assert(r1.map(_.getSeq[Float](0)).toSeq == fl)
+      val r2 = spark.read.format("fits").option("hdu", 1).load(p2)
+        .orderBy("ImgIndex").collect()
+      assert(r2.map(_.getSeq[Int](0)).toSeq == iv)
+    } finally {
+      Files.deleteIfExists(java.nio.file.Paths.get(p1))
+      Files.deleteIfExists(java.nio.file.Paths.get(p2))
+    }
+  }
+
+  test("zero-length COMPRESSED_DATA falls back to GZIP_COMPRESSED_DATA") {
+    val width = 4
+    val lines = (0 until 3).map(r => (0 until width).map(c => (r * 10 + c).toShort))
+    val rows = lines.zipWithIndex.map { case (l, i) =>
+      val tile = shortTile(l: _*)
+      if (i == 1) (null: Array[Byte], TileCodec.gzip(tile)) // fallback row
+      else (TileCodec.compress("RICE_1", tile, 2, 32), null: Array[Byte])
+    }
+    val p = Files.createTempFile("graft-fallback", ".fits").toString
+    writeFz(p, "RICE_1", 16, width, rows, withGzCol = true)
+    try {
+      val got = spark.read.format("fits").option("hdu", 1).load(p)
+        .orderBy("ImgIndex").collect().map(_.getSeq[Short](0)).toSeq
+      assert(got == lines)
+    } finally Files.deleteIfExists(java.nio.file.Paths.get(p))
+  }
+
+  test("RICE_1 image write round-trips; GZIP_2 floats round-trip") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val width = 64
+    val src = (0 until 200).map(r =>
+      (r.toLong, (0 until width).map(c =>
+        (1000 * math.sin(r * 0.1) + c * 3 - (c % 7) * 11).toInt).toArray))
+      .toDF("ImgIndex", "Image")
+    val dir = Files.createTempDirectory("fits-zw").toString + "/rice"
+    src.coalesce(2).write.format("fits")
+      .option("image", true).option("compress", "RICE_1")
+      .mode("append").save(dir)
+    // on-disk shape: ZIMAGE bintable with a COMPRESSED_DATA column
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".fits")).head
+    val hdr = new String(java.util.Arrays.copyOfRange(
+      Files.readAllBytes(part.toPath), 2880, 2880 * 2), "US-ASCII")
+    assert(hdr.grouped(80).exists(_.startsWith("ZIMAGE")))
+    assert(hdr.contains("RICE_1"))
+    val back = spark.read.format("fits").option("hdu", 1).load(dir)
+      .select(col("Image")).as[Array[Int]].collect()
+    // two part files: compare as multisets of lines
+    val want = src.select("Image").as[Array[Int]].collect()
+    assert(back.map(_.mkString(",")).sorted.toSeq ==
+      want.map(_.mkString(",")).sorted.toSeq)
+
+    val fsrc = (0 until 40).map(r =>
+      (0 until 16).map(c => r * 0.5f - c * 1.25f).toArray).toDF("Image")
+    val fdir = Files.createTempDirectory("fits-zw").toString + "/gz2"
+    fsrc.coalesce(1).write.format("fits")
+      .option("image", true).option("compress", "GZIP_2")
+      .mode("append").save(fdir)
+    val fback = spark.read.format("fits").option("hdu", 1).load(fdir)
+      .orderBy("ImgIndex").select(col("Image")).as[Array[Float]].collect()
+    assert(fback.map(_.toSeq).toSeq ==
+      fsrc.select("Image").as[Array[Float]].collect().map(_.toSeq).toSeq)
+  }
+
+  test("compress option contract: image-mode only, RICE_1 integer only") {
+    import spark.implicits._
+    val dir1 = Files.createTempDirectory("fits-zw").toString + "/bad1"
+    val e1 = intercept[Exception] {
+      Seq((1L, "a")).toDF("id", "s").write.format("fits")
+        .option("compress", "RICE_1").mode("append").save(dir1)
+    }
+    assert(e1.getMessage.contains("image-mode"), e1.getMessage)
+    val dir2 = Files.createTempDirectory("fits-zw").toString + "/bad2"
+    val e2 = intercept[Exception] {
+      Seq((0 until 4).map(_.toFloat).toArray).toDF("Image")
+        .write.format("fits").option("image", true)
+        .option("compress", "RICE_1").mode("append").save(dir2)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e2).exists(_.contains("integer pixels only")), e2)
+    val dir3 = Files.createTempDirectory("fits-zw").toString + "/bad3"
+    val e3 = intercept[Exception] {
+      Seq((0 until 4).toArray).toDF("Image")
+        .write.format("fits").option("image", true)
+        .option("compress", "HCOMPRESS_1").mode("append").save(dir3)
+    }
+    assert(e3.getMessage.contains("unsupported compress codec"), e3.getMessage)
+  }
+
+  test("unsupported variants degrade to the raw bintable, not an error") {
+    val width = 4
+    val tile = shortTile(1, 2, 3, 4)
+    val p = Files.createTempFile("graft-lossy", ".fits").toString
+    // lossy quantization marker (ZSCALE header) → raw bintable surface
+    writeFz(p, "RICE_1", 16, width,
+      Seq((TileCodec.compress("RICE_1", tile, 2, 32), null: Array[Byte])),
+      withGzCol = false, extraCards = Seq(card("ZSCALE", "0.125")))
+    val p2 = Files.createTempFile("graft-hcomp", ".fits").toString
+    writeFz(p2, "HCOMPRESS_1", 16, width,
+      Seq((tile, null: Array[Byte])), withGzCol = false)
+    try {
+      val df = spark.read.format("fits").option("hdu", 1).load(p)
+      assert(df.columns.toSeq == Seq("COMPRESSED_DATA")) // raw table
+      assert(df.count() == 1)
+      val df2 = spark.read.format("fits").option("hdu", 1).load(p2)
+      assert(df2.columns.toSeq == Seq("COMPRESSED_DATA"))
+    } finally {
+      Files.deleteIfExists(java.nio.file.Paths.get(p))
+      Files.deleteIfExists(java.nio.file.Paths.get(p2))
+    }
+  }
+}
