@@ -22,12 +22,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.TextOps.queries ++
       operators.Dedup.queries ++ operators.Similarity.queries ++
-      operators.Multimodal.queries ++ operators.Streaming.queries
+      operators.Multimodal.queries ++ operators.Streaming.queries ++
+      operators.CrossMatch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.TextOps.oracles ++
       operators.Dedup.oracles ++ operators.Similarity.oracles ++
-      operators.Multimodal.oracles ++ operators.Streaming.oracles
+      operators.Multimodal.oracles ++ operators.Streaming.oracles ++
+      operators.CrossMatch.oracles
 }
