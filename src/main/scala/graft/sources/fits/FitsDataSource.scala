@@ -76,6 +76,10 @@ final case class FitsResolution(options: Map[String, String]) {
     * `GZIP_2` or `NOCOMPRESS`. The output reads back through this
     * source's compressed-image path (and fpack-compatible readers). */
   val imageCompress: Option[String] = ci.get("compress").map(_.trim.toUpperCase)
+  /** Write option (image modes): emit DATASUM + CHECKSUM cards per the
+    * FITS checksum convention (one extra sequential pass over the
+    * partition's spill). Verify with [[FitsChecksumReport]]. */
+  val checksumWrite: Boolean = ci.get("checksum").exists(_.toBoolean)
   /** Streaming-read option: cap how many new files one micro-batch
     * admits (same contract as Spark's file source) — without it a
     * large backlog becomes a single giant batch. */

@@ -127,6 +127,29 @@ object FitsWriteSupport {
     arrays.head
   }
 
+  /** Builds a header block with DATASUM + CHECKSUM cards appended and
+    * the CHECKSUM resolved so the whole HDU (this header + data blocks
+    * summing to `dataSum`, unfolded partial) verifies to -0 per the
+    * FITS checksum convention. `cards` must not include END. */
+  def headerWithChecksum(cards: Seq[String], dataSum: Long): Array[Byte] = {
+    import graft.sources.fits.core.FitsChecksum
+    val folded = FitsChecksum.fold(dataSum)
+    val block = headerBlock(cards ++ Seq(
+      card("DATASUM", quoted(folded.toString)),
+      card("CHECKSUM", "'0000000000000000'"),
+      pad("END", 80)))
+    val total = FitsChecksum.fold(
+      FitsChecksum.wordSum(block, 0, block.length) + folded)
+    val enc = FitsChecksum.encode(FitsChecksum.complement(total))
+      .getBytes("US-ASCII")
+    // patch the 16 placeholder chars in place (quote starts the value)
+    val marker = "CHECKSUM= '0000000000000000'".getBytes("US-ASCII")
+    val at = block.indexOfSlice(marker)
+    require(at >= 0, "CHECKSUM placeholder card not found")
+    System.arraycopy(enc, 0, block, at + 11, 16)
+    block
+  }
+
   /** `compress` write-option contract: image mode only, known codec
     * (RICE_1's integer-only constraint is checked against the schema in
     * the writer, where the element type is resolved). */
@@ -138,6 +161,14 @@ object FitsWriteSupport {
         s"unsupported compress codec '$c' — supported: " +
           core.TileCodec.Supported.mkString(", "))
     }
+
+  /** `checksum` write-option contract: image modes only for now — the
+    * table commit streams transformed data after its header, and
+    * CHECKSUM must be resolved before the header is written. */
+  def validateChecksum(res: FitsResolution): Unit =
+    if (res.checksumWrite) require(res.imageWrite,
+      "option 'checksum' currently applies to image-mode writes only " +
+        "— set option(\"image\", true)")
 
   /** BITPIX for an image element code. */
   def bitpixOf(code: Char): Int = code match {
@@ -175,6 +206,7 @@ final class FitsStreamingWrite(res: FitsResolution, schema: StructType)
   if (res.imageWrite) FitsWriteSupport.validateImage(schema)
   else FitsWriteSupport.validate(schema)
   FitsWriteSupport.validateCompress(res)
+  FitsWriteSupport.validateChecksum(res)
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
@@ -187,12 +219,13 @@ final class FitsStreamingWrite(res: FitsResolution, schema: StructType)
     val s = schema
     val img = res.imageWrite
     val cmp = res.imageCompress
+    val sum = res.checksumWrite
     new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] =
         new FitsDataWriter(pathSpec, s, partitionId, taskId, props,
           nameTag = s"e$epochId", imageMode = img,
-          imageCompress = cmp.orNull)
+          imageCompress = cmp.orNull, checksum = sum)
     }
   }
 
@@ -211,6 +244,7 @@ final class FitsBatchWrite(res: FitsResolution, schema: StructType,
   if (res.imageWrite) FitsWriteSupport.validateImage(schema)
   else FitsWriteSupport.validate(schema)
   FitsWriteSupport.validateCompress(res)
+  FitsWriteSupport.validateChecksum(res)
 
   // captured BEFORE tasks run: overwrite deletes exactly these at commit
   private val preExisting: Seq[String] =
@@ -225,7 +259,7 @@ final class FitsBatchWrite(res: FitsResolution, schema: StructType,
     val props = res.hadoopConf.iterator().asScala
       .map(e => (e.getKey, e.getValue)).toArray
     new FitsDataWriterFactory(res.pathSpec, schema, props, res.imageWrite,
-      res.imageCompress.orNull)
+      res.imageCompress.orNull, res.checksumWrite)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -245,17 +279,18 @@ final case class FitsWriteCommitted(file: String, rows: Long)
 
 final class FitsDataWriterFactory(dirSpec: String, schema: StructType,
     confProps: Array[(String, String)], imageMode: Boolean = false,
-    imageCompress: String = null)
+    imageCompress: String = null, checksum: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new FitsDataWriter(dirSpec, schema, partitionId, taskId, confProps,
-      imageMode = imageMode, imageCompress = imageCompress)
+      imageMode = imageMode, imageCompress = imageCompress,
+      checksum = checksum)
 }
 
 final class FitsDataWriter(dirSpec: String, schema: StructType,
     partitionId: Int, taskId: Long, confProps: Array[(String, String)],
     nameTag: String = "", imageMode: Boolean = false,
-    imageCompress: String = null)
+    imageCompress: String = null, checksum: Boolean = false)
     extends DataWriter[InternalRow] {
   import FitsWriteSupport._
 
@@ -456,14 +491,20 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
     * transform → write back as real FITS images. */
   private def commitImage(): WriterCommitMessage = {
     val line = math.max(imgLine, 0)
+    // checksum: data blocks = the raw spill + zero padding, so one
+    // extra sequential pass over the spill is the whole cost
+    val dataSum = if (checksum) sumFile(tmp) else 0L
     val (fs, file, staging, out) = openStaging()
     val in = new DataInputStream(
       new java.io.BufferedInputStream(new FileInputStream(tmp), 1 << 20))
     try {
-      out.write(headerBlock(Seq(card("SIMPLE", "T"),
+      val cards = Seq(card("SIMPLE", "T"),
         card("BITPIX", bitpixOf(imgElem.code).toString),
         card("NAXIS", "2"), card("NAXIS1", line.toString),
-        card("NAXIS2", nRows.toString), pad("END", 80))))
+        card("NAXIS2", nRows.toString))
+      out.write(
+        if (checksum) headerWithChecksum(cards, dataSum)
+        else headerBlock(cards :+ pad("END", 80)))
       val dataLen = nRows * line.toLong * imgElem.elemWidth
       val copyBuf = new Array[Byte](1 << 16)
       var remaining = dataLen
@@ -482,6 +523,35 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
     }
     publish(fs, staging, file)
     FitsWriteCommitted(file.toString, nRows)
+  }
+
+  /** u32-word checksum partial of a whole local file, zero-padding the
+    * tail to word alignment (matching the HDU's own zero block
+    * padding). */
+  private def sumFile(f: File): Long = {
+    val in = new java.io.BufferedInputStream(new FileInputStream(f), 1 << 20)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var acc = 0L
+      var eof = false
+      while (!eof) {
+        var got = 0
+        while (got < buf.length && !eof) {
+          val k = in.read(buf, got, buf.length - got)
+          if (k < 0) eof = true else got += k
+        }
+        if (got > 0) {
+          var aligned = got
+          if (aligned % 4 != 0) {
+            val pad = 4 - aligned % 4
+            java.util.Arrays.fill(buf, aligned, aligned + pad, 0.toByte)
+            aligned += pad
+          }
+          acc += graft.sources.fits.core.FitsChecksum.wordSum(buf, 0, aligned)
+        }
+      }
+      acc
+    } finally in.close()
   }
 
   /** Image mode + `compress`: a ZIMAGE bintable in the fpack layout —
@@ -523,10 +593,33 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
 
       val useQ = heapSize > Int.MaxValue.toLong
       val descBytes = if (useQ) 16 else 8
+      // descriptor rows built once: written below and, with checksum
+      // on, summed first (descriptor area is 4-byte aligned, so the
+      // heap's word phase is position-independent)
+      val descs = new Array[Array[Byte]](nTiles)
+      var off = 0L
+      var t = 0
+      while (t < nTiles) {
+        descs(t) =
+          if (useQ) java.nio.ByteBuffer.allocate(16)
+            .putLong(lens(t).toLong).putLong(off).array()
+          else java.nio.ByteBuffer.allocate(8)
+            .putInt(lens(t)).putInt(off.toInt).array()
+        off += lens(t)
+        t += 1
+      }
+      val dataSum =
+        if (!checksum) 0L
+        else descs.foldLeft(sumFile(heapTmp)) { (s, d) =>
+          s + graft.sources.fits.core.FitsChecksum.wordSum(d, 0, d.length)
+        }
       val (fs, file, staging, out) = openStaging()
-      out.write(headerBlock(Seq(card("SIMPLE", "T"), card("BITPIX", "8"),
-        card("NAXIS", "0"), pad("END", 80))))
-      out.write(headerBlock(Seq(
+      val primaryCards = Seq(card("SIMPLE", "T"), card("BITPIX", "8"),
+        card("NAXIS", "0"))
+      out.write(
+        if (checksum) headerWithChecksum(primaryCards, 0L)
+        else headerBlock(primaryCards :+ pad("END", 80)))
+      val btCards = Seq(
         card("XTENSION", quoted("BINTABLE")), card("BITPIX", "8"),
         card("NAXIS", "2"), card("NAXIS1", descBytes.toString),
         card("NAXIS2", nTiles.toString),
@@ -541,22 +634,13 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
         card("ZTILE1", line.toString), card("ZTILE2", "1"),
         card("ZNAME1", quoted("BLOCKSIZE")), card("ZVAL1", "32"),
         card("ZNAME2", quoted("BYTEPIX")),
-        card("ZVAL2", bytepix.toString),
-        pad("END", 80))))
+        card("ZVAL2", bytepix.toString))
+      out.write(
+        if (checksum) headerWithChecksum(btCards, dataSum)
+        else headerBlock(btCards :+ pad("END", 80)))
       // descriptor rows, then the heap
-      var off = 0L
-      var t = 0
-      while (t < nTiles) {
-        if (useQ) {
-          out.write(java.nio.ByteBuffer.allocate(16)
-            .putLong(lens(t).toLong).putLong(off).array())
-        } else {
-          out.write(java.nio.ByteBuffer.allocate(8)
-            .putInt(lens(t)).putInt(off.toInt).array())
-        }
-        off += lens(t)
-        t += 1
-      }
+      t = 0
+      while (t < nTiles) { out.write(descs(t)); t += 1 }
       val copyIn = new DataInputStream(new java.io.BufferedInputStream(
         new FileInputStream(heapTmp), 1 << 20))
       try {

@@ -1,0 +1,122 @@
+package graft.sources.fits
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.sources.fits.core.FitsChecksum
+
+/** CHECKSUM/DATASUM convention: writer emission verified by the
+  * property every external verifier checks (whole-HDU ones'-complement
+  * sum folds to -0), plus the distributed audit utility. */
+class FitsChecksumSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("encode emits only allowed chars and adds exactly the complement") {
+    val rnd = new scala.util.Random(11)
+    val allowed = (('0' to '9') ++ ('A' to 'Z') ++ ('a' to 'z')).toSet
+    for (_ <- 0 until 200) {
+      val v = rnd.nextLong() & 0xFFFFFFFFL
+      val s = FitsChecksum.encode(v)
+      assert(s.length == 16 && s.forall(allowed), s"'$s' for $v")
+      // replacing '0'*16 by the encoding must add exactly v to the
+      // word sum, measured at the convention's byte lanes (value
+      // chars start at byte 11 of the 4-aligned card)
+      def lanes(chars: String): Long =
+        chars.zipWithIndex.map { case (c, i) =>
+          c.toLong << (8 * (3 - ((11 + i) % 4)))
+        }.sum
+      val delta = FitsChecksum.fold(
+        lanes(s) + (0xFFFFFFFFL - FitsChecksum.fold(lanes("0" * 16))))
+      // delta ≡ lanes(s) - lanes("0"*16) in ones'-complement
+      assert(delta == FitsChecksum.fold(v) ||
+        (v == 0 && delta == 0xFFFFFFFFL), s"delta=$delta v=$v")
+    }
+  }
+
+  /** Independent verifier: raw ones'-complement sum of each HDU. */
+  private def rawHduSums(path: java.nio.file.Path): Seq[Long] = {
+    val bytes = Files.readAllBytes(path)
+    // split on END-card block boundaries via the source's own scanner
+    val p = new org.apache.hadoop.fs.Path(path.toString)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    graft.sources.fits.core.FitsStructure.scan(fs, p).map { h =>
+      val start = h.bounds.headerStart.toInt
+      val stop = math.min(h.bounds.blockStop, bytes.length.toLong).toInt
+      FitsChecksum.fold(FitsChecksum.wordSum(bytes, start, stop - start))
+    }
+  }
+
+  test("image write with checksum: every HDU sums to -0; report verifies") {
+    val dir = Files.createTempDirectory("fits-ck").toString + "/img"
+    (0 until 50).map(r => (r.toLong, (0 until 32).map(c => r * 100 + c).toArray))
+      .toDF("ImgIndex", "Image")
+      .coalesce(1).write.format("fits")
+      .option("image", true).option("checksum", true)
+      .mode("append").save(dir)
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".fits")).head
+    // the defining property, checked with an INDEPENDENT re-sum
+    assert(rawHduSums(part.toPath).forall(FitsChecksum.verifies),
+      "HDU sum must fold to 0xFFFFFFFF")
+    val rep = FitsChecksumReport.report(spark, dir).collect()
+    assert(rep.nonEmpty && rep.forall(r =>
+      r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4)), rep.toSeq)
+    // data still reads correctly
+    val back = spark.read.format("fits").option("hdu", 0).load(dir)
+    assert(back.count() == 50)
+  }
+
+  test("compressed image write with checksum verifies on both HDUs") {
+    val dir = Files.createTempDirectory("fits-ck").toString + "/rice"
+    (0 until 40).map(r => (0 until 16).map(c => (r * 7 + c).toShort).toArray)
+      .toDF("Image")
+      .coalesce(1).write.format("fits")
+      .option("image", true).option("compress", "RICE_1")
+      .option("checksum", true).mode("append").save(dir)
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".fits")).head
+    val sums = rawHduSums(part.toPath)
+    assert(sums.length == 2 && sums.forall(FitsChecksum.verifies), sums)
+    val rep = FitsChecksumReport.report(spark, dir).collect()
+    assert(rep.length == 2 && rep.forall(r =>
+      r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4)), rep.toSeq)
+  }
+
+  test("report flags corruption and absent cards honestly") {
+    val dir = Files.createTempDirectory("fits-ck").toString + "/bad"
+    (0 until 20).map(r => (0 until 8).map(c => r + c).toArray).toDF("Image")
+      .coalesce(1).write.format("fits")
+      .option("image", true).option("checksum", true)
+      .mode("append").save(dir)
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".fits")).head
+    // flip one data byte
+    val bytes = Files.readAllBytes(part.toPath)
+    bytes(2880 + 100) = (bytes(2880 + 100) ^ 0x5a).toByte
+    Files.write(part.toPath, bytes)
+    // the corruption is out-of-band: drop Hadoop's local .crc sidecar
+    // so OUR checksum layer (not Hadoop's) is what detects it
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val rep = FitsChecksumReport.report(spark, dir).collect()
+    assert(rep.exists(r => !r.getBoolean(3) && !r.getBoolean(4)), rep.toSeq)
+
+    // a file written without the option: cards absent, verdict null
+    val dir2 = Files.createTempDirectory("fits-ck").toString + "/none"
+    (0 until 5).map(r => (0 until 8).map(c => r + c).toArray).toDF("Image")
+      .coalesce(1).write.format("fits").option("image", true)
+      .mode("append").save(dir2)
+    val rep2 = FitsChecksumReport.report(spark, dir2).collect()
+    assert(rep2.forall(r => !r.getBoolean(2) && r.isNullAt(3) && r.isNullAt(4)))
+  }
+
+  test("checksum option on table writes fails with a clear message") {
+    val e = intercept[Exception] {
+      Seq((1L, "x")).toDF("id", "s").write.format("fits")
+        .option("checksum", true).mode("append")
+        .save(Files.createTempDirectory("fits-ck").toString + "/t")
+    }
+    assert(e.getMessage.contains("image-mode"), e.getMessage)
+  }
+}
