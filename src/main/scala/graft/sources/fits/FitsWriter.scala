@@ -162,14 +162,6 @@ object FitsWriteSupport {
           core.TileCodec.Supported.mkString(", "))
     }
 
-  /** `checksum` write-option contract: image modes only for now — the
-    * table commit streams transformed data after its header, and
-    * CHECKSUM must be resolved before the header is written. */
-  def validateChecksum(res: FitsResolution): Unit =
-    if (res.checksumWrite) require(res.imageWrite,
-      "option 'checksum' currently applies to image-mode writes only " +
-        "— set option(\"image\", true)")
-
   /** BITPIX for an image element code. */
   def bitpixOf(code: Char): Int = code match {
     case 'B' => 8
@@ -206,7 +198,6 @@ final class FitsStreamingWrite(res: FitsResolution, schema: StructType)
   if (res.imageWrite) FitsWriteSupport.validateImage(schema)
   else FitsWriteSupport.validate(schema)
   FitsWriteSupport.validateCompress(res)
-  FitsWriteSupport.validateChecksum(res)
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
@@ -244,7 +235,6 @@ final class FitsBatchWrite(res: FitsResolution, schema: StructType,
   if (res.imageWrite) FitsWriteSupport.validateImage(schema)
   else FitsWriteSupport.validate(schema)
   FitsWriteSupport.validateCompress(res)
-  FitsWriteSupport.validateChecksum(res)
 
   // captured BEFORE tasks run: overwrite deletes exactly these at commit
   private val preExisting: Seq[String] =
@@ -697,8 +687,6 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
     val in = new DataInputStream(
       new java.io.BufferedInputStream(new FileInputStream(tmp), 1 << 20))
     try {
-      out.write(headerBlock(Seq(card("SIMPLE", "T"), card("BITPIX", "8"),
-        card("NAXIS", "0"), pad("END", 80))))
       // FITS 'B' is unsigned (0-255): the stored sentinel byte 0x80 is
       // the unsigned value 128, and the TNULL card must say so or
       // standard-compliant readers (astropy/cfitsio) never match it.
@@ -726,12 +714,15 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
         Seq(card(s"TTYPE${i + 1}", quoted(f.name)),
           card(s"TFORM${i + 1}", quoted(tform))) ++ tnull
       }
-      out.write(headerBlock(Seq(
+      val primaryCards = Seq(card("SIMPLE", "T"), card("BITPIX", "8"),
+        card("NAXIS", "0"))
+      val btCards = Seq(
         card("XTENSION", quoted("BINTABLE")), card("BITPIX", "8"),
         card("NAXIS", "2"), card("NAXIS1", rowBytes.toString),
         card("NAXIS2", nRows.toString), card("PCOUNT", heapTotal.toString),
-        card("GCOUNT", "1"), card("TFIELDS", fields.length.toString)) ++
-        colCards :+ pad("END", 80)))
+        card("GCOUNT", "1"),
+        card("TFIELDS", fields.length.toString)) ++ colCards
+      def writeData(dout: DataOutputStream): Unit = {
       // Pass 1 over the spill — the main table. Numerics are already
       // big-endian (DataOutput); strings right-pad with ASCII spaces to
       // their column width; ragged arrays emit a (count, offset)
@@ -746,7 +737,7 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
         while (remaining > 0) {
           val take = math.min(remaining, copyBuf.length.toLong).toInt
           in.readFully(copyBuf, 0, take)
-          out.write(copyBuf, 0, take)
+          dout.write(copyBuf, 0, take)
           remaining -= take
         }
       }
@@ -765,21 +756,21 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
           if (!spec.isArray && spec.code == 'A') {
             val len = in.readInt()
             if (varStr(i)) {
-              if (useQ) { out.writeLong(len.toLong); out.writeLong(heapOff) }
-              else { out.writeInt(len); out.writeInt(heapOff.toInt) }
+              if (useQ) { dout.writeLong(len.toLong); dout.writeLong(heapOff) }
+              else { dout.writeInt(len); dout.writeInt(heapOff.toInt) }
               heapOff += len
               skipBytes(len.toLong)
             } else {
               copyBytes(len.toLong)
               var p = len
-              while (p < widths(i)) { out.write(' '); p += 1 }
+              while (p < widths(i)) { dout.write(' '); p += 1 }
             }
           } else if (spec.isArray) {
             val len = in.readInt()
             val payload = len.toLong * spec.elemWidth
             if (ragged(i)) {
-              if (useQ) { out.writeLong(len.toLong); out.writeLong(heapOff) }
-              else { out.writeInt(len); out.writeInt(heapOff.toInt) }
+              if (useQ) { dout.writeLong(len.toLong); dout.writeLong(heapOff) }
+              else { dout.writeInt(len); dout.writeInt(heapOff.toInt) }
               heapOff += payload
               skipBytes(payload)
             } else copyBytes(payload)
@@ -798,7 +789,7 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
             while (remaining > 0) {
               val take = math.min(remaining, copyBuf.length.toLong).toInt
               in2.readFully(copyBuf, 0, take)
-              out.write(copyBuf, 0, take)
+              dout.write(copyBuf, 0, take)
               remaining -= take
             }
           }
@@ -830,7 +821,38 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
       }
       val dataLen = rowBytes * nRows + heapTotal
       val padLen = ((dataLen + 2879) / 2880 * 2880 - dataLen).toInt
-      out.write(new Array[Byte](padLen))
+      dout.write(new Array[Byte](padLen))
+      }
+      if (!checksum) {
+        out.write(headerBlock(primaryCards :+ pad("END", 80)))
+        out.write(headerBlock(btCards :+ pad("END", 80)))
+        writeData(out)
+      } else {
+        // CHECKSUM must be resolved before the header is written, so
+        // the data blocks spool through a local temp first (one extra
+        // local write+read; the upload stays a single stream)
+        val dataTmp = File.createTempFile("graft-fits-data", ".tmp")
+        try {
+          val dOut = new DataOutputStream(new BufferedOutputStream(
+            new FileOutputStream(dataTmp), 1 << 20))
+          try writeData(dOut) finally dOut.close()
+          val dataSum = sumFile(dataTmp)
+          out.write(headerWithChecksum(primaryCards, 0L))
+          out.write(headerWithChecksum(btCards, dataSum))
+          val cin = new DataInputStream(new java.io.BufferedInputStream(
+            new FileInputStream(dataTmp), 1 << 20))
+          try {
+            val cbuf = new Array[Byte](1 << 16)
+            var remaining = dataTmp.length()
+            while (remaining > 0) {
+              val take = math.min(remaining, cbuf.length.toLong).toInt
+              cin.readFully(cbuf, 0, take)
+              out.write(cbuf, 0, take)
+              remaining -= take
+            }
+          } finally cin.close()
+        } finally dataTmp.delete()
+      }
     } finally {
       out.close()
       in.close()

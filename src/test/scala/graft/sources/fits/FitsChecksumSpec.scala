@@ -111,12 +111,23 @@ class FitsChecksumSpec extends SparkTestBase {
     assert(rep2.forall(r => !r.getBoolean(2) && r.isNullAt(3) && r.isNullAt(4)))
   }
 
-  test("checksum option on table writes fails with a clear message") {
-    val e = intercept[Exception] {
-      Seq((1L, "x")).toDF("id", "s").write.format("fits")
-        .option("checksum", true).mode("append")
-        .save(Files.createTempDirectory("fits-ck").toString + "/t")
-    }
-    assert(e.getMessage.contains("image-mode"), e.getMessage)
+  test("table write with checksum: heap-bearing table verifies; reads back") {
+    val dir = Files.createTempDirectory("fits-ck").toString + "/t"
+    val long = "d" * 300 // forces a 1PA heap column alongside fixed ones
+    val df = (0 until 120).map(i =>
+      (i.toLong, if (i == 0) long else s"doc$i", (0 until i % 5).map(_.toDouble).toArray))
+      .toDF("id", "text", "vec")
+    df.coalesce(1).write.format("fits")
+      .option("checksum", true).mode("append").save(dir)
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".fits")).head
+    val sums = rawHduSums(part.toPath)
+    assert(sums.length == 2 && sums.forall(FitsChecksum.verifies), sums)
+    val rep = FitsChecksumReport.report(spark, dir).collect()
+    assert(rep.length == 2 && rep.forall(r =>
+      r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4)), rep.toSeq)
+    val back = spark.read.format("fits").option("hdu", 1).load(dir)
+    assert(back.count() == 120)
+    assert(back.filter($"id" === 0L).head.getString(1) == long)
   }
 }
