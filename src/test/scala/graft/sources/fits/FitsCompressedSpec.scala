@@ -264,6 +264,34 @@ class FitsCompressedSpec extends SparkTestBase {
     assert(e3.getMessage.contains("unsupported compress codec"), e3.getMessage)
   }
 
+  test("compressed image split across many partitions reads exactly") {
+    // 4000 tiles of 8 shorts; descriptor rows are 8 bytes, so a tiny
+    // maxPartitionBytes forces many row-aligned slices — every slice
+    // must pread its own tiles' heap spans independently
+    val width = 8
+    val lines = (0 until 4000).map(r =>
+      (0 until width).map(c => ((r * 31 + c * 7) % 32768).toShort))
+    val p = Files.createTempFile("graft-ricesplit", ".fits").toString
+    writeFz(p, "RICE_1", 16, width,
+      lines.map(l => (TileCodec.compress("RICE_1", shortTile(l: _*), 2, 32),
+        null: Array[Byte])), withGzCol = false)
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, (4 * 1024).toString) // ≈ 500 rows per slice
+      val df = spark.read.format("fits").option("hdu", 1).load(p)
+      assert(df.rdd.getNumPartitions > 4, df.rdd.getNumPartitions)
+      val got = df.orderBy("ImgIndex").collect()
+      assert(got.length == 4000)
+      assert(got.zipWithIndex.forall { case (r, i) =>
+        r.getLong(1) == i && r.getSeq[Short](0) == lines(i)
+      })
+    } finally {
+      spark.conf.set(key, prev)
+      Files.deleteIfExists(java.nio.file.Paths.get(p))
+    }
+  }
+
   test("unsupported variants degrade to the raw bintable, not an error") {
     val width = 4
     val tile = shortTile(1, 2, 3, 4)
