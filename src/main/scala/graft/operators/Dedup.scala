@@ -228,17 +228,15 @@ object Dedup {
     val bandCols: Seq[Column] =
       (0 until 8).map(j => shiftright(col("sig"), 8 * j).bitwiseAND(0xff))
     val bands = sig
-      .select(col("vec_id").as("doc_id"), posexplode(array(bandCols: _*)))
-      .toDF("doc_id", "band", "bv")
-    val sigOnly = sig.select(col("vec_id"), col("sig"))
-    val cands = candidatesFromBands(bands)
+      .select(col("vec_id").as("doc_id"), col("sig"),
+        posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "sig", "band", "bv")
+    // sig rides the band rows (8 bytes/row), so the Hamming prefilter
+    // runs inside the self-join output — before the distinct, and with
+    // no signature re-join afterwards
+    val cands = candidatesFromBandsWith(bands, "sig",
+      (a, b) => bit_count(a.bitwiseXOR(b)) <= 24)
       .select(col("a_id").as("a_vid"), col("b_id").as("b_vid"))
-      .join(sigOnly.select(col("vec_id").as("a_vid"), col("sig").as("sig_a")),
-        Seq("a_vid"))
-      .join(sigOnly.select(col("vec_id").as("b_vid"), col("sig").as("sig_b")),
-        Seq("b_vid"))
-      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 24)
-      .select(col("a_vid"), col("b_vid"))
     val ea = e.select(col("vec_id").as("a_vid"), col("embedding").as("ea"))
     val eb = e.select(col("vec_id").as("b_vid"), col("embedding").as("eb"))
     cands.join(ea, Seq("a_vid")).join(eb, Seq("b_vid"))
@@ -377,9 +375,40 @@ object Dedup {
   private[operators] val DefaultMaxBucket = 1000000L
 
   private def candidatesFromBands(bands0: DataFrame): DataFrame = {
+    val kept = guardedBands(bands0)
+    val x = kept.select(col("doc_id").as("a_id"), col("band"), col("bv"))
+    val y = kept.select(col("doc_id").as("b_id"), col("band"), col("bv"))
+    x.join(y, Seq("band", "bv"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+  }
+
+  /** As [[candidatesFromBands]], but band rows carry column `extra` on
+    * both sides and `pairKeep(extraA, extraB)` prunes candidate pairs
+    * BEFORE the distinct — the place for cheap sketch prefilters
+    * (e.g. signature Hamming), which cut the distinct's shuffle input
+    * by an order of magnitude and drop the downstream re-joins that
+    * would otherwise fetch the sketch back. */
+  private def candidatesFromBandsWith(bands0: DataFrame, extra: String,
+      pairKeep: (Column, Column) => Column): DataFrame = {
+    val kept = guardedBands(bands0)
+    val x = kept.select(col("doc_id").as("a_id"), col("band"), col("bv"),
+      col(extra).as("_xa"))
+    val y = kept.select(col("doc_id").as("b_id"), col("band"), col("bv"),
+      col(extra).as("_xb"))
+    x.join(y, Seq("band", "bv"))
+      .filter(col("a_id") < col("b_id") && pairKeep(col("_xa"), col("_xb")))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+  }
+
+  /** Hot-bucket guard shared by the candidate generators (see the
+    * candidatesFromBands scaladoc for the default/explicit split). */
+  private def guardedBands(bands0: DataFrame): DataFrame = {
     val explicit = bands0.sparkSession.conf
       .getOption("spark.graft.lsh.maxBucket").map(_.toLong)
-    val kept = explicit match {
+    explicit match {
       case Some(n) if n <= 0 => bands0 // cap disabled → no guard at all
       case None =>
         // default cap: safe window filter, no extra job; drops counted
@@ -406,12 +435,6 @@ object Dedup {
         else bands.join(hot.select(col("band"), col("bv")),
           Seq("band", "bv"), "left_anti")
     }
-    val x = kept.select(col("doc_id").as("a_id"), col("band"), col("bv"))
-    val y = kept.select(col("doc_id").as("b_id"), col("band"), col("bv"))
-    x.join(y, Seq("band", "bv"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
-      .distinct()
   }
 
   // ----------------------------------------------------------- registry
