@@ -85,7 +85,13 @@ object Bench {
     // baseline (BASELINE.md row 1) — the connector is the engine's
     // core, so its number belongs in the bench artifact.
     val fits = fitsThroughput(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"diag":$diags$fits}""")
+    // Diag map goes to stderr: the driver keeps only the tail of stdout,
+    // and a summary line bloated with per-query diagnostics outgrew that
+    // window for six rounds straight ("parsed": null in every BENCH_r*).
+    // The summary JSON must be the FINAL line on stdout, alone and
+    // self-contained (total + per-query timings + probe).
+    System.err.println(s"""{"diag":$diags}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson$fits}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

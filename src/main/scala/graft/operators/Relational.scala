@@ -117,10 +117,18 @@ object Relational {
 
   // ------------------------------------------------------------------- B8
 
-  /** B8a anti join: customers with no orders (NOT EXISTS). */
+  /** B8a anti join: customers with no RECENT orders (NOT EXISTS over a
+    * filtered subset). Every customer in TESTDATA has at least one
+    * order, so an unfiltered anti-join is empty and its oracle passes
+    * vacuously (0 == 0); the 2000-01-01 cutoff makes the result
+    * non-empty and deterministic at every SF (14/135/1355 rows), so
+    * the hash check proves row content, not absence. */
   val q08_anti: Q = (s, dir) =>
     t(s, dir, "customer")
-      .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+      .join(
+        t(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp_ntz")),
+        $"c_custkey" === $"o_custkey", "left_anti")
       .select($"c_custkey")
       .orderBy($"c_custkey")
 
@@ -557,7 +565,9 @@ object Relational {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q08_anti" ->
       """SELECT c_custkey FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01')
         |ORDER BY c_custkey""".stripMargin,
     "q08_semi" ->
       """SELECT c_custkey FROM customer

@@ -70,14 +70,23 @@ object FitsChecksumReport {
             while (pos < end) {
               val take = math.min(buf.length.toLong, end - pos).toInt
               in.readFully(pos, buf, 0, take)
-              acc += FitsChecksum.wordSum(buf, 0, take)
+              // fold every buffer: a raw u64 accumulation over a large
+              // range wraps mod 2^64, and 2^64 ≢ 0 mod (2^32−1), so a
+              // wrap would silently corrupt the ones'-complement sum.
+              // Folded values stay <2^32 and add associatively mod
+              // (2^32−1), which is what keeps this distributable.
+              acc = FitsChecksum.fold(acc + FitsChecksum.wordSum(buf, 0, take))
               pos += take
             }
             ((file, hdu), (acc, if (isData) acc else 0L))
           } finally in.close()
         }
       }
-      .reduceByKey((a, b) => (a._1 + b._1, a._2 + b._2))
+      // partials are folded (<2^32), so pairwise adds are <2^33 — fold
+      // again in the combiner to keep every intermediate overflow-free
+      // no matter how many 128 MB ranges a multi-TB HDU produces
+      .reduceByKey((a, b) => (FitsChecksum.fold(a._1 + b._1),
+        FitsChecksum.fold(a._2 + b._2)))
     val rows = partials.map { case ((file, hdu), (total, data)) =>
       val (storedCk, storedDs) = storedByHdu((file, hdu))
       val has = storedCk.isDefined && storedDs.isDefined

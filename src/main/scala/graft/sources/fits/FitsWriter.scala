@@ -517,7 +517,9 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
 
   /** u32-word checksum partial of a whole local file, zero-padding the
     * tail to word alignment (matching the HDU's own zero block
-    * padding). */
+    * padding). Folded per buffer: raw u64 accumulation would wrap mod
+    * 2^64 (≢ 0 mod 2^32−1) somewhere past ~16 GB of data and silently
+    * corrupt the sum; folded values stay <2^32 and add associatively. */
   private def sumFile(f: File): Long = {
     val in = new java.io.BufferedInputStream(new FileInputStream(f), 1 << 20)
     try {
@@ -537,7 +539,8 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
             java.util.Arrays.fill(buf, aligned, aligned + pad, 0.toByte)
             aligned += pad
           }
-          acc += graft.sources.fits.core.FitsChecksum.wordSum(buf, 0, aligned)
+          acc = graft.sources.fits.core.FitsChecksum.fold(
+            acc + graft.sources.fits.core.FitsChecksum.wordSum(buf, 0, aligned))
         }
       }
       acc
@@ -601,7 +604,10 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
       val dataSum =
         if (!checksum) 0L
         else descs.foldLeft(sumFile(heapTmp)) { (s, d) =>
-          s + graft.sources.fits.core.FitsChecksum.wordSum(d, 0, d.length)
+          // fold per descriptor: billions of 8/16-byte descriptors would
+          // otherwise overflow the raw u64 accumulation
+          graft.sources.fits.core.FitsChecksum.fold(
+            s + graft.sources.fits.core.FitsChecksum.wordSum(d, 0, d.length))
         }
       val (fs, file, staging, out) = openStaging()
       val primaryCards = Seq(card("SIMPLE", "T"), card("BITPIX", "8"),

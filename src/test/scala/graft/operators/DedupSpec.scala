@@ -41,6 +41,43 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.dedup_embed(spark, sf001).count() == 0L)
   }
 
+  test("embedding near-dup recovers exactly the planted positive pairs") {
+    // The sf corpora contain no cos >= 0.95 pair, so the oracle passes
+    // with 0 == 0 — this test feeds the full bands -> Hamming-prefilter
+    // -> cosine-verify chain a corpus where the right answer is known
+    // and NON-empty: 5 planted near-identical pairs among 200 random
+    // decoys (independent 64-dim Gaussians collide at 0.95 with
+    // probability ~0 — any decoy pair in the output is a bug).
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val decoys = (0 until 200).map(i => (i.toLong, unit(), 0))
+    val planted = (0 until 5).flatMap { i =>
+      val a = unit()
+      // small perturbation: cos(a, b) ≈ 1/sqrt(1+0.02²·64) ≈ 0.987
+      val b0 = a.map(x => x + 0.02 * rnd.nextGaussian())
+      val n = math.sqrt(b0.map(x => x * x).sum)
+      val b = b0.map(x => (x / n).toFloat)
+      Seq((1000L + i, a, 1), (2000L + i, b, 1))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("embed-pos").toString
+    (decoys ++ planted).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = Dedup.dedup_embed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0 until 5).map(i => (1000L + i, 2000L + i)).toSet
+    assert(got == want, s"planted-pair recovery: got $got")
+    // and each recovered pair really is >= 0.95 by direct computation
+    val vecs = (decoys ++ planted).map(t => t._1 -> t._2).toMap
+    def cos(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    assert(want.forall { case (a, b) => cos(vecs(a), vecs(b)) >= 0.95 })
+  }
+
   test("minhash signature agreement approximates Jaccard") {
     import graft.functions.VectorFunctions
     val sh = Dedup.shingleHashes(spark.read.parquet(s"$sf001/documents.parquet"))

@@ -35,11 +35,19 @@ class RelationalSpec extends SparkTestBase {
     assert(byGroup == total)
   }
 
-  test("q08 semi + anti partition customer") {
+  test("q08 anti is non-empty and complements customers with recent orders") {
+    import org.apache.spark.sql.functions._
     val cust = spark.read.parquet(s"$sf0001/customer.parquet").count()
     val semi = Relational.q08_semi(spark, sf0001).count()
+    // every TESTDATA customer has some order — which is exactly why the
+    // anti side must use a filtered subset to be non-vacuous
+    assert(semi == cust)
     val anti = Relational.q08_anti(spark, sf0001).count()
-    assert(semi + anti == cust)
+    assert(anti > 0, "anti-join must return rows, not a vacuous empty set")
+    val withRecent = spark.read.parquet(s"$sf0001/orders.parquet")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp_ntz"))
+      .select("o_custkey").distinct().count()
+    assert(anti == cust - withRecent)
   }
 
   test("q11 union/intersect/except obey inclusion-exclusion") {

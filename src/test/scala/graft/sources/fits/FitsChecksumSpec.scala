@@ -34,6 +34,28 @@ class FitsChecksumSpec extends SparkTestBase {
     }
   }
 
+  test("folded partials combine exactly where raw u64 sums would wrap") {
+    // Simulate a multi-TB HDU's combine tree: many range partials, each
+    // near the u64 range a 128 MB all-0xFF range produces (~2^57). The
+    // ground truth is the sum mod (2^32−1) computed in BigInt; the
+    // folded pairwise combine (what FitsChecksumReport's combiner does
+    // post-fix) must match it, while the raw u64 accumulation provably
+    // wraps — i.e. this test fails on the pre-fix code path.
+    val m = (BigInt(1) << 32) - 1
+    val rnd = new scala.util.Random(7)
+    val partials = Seq.fill(4096)(0x0200000000000000L + rnd.nextLong(1L << 56))
+    val truth = partials.map(BigInt(_)).sum.mod(m).toLong
+    val rawWrapped = partials.sum // provokes the wraparound
+    assert(rawWrapped < 0 || FitsChecksum.fold(rawWrapped) != truth,
+      "test setup must actually wrap u64")
+    val folded = partials.map(FitsChecksum.fold)
+      .reduce((a, b) => FitsChecksum.fold(a + b))
+    // fold yields values in [0, 2^32−1] with 2^32−1 ≡ 0 (ones'-compl.
+    // negative zero), so compare mod m
+    assert(folded % m.toLong == truth % m.toLong,
+      s"folded=$folded truth=$truth")
+  }
+
   /** Independent verifier: raw ones'-complement sum of each HDU. */
   private def rawHduSums(path: java.nio.file.Path): Seq[Long] = {
     val bytes = Files.readAllBytes(path)
