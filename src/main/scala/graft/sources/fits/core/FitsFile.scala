@@ -78,7 +78,20 @@ final class FitsFile private (
             col: (Int, TForm.VarArr)): Array[Byte] = {
           val (n0, hoff) = col._2.descriptor(buf, base + col._1)
           if (n0 <= 0) null
-          else readChunk(c.heapStart + hoff, (n0 * col._2.elem.width).toInt)
+          else {
+            // same descriptor sanity bounds as the connector path
+            // (FitsPartitionReader.compTileBytes): a corrupt or hostile
+            // descriptor must fail loudly, not drive a near-2GB
+            // allocation or a negative-size pread via (n0*width).toInt
+            val bytes = n0 * col._2.elem.width
+            if (n0 > col._2.maxLen ||
+              bytes > graft.sources.fits.FitsPartitionReader.MaxVarElement)
+              throw new IllegalArgumentException(
+                s"corrupt tile descriptor in $path: count $n0 outside " +
+                  s"[0, ${col._2.maxLen}] or payload over " +
+                  s"${graft.sources.fits.FitsPartitionReader.MaxVarElement} bytes")
+            readChunk(c.heapStart + hoff, bytes.toInt)
+          }
         }
         (0L until c.nTiles by chunk).iterator.flatMap { first =>
           val n = math.min(chunk.toLong, c.nTiles - first).toInt

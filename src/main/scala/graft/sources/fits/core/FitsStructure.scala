@@ -178,13 +178,23 @@ object FitsStructure {
         // A bintable whose heap extent runs past EOF (file truncated
         // mid-heap, or a pathological THEAP): var-length preads would
         // EOF on executors, so degrade those columns to NULL.
+        // The true heap end is dataStart + rowBytes·nRows + PCOUNT:
+        // PCOUNT already covers the THEAP gap plus the heap (FITS 4.0
+        // §7.3.5), so `heapStart + PCOUNT` would double-count the gap
+        // and flag valid files with a nontrivial THEAP as truncated.
+        // A THEAP pointing past EOF itself is equally unreadable, so
+        // both bounds must fit.
         meta = meta match {
-          case b: HduMeta.Bintable if b.hasVarCols &&
-            b.heapStart + header.longOr("PCOUNT", 0L) > len =>
-            b.degradeVarCols
-          case c: HduMeta.CompImage if
-            c.heapStart + header.longOr("PCOUNT", 0L) > len =>
-            HduMeta.Opaque // all tile payloads live in the heap
+          case b: HduMeta.Bintable if b.hasVarCols && {
+            val trueHeapEnd = dataStart +
+              b.rowBytes.toLong * b.nRows + header.longOr("PCOUNT", 0L)
+            math.max(b.heapStart, trueHeapEnd) > len
+          } => b.degradeVarCols
+          case c: HduMeta.CompImage if {
+            val trueHeapEnd = dataStart +
+              c.tableRowBytes.toLong * c.nTiles + header.longOr("PCOUNT", 0L)
+            math.max(c.heapStart, trueHeapEnd) > len
+          } => HduMeta.Opaque // all tile payloads live in the heap
           case m => m
         }
         hdus += Hdu(index, header,

@@ -292,6 +292,35 @@ class FitsCompressedSpec extends SparkTestBase {
     }
   }
 
+  test("FitsFile facade reads tiles; hostile descriptor fails loudly") {
+    val width = 8
+    val lines = (0 until 4).map(r =>
+      (0 until width).map(c => (r * 10 + c).toShort))
+    val p = Files.createTempFile("graft-facade", ".fits").toString
+    writeFz(p, "RICE_1", 16, width,
+      lines.map(l => (TileCodec.compress("RICE_1", shortTile(l: _*), 2, 32),
+        null: Array[Byte])), withGzCol = false)
+    try {
+      // happy path: the no-Spark facade decompresses the same tiles
+      val f = core.FitsFile.open(s"file://$p", hdu = 1)
+      val got = f.rows().toSeq.map(r => r.head.asInstanceOf[Seq[Short]])
+      assert(got == lines)
+      // hostile path: patch tile 0's descriptor count to 2^31-1 — the
+      // facade must hit the same MaxVarElement guard as the connector
+      // (pre-guard it attempted a ~2 GB allocation / bogus pread)
+      val bytes = Files.readAllBytes(java.nio.file.Paths.get(p))
+      val base = 2 * 2880 // first descriptor (count int32, offset int32)
+      bytes(base) = 0x7f.toByte; bytes(base + 1) = 0xff.toByte
+      bytes(base + 2) = 0xff.toByte; bytes(base + 3) = 0xff.toByte
+      val patched = p.replace(".fits", "-bad.fits")
+      Files.write(java.nio.file.Paths.get(patched), bytes)
+      val fBad = core.FitsFile.open(s"file://$patched", hdu = 1)
+      val e = intercept[IllegalArgumentException] { fBad.rows().toSeq }
+      assert(e.getMessage.contains("corrupt tile descriptor"), e.getMessage)
+      Files.deleteIfExists(java.nio.file.Paths.get(patched))
+    } finally Files.deleteIfExists(java.nio.file.Paths.get(p))
+  }
+
   test("unsupported variants degrade to the raw bintable, not an error") {
     val width = 4
     val tile = shortTile(1, 2, 3, 4)

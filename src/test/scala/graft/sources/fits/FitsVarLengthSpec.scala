@@ -13,8 +13,11 @@ class FitsVarLengthSpec extends SparkTestBase {
 
   import FitsWriteSupport.{card, headerBlock, pad, quoted}
 
-  /** One bintable with: id J, vec PE/QE var floats, txt PA/QA var text. */
-  private def writeVarFile(useQ: Boolean): String = {
+  /** One bintable with: id J, vec PE/QE var floats, txt PA/QA var text.
+    * `theapGap` > 0 inserts that many zero bytes between the main table
+    * and the heap, declared via THEAP and covered by PCOUNT (FITS 4.0
+    * §7.3.5 allows the gap; PCOUNT spans gap + heap). */
+  private def writeVarFile(useQ: Boolean, theapGap: Int = 0): String = {
     val descW = if (useQ) 16 else 8
     val rowBytes = 4 + 2 * descW
     val vecs = Seq(Array(1.5f, 2.5f), Array.empty[Float],
@@ -39,15 +42,20 @@ class FitsVarLengthSpec extends SparkTestBase {
     out.write(headerBlock(Seq(card("SIMPLE", "T"), card("BITPIX", "8"),
       card("NAXIS", "0"), pad("END", 80))))
     val pq = if (useQ) "Q" else "P"
+    val theapCards =
+      if (theapGap > 0) Seq(card("THEAP", (3 * rowBytes + theapGap).toString))
+      else Nil
     out.write(headerBlock(Seq(
       card("XTENSION", quoted("BINTABLE")), card("BITPIX", "8"),
       card("NAXIS", "2"), card("NAXIS1", rowBytes.toString),
-      card("NAXIS2", "3"), card("PCOUNT", heapBytes.length.toString),
+      card("NAXIS2", "3"),
+      card("PCOUNT", (theapGap + heapBytes.length).toString),
       card("GCOUNT", "1"), card("TFIELDS", "3"),
       card("TTYPE1", quoted("id")), card("TFORM1", quoted("J")),
       card("TTYPE2", quoted("vec")), card("TFORM2", quoted(s"1${pq}E(4)")),
-      card("TTYPE3", quoted("txt")), card("TFORM3", quoted(s"${pq}A(32)")),
-      pad("END", 80))))
+      card("TTYPE3", quoted("txt")), card("TFORM3", quoted(s"${pq}A(32)"))) ++
+      theapCards :+
+      pad("END", 80)))
     def desc(d: (Int, Int)): Unit =
       if (useQ) { out.writeLong(d._1.toLong); out.writeLong(d._2.toLong) }
       else { out.writeInt(d._1); out.writeInt(d._2) }
@@ -56,8 +64,9 @@ class FitsVarLengthSpec extends SparkTestBase {
       desc(vecDesc(r))
       desc(txtDesc(r))
     }
-    out.write(heapBytes) // THEAP default: heap starts right after rows
-    val dataLen = 3 * rowBytes + heapBytes.length
+    if (theapGap > 0) out.write(new Array[Byte](theapGap))
+    out.write(heapBytes) // heap at THEAP (default: right after rows)
+    val dataLen = 3 * rowBytes + theapGap + heapBytes.length
     out.write(new Array[Byte]((2880 - dataLen % 2880) % 2880))
     out.close()
     f.toString
@@ -86,6 +95,14 @@ class FitsVarLengthSpec extends SparkTestBase {
 
   test("Q descriptors (64-bit): var floats and var strings round-trip") {
     check(writeVarFile(useQ = true))
+  }
+
+  test("nontrivial THEAP gap: heap still reads, var cols NOT degraded") {
+    // PCOUNT covers gap + heap, so a truncation check that compares
+    // heapStart + PCOUNT against the file length double-counts the gap
+    // and would silently degrade these columns to NULL (r6 ADVICE).
+    check(writeVarFile(useQ = false, theapGap = 160))
+    check(writeVarFile(useQ = true, theapGap = 2880))
   }
 
   test("reference varitab.fits fixture decodes through the full source") {
