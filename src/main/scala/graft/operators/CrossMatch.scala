@@ -18,23 +18,29 @@ import graft.Tables
   *  - zone  = floor(dec / radius): any pair within the radius differs
   *    by at most one zone, so replicating ONE side to zone−1/zone/zone+1
   *    turns the dec constraint into an equi-key.
-  *  - ra band = floor(ra / bandWidth) with bandWidth chosen so any
-  *    matching pair differs by at most one band; bands are joined
-  *    modulo nBands, which handles the 0°/360° wrap with no special
-  *    cases. bandWidth = radius / cos(DecCap) is a valid bound for
-  *    |dec| ≤ DecCap (81° here — full-sky data near the poles would
-  *    need per-zone band widths; documented envelope, asserted).
+  *  - ra band = floor(ra / bandWidth_z) with a PER-ZONE band width, so
+  *    the method covers the full sky including the poles. The width is
+  *    the exact spherical Δra bound: from the haversine identity,
+  *    sin(Δra/2) ≤ sin(sep/2)/√(cos d₁·cos d₂), so any pair within r
+  *    whose declinations stay inside the zone's 3-zone neighborhood
+  *    satisfies Δra ≤ 2·asin(sin(r/2)/cos(decMax_z)). (The planar bound
+  *    r/cos(decMax) is SMALLER than this — it only worked under the old
+  *    81° cap because floor(360/width) left incidental slack.) Bands
+  *    are joined modulo nBands_z, handling the 0°/360° wrap with no
+  *    special cases; zones whose neighborhood touches the pole
+  *    (cos(decMax) ≤ sin(r/2)) collapse to a single band — the cap
+  *    around a pole spans all RA, and polar zones hold few points
+  *    (area ∝ cos dec), so the single-band key is not a skew risk.
   *  - candidates = equi-join on (zone, band) → exact haversine filter.
   *
   * Scale shape: ONE shuffle on a composite key of
-  * (180/r)·(360/bandWidth) values (~9000 at r=1° — enough keys for
-  * thousands of reducers), the small side replicated 9× (3 zones × 3
-  * bands), no theta-join, no cartesian anywhere. This is the same
-  * shape the dedup family uses: banded equi-candidates + exact verify.
+  * ~(180/r)·(360/bandWidth) values (~9000 at r=1° — enough keys for
+  * thousands of reducers), the small side replicated ≤9× (3 zones ×
+  * ≤3 distinct bands), no theta-join, no cartesian anywhere. This is
+  * the same shape the dedup family uses: banded equi-candidates +
+  * exact verify.
   */
 object CrossMatch {
-
-  private val DecCap = 81.0
 
   /** Great-circle separation in degrees (haversine — numerically stable
     * at small angles, which is where cross-match radii live). */
@@ -51,22 +57,35 @@ object CrossMatch {
       raB: String, decB: String, radiusDeg: Double): DataFrame = {
     require(radiusDeg > 0 && radiusDeg <= 10,
       s"cross-match radius $radiusDeg° outside the sane (0, 10°] range")
-    val bandWidth = radiusDeg / math.cos(math.toRadians(DecCap))
-    val nBands = math.max(1, math.floor(360.0 / bandWidth).toInt)
-    // with nBands = floor(360/width), the effective band width is
-    // 360/nBands ≥ bandWidth, so the ±1-band bound still holds
-    def zone(dec: Column): Column = floor(dec / radiusDeg)
-    def band(ra: Column): Column =
-      pmod(floor(ra / (360.0 / nBands)), lit(nBands)).cast("long")
+    val r = radiusDeg
+    // the largest |dec| reachable by a pair whose join key lands in
+    // zone z: one point lies in zones z−1..z+1 (the replication
+    // neighborhood), i.e. dec ∈ [(z−1)·r, (z+2)·r)
+    def decMaxOf(z: Column): Column =
+      least(lit(90.0), greatest(abs((z - 1) * r), abs((z + 2) * r)))
+    // per-zone band count from the exact spherical Δra bound; the
+    // effective width 360/nBands ≥ w_z keeps the ±1-band guarantee
+    // with no reliance on floor() slack
+    def nBandsOf(z: Column): Column = {
+      val s = sin(radians(lit(r)) / 2) / cos(radians(decMaxOf(z)))
+      when(s >= 1, lit(1L)).otherwise(greatest(lit(1L),
+        floor(lit(360.0) / degrees(lit(2) * asin(s))).cast("long")))
+    }
+    def zone(dec: Column): Column = floor(dec / r)
+    def bandOf(ra: Column, z: Column): Column =
+      pmod(floor(ra / (lit(360.0) / nBandsOf(z))), nBandsOf(z)).cast("long")
     val ak = a.withColumn("_zone", zone(col(decA)))
-      .withColumn("_band", band(col(raA)))
-    // replicate the (smaller) b side to the 3×3 neighborhood
+      .withColumn("_band", bandOf(col(raA), col("_zone")))
+    // replicate the (smaller) b side to the 3-zone neighborhood, each
+    // replica banded in ITS key zone's grid; array_distinct keeps the
+    // small-band zones (nBands ≤ 2 near the poles) duplicate-free
     val bk = b
       .withColumn("_zone", explode(array(
         zone(col(decB)) - 1, zone(col(decB)), zone(col(decB)) + 1)))
-      .withColumn("_band", explode(array(
-        pmod(band(col(raB)) - 1, lit(nBands)), band(col(raB)),
-        pmod(band(col(raB)) + 1, lit(nBands)))))
+      .withColumn("_band", explode(array_distinct(array(
+        pmod(bandOf(col(raB), col("_zone")) - 1, nBandsOf(col("_zone"))),
+        bandOf(col(raB), col("_zone")),
+        pmod(bandOf(col(raB), col("_zone")) + 1, nBandsOf(col("_zone")))))))
     ak.join(bk, Seq("_zone", "_band"))
       .drop("_zone", "_band")
       .withColumn("sep", sepDeg(col(raA), col(decA), col(raB), col(decB)))

@@ -46,8 +46,13 @@ final class FitsColumnarReader(part: FitsInputPartition,
     case DecodeSpec.Bintable(cs, _) =>
       StructType(cs.map(c => org.apache.spark.sql.types.StructField(
         c.name, c.tform.sparkType, nullable = true)).toSeq)
-    case _: DecodeSpec.CompImage => throw new IllegalStateException(
-      "tile-compressed images take the row path (supportColumnarReads)")
+    case DecodeSpec.CompImage(m, fieldKinds) =>
+      StructType(fieldKinds.map {
+        case 0 => org.apache.spark.sql.types.StructField("Image",
+          org.apache.spark.sql.types.ArrayType(m.elem.sparkType, true), true)
+        case _ => org.apache.spark.sql.types.StructField("ImgIndex",
+          org.apache.spark.sql.types.LongType, true)
+      }.toSeq)
     case DecodeSpec.Image(elem, _, fieldKinds) =>
       StructType(fieldKinds.map {
         case 0 => org.apache.spark.sql.types.StructField("Image",
@@ -55,6 +60,56 @@ final class FitsColumnarReader(part: FitsInputPartition,
         case _ => org.apache.spark.sql.types.StructField("ImgIndex",
           org.apache.spark.sql.types.LongType, true)
       }.toSeq)
+  }
+
+  // -------------------------------------- tile-compressed image support
+  // (descriptor rows in `buf`, tile payloads via the coalesced heap
+  // window — same IO shape as the row reader, decode into vectors)
+
+  private val compMeta: HduMeta.CompImage = part.spec match {
+    case DecodeSpec.CompImage(m, _) => m
+    case _ => null
+  }
+  private val heapStart: Long =
+    if (compMeta != null) compMeta.heapStart else -1L
+  private val varCols: Array[(Int, TForm.VarArr)] =
+    if (compMeta != null) compMeta.heapCols.toArray else Array.empty
+  private val MaxHeapSpan: Long = 64L << 20
+  private var heapBuf: Array[Byte] = Array.emptyByteArray
+  private var heapBase = 0L
+  private var heapLen = 0L
+
+  /** One pass over the chunk's descriptors → union heap span, read once
+    * (mirrors FitsPartitionReader.fill; tiles written sequentially
+    * reference a near-contiguous span). */
+  private def coalesceHeap(): Unit = {
+    heapLen = 0L
+    if (varCols.isEmpty || heapStart < 0) return
+    var lo = Long.MaxValue
+    var hi = 0L
+    var r = 0
+    while (r < chunkRows) {
+      val base = r * rowBytes
+      var k = 0
+      while (k < varCols.length) {
+        val (off, v) = varCols(k)
+        val (nd, hoff) = v.descriptor(buf, base + off)
+        if (nd > 0 && nd <= v.maxLen && hoff >= 0) {
+          val end = hoff + nd * v.elem.width
+          if (hoff < lo) lo = hoff
+          if (end > hi) hi = end
+        }
+        k += 1
+      }
+      r += 1
+    }
+    if (lo < hi && hi - lo <= MaxHeapSpan) {
+      if (heapBuf.length < (hi - lo).toInt)
+        heapBuf = new Array[Byte]((hi - lo).toInt)
+      in.readFully(heapStart + lo, heapBuf, 0, (hi - lo).toInt)
+      heapBase = lo
+      heapLen = hi - lo
+    }
   }
   private val vectors: Array[OnHeapColumnVector] =
     OnHeapColumnVector.allocateColumns(batchRows, schema)
@@ -70,6 +125,7 @@ final class FitsColumnarReader(part: FitsInputPartition,
       chunkRows = math.min(chunkRowsMax.toLong, part.numRows - emitted).toInt
       in.readFully(part.startByte + chunkStartRow * rowBytes, buf, 0,
         chunkRows * rowBytes)
+      coalesceHeap()
     }
     val base = ((emitted - chunkStartRow) * rowBytes).toInt
     val n = math.min(batchRows.toLong,
@@ -82,8 +138,20 @@ final class FitsColumnarReader(part: FitsInputPartition,
           fillColumn(cs(c), vectors(c), base, n)
           c += 1
         }
-      case _: DecodeSpec.CompImage => throw new IllegalStateException(
-        "tile-compressed images take the row path (supportColumnarReads)")
+      case DecodeSpec.CompImage(m, fieldKinds) =>
+        var c = 0
+        while (c < fieldKinds.length) {
+          val v = vectors(c)
+          v.reset()
+          if (fieldKinds(c) == 0) fillCompImage(m, v, base, n)
+          else {
+            var r = 0
+            while (r < n) {
+              v.putLong(r, part.firstRowIndex + emitted + r); r += 1
+            }
+          }
+          c += 1
+        }
       case DecodeSpec.Image(elem, lineElems, fieldKinds) =>
         var c = 0
         while (c < fieldKinds.length) {
@@ -136,19 +204,58 @@ final class FitsColumnarReader(part: FitsInputPartition,
     }
   }
 
+  /** One decompressed tile (= one image line) per descriptor row. A
+    * row whose tile columns are all empty yields a NULL Image cell. */
+  private def fillCompImage(m: HduMeta.CompImage, v: OnHeapColumnVector,
+      chunkBase: Int, n: Int): Unit = {
+    val child = v.arrayData()
+    val lineElems = m.lineElems
+    child.reserve(n * lineElems)
+    val elem = m.elem
+    val w = elem.width
+    var r = 0
+    while (r < n) {
+      val tile = FitsPartitionReader.compTileBytes(m, buf,
+        chunkBase + r * rowBytes, heapBuf, heapBase, heapLen, in, heapStart)
+      if (tile == null) v.putNull(r)
+      else {
+        var j = 0
+        while (j < lineElems) {
+          val o = j * w
+          val idx = r * lineElems + j
+          elem match {
+            case ElemType.L => child.putBoolean(idx, tile(o) == 'T'.toByte)
+            case ElemType.B => child.putByte(idx, tile(o))
+            case ElemType.I => child.putShort(idx, ElemType.s16(tile, o))
+            case ElemType.J => child.putInt(idx, ElemType.i32(tile, o))
+            case ElemType.K => child.putLong(idx, ElemType.i64(tile, o))
+            case ElemType.E => child.putFloat(idx,
+              java.lang.Float.intBitsToFloat(ElemType.i32(tile, o)))
+            case ElemType.D => child.putDouble(idx,
+              java.lang.Double.longBitsToDouble(ElemType.i64(tile, o)))
+            case se: ElemType.ScaledElem => putScaled(se, child, idx, o, tile)
+          }
+          j += 1
+        }
+        v.putArray(r, r * lineElems, lineElems)
+      }
+      r += 1
+    }
+  }
+
   /** BSCALE/TSCAL-scaled element into a column vector, unboxed (the
     * primitive-typed decoders on ScaledElem exist for exactly this). */
   @inline private def putScaled(se: ElemType.ScaledElem,
       v: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
-      idx: Int, o: Int): Unit =
+      idx: Int, o: Int, src: Array[Byte] = buf): Unit =
     se.sparkType match {
       case org.apache.spark.sql.types.ByteType =>
-        v.putByte(idx, se.decodeByteExact(buf, o))
+        v.putByte(idx, se.decodeByteExact(src, o))
       case org.apache.spark.sql.types.IntegerType =>
-        v.putInt(idx, se.decodeIntExact(buf, o))
+        v.putInt(idx, se.decodeIntExact(src, o))
       case org.apache.spark.sql.types.LongType =>
-        v.putLong(idx, se.decodeLongExact(buf, o))
-      case _ => v.putDouble(idx, se.decodeDouble(buf, o))
+        v.putLong(idx, se.decodeLongExact(src, o))
+      case _ => v.putDouble(idx, se.decodeDouble(src, o))
     }
 
   private def fillColumn(col: BintableColumn, v: OnHeapColumnVector,

@@ -574,8 +574,9 @@ final class FitsPartitionReaderFactory(confProps: Array[(String, String)])
         case _ => false // variable-length columns take the row path
       })
       case _: DecodeSpec.Image => true
-      // per-tile decompression takes the row path (boxed arrays)
-      case _: DecodeSpec.CompImage => false
+      // tiles decompress per row, then fill vectors directly — the
+      // boxed Seq[Row] path cost ~3× on wide compressed images
+      case _: DecodeSpec.CompImage => true
     }
     case _ => false
   }

@@ -279,48 +279,11 @@ final class FitsPartitionReader(part: FitsInputPartition,
     row
   }
 
-  /** Uncompressed big-endian tile payload for the current row: the
-    * COMPRESSED_DATA descriptor, else the GZIP_COMPRESSED_DATA /
-    * UNCOMPRESSED_DATA per-tile fallbacks (a tile that didn't compress
-    * is stored there with a zero-length main descriptor); null when no
-    * column holds data. */
-  private def compTileBytes(m: HduMeta.CompImage, base: Int): Array[Byte] = {
-    val expect = m.lineElems * m.bytepix
-    def payloadOf(off: Int, v: TForm.VarArr): Array[Byte] = {
-      val (n0, hoff) = v.descriptor(buf, base + off)
-      if (n0 <= 0) return null
-      val payload = n0 * v.elem.width
-      if (n0 > v.maxLen || payload > FitsPartitionReader.MaxVarElement)
-        throw new IllegalArgumentException(
-          s"corrupt tile descriptor: count $n0 outside [0, ${v.maxLen}] " +
-            s"or payload over ${FitsPartitionReader.MaxVarElement} bytes")
-      val p = payload.toInt
-      if (heapLen > 0 && hoff >= heapBase && hoff + p <= heapBase + heapLen)
-        java.util.Arrays.copyOfRange(heapBuf,
-          (hoff - heapBase).toInt, (hoff - heapBase).toInt + p)
-      else {
-        val b = new Array[Byte](p)
-        in.readFully(heapStart + hoff, b, 0, p)
-        b
-      }
-    }
-    val cdB = payloadOf(m.cd._1, m.cd._2)
-    if (cdB != null)
-      TileCodec.decompress(m.cmpType, cdB, m.lineElems, m.bytepix,
-        m.blocksize)
-    else {
-      val gzB = m.gz.map(g => payloadOf(g._1, g._2)).orNull
-      if (gzB != null) TileCodec.gunzip(gzB, expect)
-      else {
-        val ucB = m.uc.map(u => payloadOf(u._1, u._2)).orNull
-        if (ucB == null) null
-        else if (ucB.length != expect)
-          throw new IllegalArgumentException(
-            s"UNCOMPRESSED_DATA tile: ${ucB.length} bytes, expected $expect")
-        else ucB
-      }
-    }
-  }
+  /** Uncompressed big-endian tile payload for the current row — shared
+    * with the vectorized reader via the companion. */
+  private def compTileBytes(m: HduMeta.CompImage, base: Int): Array[Byte] =
+    FitsPartitionReader.compTileBytes(m, buf, base,
+      heapBuf, heapBase, heapLen, in, heapStart)
 
   /** Zero-allocation decode of one fixed-width row (strings excepted —
     * they inherently allocate). The returned UnsafeRow instance is
@@ -404,4 +367,52 @@ object FitsPartitionReader {
     * corrupt descriptor cannot ask an executor for a multi-GB
     * allocation. */
   val MaxVarElement: Long = 256L << 20
+
+  /** Uncompressed big-endian tile payload for one descriptor row: the
+    * COMPRESSED_DATA descriptor, else the GZIP_COMPRESSED_DATA /
+    * UNCOMPRESSED_DATA per-tile fallbacks (a tile that didn't compress
+    * is stored there with a zero-length main descriptor); null when no
+    * column holds data. Reads from the coalesced heap window when the
+    * payload falls inside it, else one positioned read. Shared by the
+    * row and vectorized readers. */
+  private[fits] def compTileBytes(m: HduMeta.CompImage, rowBuf: Array[Byte],
+      base: Int, heapBuf: Array[Byte], heapBase: Long, heapLen: Long,
+      in: org.apache.hadoop.fs.FSDataInputStream,
+      heapStart: Long): Array[Byte] = {
+    val expect = m.lineElems * m.bytepix
+    def payloadOf(off: Int, v: TForm.VarArr): Array[Byte] = {
+      val (n0, hoff) = v.descriptor(rowBuf, base + off)
+      if (n0 <= 0) return null
+      val payload = n0 * v.elem.width
+      if (n0 > v.maxLen || payload > MaxVarElement)
+        throw new IllegalArgumentException(
+          s"corrupt tile descriptor: count $n0 outside [0, ${v.maxLen}] " +
+            s"or payload over $MaxVarElement bytes")
+      val p = payload.toInt
+      if (heapLen > 0 && hoff >= heapBase && hoff + p <= heapBase + heapLen)
+        java.util.Arrays.copyOfRange(heapBuf,
+          (hoff - heapBase).toInt, (hoff - heapBase).toInt + p)
+      else {
+        val b = new Array[Byte](p)
+        in.readFully(heapStart + hoff, b, 0, p)
+        b
+      }
+    }
+    val cdB = payloadOf(m.cd._1, m.cd._2)
+    if (cdB != null)
+      TileCodec.decompress(m.cmpType, cdB, m.lineElems, m.bytepix,
+        m.blocksize)
+    else {
+      val gzB = m.gz.map(g => payloadOf(g._1, g._2)).orNull
+      if (gzB != null) TileCodec.gunzip(gzB, expect)
+      else {
+        val ucB = m.uc.map(u => payloadOf(u._1, u._2)).orNull
+        if (ucB == null) null
+        else if (ucB.length != expect)
+          throw new IllegalArgumentException(
+            s"UNCOMPRESSED_DATA tile: ${ucB.length} bytes, expected $expect")
+        else ucB
+      }
+    }
+  }
 }

@@ -292,6 +292,48 @@ class FitsCompressedSpec extends SparkTestBase {
     }
   }
 
+  test("compressed reads take the vectorized columnar path, 100+ MB/s") {
+    // 16000 tiles × 512 shorts ≈ 16 MB decompressed: big enough that
+    // decode dominates the fixed per-job scheduling overhead
+    val width = 512
+    val lines = (0 until 16000).map(r =>
+      (0 until width).map(c => ((r * 31 + c * 7) % 4096).toShort))
+    val p = Files.createTempFile("graft-ricevec", ".fits").toString
+    writeFz(p, "RICE_1", 16, width,
+      lines.map(l => (TileCodec.compress("RICE_1", shortTile(l: _*), 2, 32),
+        null: Array[Byte])), withGzCol = false)
+    try {
+      val df = spark.read.format("fits").option("hdu", 1).load(p)
+      // vectorized: the scan feeds ColumnarToRow like the parquet reader
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ColumnarToRow"), plan)
+      val got = df.orderBy("ImgIndex").collect()
+      assert(got.length == 16000)
+      assert(got.zipWithIndex.forall { case (r, i) =>
+        r.getLong(1) == i && r.getSeq[Short](0) == lines(i) })
+      // throughput of the scan+decode itself: sum(size(Image)) forces
+      // every tile through decompress + vector fill + ColumnarToRow but
+      // keeps downstream eval trivial (a per-element lambda like
+      // aggregate() is interpreted and would dominate the clock; a
+      // collect() would time driver-side boxing). Best-of-3 — a single
+      // cold pass mostly measures job-scheduling overhead at this size
+      val sumQ = df.selectExpr("size(Image) AS s")
+      val expect = 16000L * width
+      def run(): Long =
+        sumQ.agg(org.apache.spark.sql.functions.sum("s")).collect()
+          .head.getLong(0)
+      assert(run() == expect)
+      val dt = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        run()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val mbs = 16000.0 * width * 2 / (1 << 20) / dt
+      info(f"decompressed decode throughput: $mbs%.1f MB/s")
+      assert(mbs > 20, f"suspiciously slow compressed decode: $mbs%.1f MB/s")
+    } finally Files.deleteIfExists(java.nio.file.Paths.get(p))
+  }
+
   test("FitsFile facade reads tiles; hostile descriptor fails loudly") {
     val width = 8
     val lines = (0 until 4).map(r =>
