@@ -92,14 +92,18 @@ object Similarity {
 
   private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), org.apache.spark.ml.clustering.KMeansModel]()
+  private val ivfIndexMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
 
   /** Drops this session's memoized IVF quantizers (driver-resident
     * centroid tables; small, but the map holds strong session keys and
-    * never shrinks on its own — r2/r3 hygiene item). */
+    * never shrinks on its own — r2/r3 hygiene item) and index paths. */
   def evictMemo(s: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
     ivfMemo.keySet.asScala.filter(_._1 eq s).toList
       .foreach(ivfMemo.remove)
+    ivfIndexMemo.keySet.asScala.filter(_._1 eq s).toList
+      .foreach(ivfIndexMemo.remove)
   }
 
   /** Coarse quantizer for the IVF index, fit ONCE per (session, corpus)
@@ -122,24 +126,42 @@ object Similarity {
         .setFeaturesCol("fv").setPredictionCol("bucket").fit(sample)
     })
 
+  /** The IVF index on disk: the corpus written ONCE partitioned by its
+    * coarse-quantizer bucket (`partitionBy(bucket)` → one directory per
+    * Voronoi cell). A probe filtering `bucket IN (...)` then prunes at
+    * the SCAN — it lists and reads only its nProbe of k directories,
+    * which is the "touch 2/16 of the corpus" property that makes IVF an
+    * index rather than a per-query transform. Built per (session, dir)
+    * under java.io.tmpdir; at 100 TB this is the one-off index-build
+    * job writing to the warehouse instead. */
+  private[operators] def ivfIndexPath(s: SparkSession, dir: String,
+      k: Int): String =
+    ivfIndexMemo.computeIfAbsent((s, dir), { _ =>
+      import org.apache.spark.ml.functions.array_to_vector
+      val out = java.nio.file.Files.createTempDirectory("graft-ivf-index")
+        .toString
+      val e = embs(s, dir).withColumn("fv", array_to_vector(col("embedding")))
+      ivfModel(s, dir, k).transform(e)
+        .select(col("vec_id"), col("embedding"), col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(out)
+      out
+    })
+
   /** IVF (inverted-file) ANN: coarse k-means quantization of the
     * corpus, queries probe their 2 nearest centroids and rank only
     * those buckets — the other standard scale path besides LSH. The
     * centroid table is tiny (k × dim) and driver-resident; the corpus
-    * is bucketed once (in production: written bucketed/partitioned by
-    * centroid id, so a probe touches 2/k of the data). */
+    * is read from the persisted bucket-partitioned index, so the probe
+    * filter prunes the scan to 2/k of the data (plan-asserted in
+    * SimilaritySpec). */
   val sim_ivf_topk: Q = (s, dir) => {
-    import org.apache.spark.ml.functions.array_to_vector
     val k = 16
     val nProbe = 2
-    val e = embs(s, dir)
-      .withColumn("fv", array_to_vector(col("embedding")))
     val model = ivfModel(s, dir, k)
-    val bucketed = model.transform(e)
-      .select(col("vec_id"), col("embedding"), col("bucket"))
+    val bucketed = s.read.parquet(ivfIndexPath(s, dir, k))
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
     // queries → their nProbe nearest centroids (driver-side: k×q tiny)
-    val queryRows = e.filter(col("vec_id") < NQueries)
+    val queryRows = embs(s, dir).filter(col("vec_id") < NQueries)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val probes = queryRows.flatMap { case (qid, qv) =>
@@ -151,9 +173,14 @@ object Similarity {
     val probeDf = s.createDataFrame(
       s.sparkContext.parallelize(probes.toSeq.map(p => (p._1, p._2)), 1))
       .toDF("q_id", "bucket")
-    val queryDf = e.filter(col("vec_id") < NQueries)
+    val queryDf = embs(s, dir).filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // static IN-filter on the partition column → partition pruning at
+    // the file scan; the probe join then pairs each query with ITS two
+    // buckets inside the pruned remainder
+    val probeBuckets = probes.map(_._2).distinct.toSeq
     val cands = bucketed
+      .filter(col("bucket").isin(probeBuckets: _*))
       .join(broadcast(probeDf), Seq("bucket"))
       .join(broadcast(queryDf), Seq("q_id"))
       .filter(col("vec_id") =!= col("q_id"))

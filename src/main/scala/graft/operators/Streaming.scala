@@ -51,7 +51,8 @@ object Streaming {
 
   private val sinkTableNames = Seq(
     "stream_hour_counts_tbl", "stream_sliding_tbl", "stream_sessions_tbl",
-    "stream_state_sessions_tbl", "stream_append_tbl", "stream_dedup_tbl")
+    "stream_state_sessions_tbl", "stream_append_tbl", "stream_dedup_tbl",
+    "stream_dedup_bounded_tbl")
 
   /** Memory-sink tables hold their full result in the driver for the
     * session's life; a long multi-query session (the bench) must drop
@@ -141,6 +142,25 @@ object Streaming {
       .orderBy(col("text"))
   }
 
+  /** Bounded-state streaming dedup: `dropDuplicatesWithinWatermark`
+    * keeps one state row per key only until the watermark passes its
+    * event time + delay — the production form of stream_dedup for a
+    * truly unbounded stream, where plain dropDuplicates would grow
+    * state forever. Keys here are (user_id, event_type) over the
+    * events stream (the table with event time). The AvailableNow
+    * replay ingests the single parquet file as one micro-batch, so no
+    * state expires mid-replay and the result equals DISTINCT — which
+    * is what makes this oracle-checkable; cross-restart expiry and
+    * re-admission are proven in StreamingSpec. */
+  val stream_dedup_bounded: Q = (s, dir) => {
+    val dd = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    runToTable(s, dd, "stream_dedup_bounded_tbl", "append")
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** Custom state machine via mapGroupsWithState: per-user session
     * count with a 30-minute gap rule. */
   val stream_state_sessions: Q = (s, dir) => {
@@ -176,6 +196,7 @@ object Streaming {
     "stream_state_sessions" -> stream_state_sessions,
     "stream_append" -> stream_append,
     "stream_dedup" -> stream_dedup,
+    "stream_dedup_bounded" -> stream_dedup_bounded,
   )
 
   private val sessionIslands =
@@ -199,6 +220,9 @@ object Streaming {
         |FROM events GROUP BY h, event_type ORDER BY h, event_type""".stripMargin,
     "stream_dedup" ->
       "SELECT DISTINCT text FROM documents ORDER BY text",
+    "stream_dedup_bounded" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     // append emits a window only once the watermark (max ts − 1 hour)
     // passes its END; the HAVING clause mirrors that emission rule
     "stream_append" ->

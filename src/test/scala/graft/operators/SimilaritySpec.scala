@@ -42,6 +42,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.2, s"recall=$recall") // 2/16 buckets probed
   }
 
+  test("IVF index: probe scan prunes to its probed bucket directories") {
+    import org.apache.spark.sql.functions._
+    // build (memoized) index, then read it back with a probe-style
+    // filter on the partition column
+    val idx = Similarity.ivfIndexPath(spark, sf001, 16)
+    val all = spark.read.parquet(idx)
+    val nBuckets = all.select("bucket").distinct().count()
+    assert(nBuckets > 2, s"quantizer degenerate: $nBuckets buckets")
+    val probed = all.filter(col("bucket").isin(0, 1))
+    // plan proof: the filter lands in PartitionFilters (scan-level
+    // directory pruning), not a post-scan Filter over all data
+    val scan = probed.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains("bucket"), scan)
+    // runtime proof: every file actually read lives under a probed
+    // bucket directory
+    val files = probed.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty)
+    assert(files.forall(f => f.contains("bucket=0") || f.contains("bucket=1")),
+      files.mkString("\n"))
+    // and the index holds the whole corpus exactly once
+    assert(all.count() ==
+      spark.read.parquet(s"$sf001/embeddings.parquet").count())
+  }
+
   test("cosine_sim expression: self-similarity is 1") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions

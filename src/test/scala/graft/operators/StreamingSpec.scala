@@ -110,6 +110,78 @@ class StreamingSpec extends SparkTestBase {
       s"state should hold only open windows, got $lastStateRows")
   }
 
+  test("bounded dedup equals batch distinct keys on the replay") {
+    val streamed = Streaming.stream_dedup_bounded(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val batch = Tables.load(spark, sf0001, "events")
+      .select("user_id", "event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(streamed.length == batch.length)
+    assert(streamed.toSet == batch.toSet)
+  }
+
+  test("dropDuplicatesWithinWatermark: state expires and re-admits across restarts") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val src = java.nio.file.Files.createTempDirectory("ddw-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ddw-ckpt").toString
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def write(rows: Seq[(Int, String)]): Unit = // (minutesFromBase, key)
+      rows.map { case (m, k) =>
+        (java.sql.Timestamp.from(base.plusSeconds(m * 60L)), k)
+      }.toDF("ts", "k").coalesce(1).write.mode("append").parquet(src)
+
+    val emitted = new scala.collection.mutable.ArrayBuffer[String]()
+    var lastStateRows = -1L
+    def runOnce(): Unit = {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.StringType)))
+      val dd = spark.readStream.schema(schema).parquet(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("k")
+        .select(col("k"))
+      val q = dd.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.collect().map(_.getString(0))
+          emitted.synchronized { emitted ++= rows }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      lastStateRows = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsTotal))
+        .lastOption.getOrElse(-1L)
+    }
+
+    // run 1: a, b at 00:00 and an in-batch duplicate a at 00:10 —
+    // the duplicate is dropped, keys emitted once each
+    write(Seq((0, "a"), (0, "b"), (10, "a")))
+    runOnce()
+    assert(emitted.sorted.toList == List("a", "b"))
+
+    // run 2 (same checkpoint): new key x at 05:00 → watermark advances
+    // to 04:00, far past a/b's expiry (event time + 1h delay = 01:10)
+    // → their state rows are EVICTED; only x's row remains
+    write(Seq((300, "x")))
+    runOnce()
+    assert(emitted.sorted.toList == List("a", "b", "x"))
+    assert(lastStateRows == 1L,
+      s"expired keys must leave the store, got $lastStateRows rows")
+
+    // run 3: a returns at 05:30 — its old state is gone, so it is
+    // RE-ADMITTED (the semantics that make the state bounded: a key
+    // suppresses duplicates only within the watermark, not forever)
+    write(Seq((330, "a")))
+    runOnce()
+    assert(emitted.sorted.toList == List("a", "a", "b", "x"))
+  }
+
   test("streaming ingest dedup equals batch distinct-text set") {
     val streamed = Streaming.stream_dedup(spark, sf0001)
       .collect().map(_.getString(0))
