@@ -268,12 +268,12 @@ object TForm {
         "variable-length column decode requires heap access")
   }
 
-  /** Complex (`C`/`M`) descriptors are not decoded (reference prints a
-    * warning and degrades, FitsSchema.scala:70-75); we surface a
-    * null-valued string column so schema inference never throws on
-    * exotic files. The byte width is still the FITS-standard element
-    * width — a zero width would corrupt the offsets of every subsequent
-    * column in the row. */
+  /** Codes with no decode (variable-length complex `PC`/`PM`, 0-repeat
+    * P/Q, malformed TFORMs) surface a null-valued string column so
+    * schema inference never throws on exotic files. The byte width is
+    * still the FITS-standard element width — a zero width would corrupt
+    * the offsets of every subsequent column in the row. (Fixed-width
+    * complex `rC`/`rM` DO decode — see [[parse]].) */
   final case class Unsupported(raw: String, byteWidth: Int = 0) extends TForm {
     def sparkType: DataType = StringType
     def decode(b: Array[Byte], off: Int): Any = null
@@ -282,10 +282,6 @@ object TForm {
 
   private val Pattern = """^(\d*)([LXBIJKAEDCMPQ])(.*)$""".r
   private val VarPattern = """^(\d*)([PQ])([LXBIJKAED])(?:\((\d+)\))?\s*$""".r
-
-  /** element widths of undecoded codes (FITS 4.0 table 18):
-    * C = 2×float32, M = 2×float64 */
-  private val undecodedWidths = Map('C' -> 8, 'M' -> 16)
 
   def parse(tform: String): TForm = {
     val t = tform.trim
@@ -306,8 +302,15 @@ object TForm {
         code.head match {
           case 'A' => Str(t, n)
           case 'X' => Bits(t, n)
-          case c @ ('C' | 'M') =>
-            Unsupported(t, undecodedWidths(c) * n)
+          // Complex (FITS 4.0 table 18: C = 2×float32, M = 2×float64)
+          // is byte-identical to 2r interleaved reals, so it decodes as
+          // array<float>/array<double> of [re₀, im₀, re₁, im₁, …] on
+          // every read path with no dedicated machinery. Spark has no
+          // complex type; the interleaved-pair surface is documented.
+          // The reference degrades these columns entirely
+          // (FitsSchema.scala:70-75) — beyond-reference extension.
+          case 'C' => Vec(t, ElemType.E, 2 * n)
+          case 'M' => Vec(t, ElemType.D, 2 * n)
           case c @ ('P' | 'Q') =>
             // var-length of an element we can't decode (X bit fields):
             // keep the descriptor width so later offsets stay aligned

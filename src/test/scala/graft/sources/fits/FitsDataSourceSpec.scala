@@ -184,6 +184,44 @@ class FitsDataSourceSpec extends SparkTestBase {
     assert(df.count() == 20000L)
   }
 
+  test("complex C/M columns decode as interleaved [re, im] float pairs") {
+    import FitsWriteSupport.{card, headerBlock, pad, quoted}
+    // hand-built bintable: id J, vis C (scalar complex), spec 2M
+    val rowBytes = 4 + 8 + 32
+    val dir = java.nio.file.Files.createTempDirectory("fits-cplx")
+    val f = dir.resolve("c.fits").toFile
+    val out = new java.io.DataOutputStream(new java.io.FileOutputStream(f))
+    out.write(headerBlock(Seq(card("SIMPLE", "T"), card("BITPIX", "8"),
+      card("NAXIS", "0"), pad("END", 80))))
+    out.write(headerBlock(Seq(
+      card("XTENSION", quoted("BINTABLE")), card("BITPIX", "8"),
+      card("NAXIS", "2"), card("NAXIS1", rowBytes.toString),
+      card("NAXIS2", "3"), card("PCOUNT", "0"), card("GCOUNT", "1"),
+      card("TFIELDS", "3"),
+      card("TTYPE1", quoted("id")), card("TFORM1", quoted("J")),
+      card("TTYPE2", quoted("vis")), card("TFORM2", quoted("C")),
+      card("TTYPE3", quoted("spec")), card("TFORM3", quoted("2M")),
+      pad("END", 80))))
+    (1 to 3).foreach { r =>
+      out.writeInt(r)
+      out.writeFloat(r * 1.5f); out.writeFloat(-r * 0.5f) // vis re, im
+      (0 until 2).foreach { j => // spec: 2 complex doubles
+        out.writeDouble(r * 10.0 + j); out.writeDouble(-(r * 10.0 + j))
+      }
+    }
+    val dataLen = 3 * rowBytes
+    out.write(new Array[Byte]((2880 - dataLen % 2880) % 2880))
+    out.close()
+    val df = fits(f.toString)
+    assert(df.schema.map(x => (x.name, x.dataType.simpleString)) == Seq(
+      "id" -> "int", "vis" -> "array<float>", "spec" -> "array<double>"))
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(_.getSeq[Float](1).toList).toSeq == Seq(
+      List(1.5f, -0.5f), List(3.0f, -1.0f), List(4.5f, -1.5f)))
+    assert(rows.head.getSeq[Double](2).toList ==
+      List(10.0, -10.0, 11.0, -11.0))
+  }
+
   test("ordering is file order within a file (golden first rows)") {
     val targets = fits(s"$res/test_file.fits").select("target", "Index")
       .limit(3).collect().map(r => (r.getString(0), r.getLong(1)))

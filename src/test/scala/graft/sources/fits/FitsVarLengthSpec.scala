@@ -113,7 +113,7 @@ class FitsVarLengthSpec extends SparkTestBase {
       "Xvalue" -> "array<tinyint>", "Bvalue" -> "array<tinyint>",
       "Ivalue" -> "array<smallint>", "Jvalue" -> "array<int>",
       "Evalue" -> "array<float>", "Dvalue" -> "array<double>",
-      "Cvalue" -> "string", "Mvalue" -> "string")) // C/M undecoded ⇒ null
+      "Cvalue" -> "string", "Mvalue" -> "string")) // VAR-len C/M ⇒ null
     val rows = df.collect()
     assert(rows.length == 20)
     // the generator writes same-length arrays per row; the first string

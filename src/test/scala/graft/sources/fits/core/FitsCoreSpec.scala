@@ -182,10 +182,22 @@ class FitsCoreSpec extends AnyFunSuite {
     assert(qd.isQ && qd.byteWidth == 16 &&
       qd.sparkType == ArrayType(DoubleType, true))
     assert(TForm.parse("PA(20)").sparkType == StringType) // var string
-    // var bit fields and complex stay undecoded, widths preserved
+    // var bit fields and var complex stay undecoded, widths preserved
     assert(!TForm.parse("PX(16)").supported)
     assert(TForm.parse("PX(16)").byteWidth == 8)
-    assert(!TForm.parse("C").supported)
+    assert(!TForm.parse("1PC(0)").supported)
+    assert(TForm.parse("1PC(0)").byteWidth == 8)
+    // fixed-width complex decodes as interleaved [re, im] pairs
+    val c1 = TForm.parse("C")
+    assert(c1.supported && c1.byteWidth == 8 &&
+      c1.sparkType == ArrayType(FloatType, true))
+    val m3 = TForm.parse("3M")
+    assert(m3.supported && m3.byteWidth == 48 &&
+      m3.sparkType == ArrayType(DoubleType, true))
+    val buf = java.nio.ByteBuffer.allocate(8)
+      .putFloat(1.5f).putFloat(-2.25f).array()
+    assert(c1.decode(buf, 0).asInstanceOf[Array[Any]].toSeq ==
+      Seq(1.5f, -2.25f))
   }
 
   test("variable-length array file walks without desync (PCOUNT heap)") {
