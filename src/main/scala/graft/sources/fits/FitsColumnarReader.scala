@@ -72,8 +72,13 @@ final class FitsColumnarReader(part: FitsInputPartition,
   }
   private val heapStart: Long =
     if (compMeta != null) compMeta.heapStart else -1L
-  private val varCols: Array[(Int, TForm.VarArr)] =
-    if (compMeta != null) compMeta.heapCols.toArray else Array.empty
+  // empty when the Image column is pruned away: an ImgIndex-only
+  // projection must not coalesce-read the tile heap
+  private val varCols: Array[(Int, TForm.VarArr)] = part.spec match {
+    case DecodeSpec.CompImage(m, fieldKinds) if fieldKinds.contains(0) =>
+      m.heapCols.toArray
+    case _ => Array.empty
+  }
   private val MaxHeapSpan: Long = 64L << 20
   private var heapBuf: Array[Byte] = Array.emptyByteArray
   private var heapBase = 0L

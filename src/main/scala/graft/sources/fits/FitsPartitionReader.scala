@@ -159,9 +159,14 @@ final class FitsPartitionReader(part: FitsInputPartition,
 
   // var-length columns in this projection, for chunk heap coalescing
   // (tile-compressed images coalesce their descriptor columns the same
-  // way — tiles written sequentially reference a contiguous heap span)
+  // way — tiles written sequentially reference a contiguous heap span).
+  // An ImgIndex-only projection never touches tiles, so it must not
+  // coalesce-read the heap either (at scale that IO would dwarf the
+  // 8-byte descriptor rows actually needed).
   private val varCols: Array[(Int, TForm.VarArr)] = part.spec match {
-    case DecodeSpec.CompImage(m, _) => m.heapCols.toArray
+    case DecodeSpec.CompImage(m, fieldKinds) =>
+      if (fieldKinds.contains(0)) m.heapCols.toArray
+      else Array.empty
     case _ if bintableCols == null => Array.empty
     case _ => bintableCols.collect {
       case col if col.tform.isInstanceOf[TForm.VarArr] &&

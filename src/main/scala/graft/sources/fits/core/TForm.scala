@@ -79,9 +79,9 @@ object ElemType {
   /** BSCALE/BZERO-scaled image element (FITS 4.0 §4.4.2.5): physical =
     * BZERO + BSCALE × stored. Same type rules as bintable TSCAL/TZERO
     * (TForm.Scaled): integer sign conventions widen exactly, anything
-    * else promotes to double. Scaled images decode on the boxed row
-    * path — the vectorized reader declines them (FitsDataSource
-    * supportColumnarReads). Beyond reference, which ignores BSCALE. */
+    * else promotes to double. The vectorized reader decodes scaled
+    * elements unboxed via the primitive-typed decoders below. Beyond
+    * reference, which ignores BSCALE. */
   final case class ScaledElem(inner: ElemType, scale: Double, zero: Double)
       extends ElemType {
     def code: Char = inner.code
