@@ -26,6 +26,8 @@ object Dedup {
     Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
+  private def intConf(s: SparkSession, key: String, dflt: Int): Int =
+    s.conf.getOption(key).map(_.toInt).getOrElse(dflt)
 
   /** Exact dedup: one row per distinct text, keeping the smallest
     * doc_id (the canonical survivor) and the duplicate count. */
@@ -209,9 +211,9 @@ object Dedup {
 
   // ------------------------------------------- embedding cosine near-dup
 
-  /** Embedding near-dup: sign-LSH (64-bit signature, 8 bands × 8 bits)
-    * candidates, signature-Hamming prefilter, exact cosine verify
-    * ≥ 0.95. Output is id pairs only — cosine values are
+  /** Embedding near-dup: sign-LSH (64-bit signature, 8 bands × 8 bits
+    * by default) candidates, signature-Hamming prefilter, exact cosine
+    * verify ≥ 0.95. Output is id pairs only — cosine values are
     * engine-float-order dependent, ids are not.
     *
     * The Hamming ≤ 24 prefilter runs on the 8-BYTE sketch before the
@@ -220,13 +222,26 @@ object Dedup {
     * 0.101, so P[hamming > 24] ≈ 3·10⁻⁹ (no true pair is lost in any
     * realistic corpus), while an unrelated pair (cos ≈ 0, p = 0.5)
     * passes only ~3% of the time — the expensive embedding join
-    * downstream touches ~1/34 of the band-collision candidates. */
+    * downstream touches ~1/34 of the band-collision candidates.
+    *
+    * Tuning knobs (recall ↔ candidate volume — a production corpus at
+    * a different similarity threshold retunes without code changes):
+    * `spark.graft.dedup.embedBands` (divisor of 64, default 8; more
+    * bands = narrower bands = higher recall, more candidates) and
+    * `spark.graft.dedup.embedHamming` (default 24). */
   val dedup_embed: Q = (s, dir) => {
+    val nBands = intConf(s, "spark.graft.dedup.embedBands", 8)
+    require(nBands >= 1 && nBands <= 64 && 64 % nBands == 0,
+      s"spark.graft.dedup.embedBands must divide 64: $nBands")
+    val bandBits = 64 / nBands
+    val bandMask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val maxHamming = intConf(s, "spark.graft.dedup.embedHamming", 24)
     val e = embs(s, dir)
     val sig = e.select(col("vec_id"), col("embedding"),
       VectorFunctions.sim_signature(col("embedding"), 64).as("sig"))
     val bandCols: Seq[Column] =
-      (0 until 8).map(j => shiftright(col("sig"), 8 * j).bitwiseAND(0xff))
+      (0 until nBands).map(j =>
+        shiftrightunsigned(col("sig"), bandBits * j).bitwiseAND(bandMask))
     val bands = sig
       .select(col("vec_id").as("doc_id"), col("sig"),
         posexplode(array(bandCols: _*)))
@@ -235,7 +250,7 @@ object Dedup {
     // runs inside the self-join output — before the distinct, and with
     // no signature re-join afterwards
     val cands = candidatesFromBandsWith(bands, "sig",
-      (a, b) => bit_count(a.bitwiseXOR(b)) <= 24)
+      (a, b) => bit_count(a.bitwiseXOR(b)) <= maxHamming)
       .select(col("a_id").as("a_vid"), col("b_id").as("b_vid"))
     val ea = e.select(col("vec_id").as("a_vid"), col("embedding").as("ea"))
     val eb = e.select(col("vec_id").as("b_vid"), col("embedding").as("eb"))

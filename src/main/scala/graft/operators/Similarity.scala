@@ -65,16 +65,26 @@ object Similarity {
     rankTopK(scored)
   }
 
-  /** Sign-LSH bucketed ANN: rank only candidates sharing ≥1 of 16
-    * 4-bit signature bands with the query. Approximate — recall vs the
-    * brute-force baseline is asserted in SimilaritySpec. */
+  /** Sign-LSH bucketed ANN: rank only candidates sharing ≥1 signature
+    * band with the query (16 bands × 4 bits by default). Approximate —
+    * recall vs the brute-force baseline is asserted in SimilaritySpec.
+    * `spark.graft.sim.lshBands` (divisor of 64) tunes the recall ↔
+    * candidate-volume trade without code changes: more bands = narrower
+    * bands = higher recall, more of the corpus ranked. */
   val sim_lsh_topk: Q = (s, dir) => {
+    val nBands = s.conf.getOption("spark.graft.sim.lshBands")
+      .map(_.toInt).getOrElse(16)
+    require(nBands >= 1 && nBands <= 64 && 64 % nBands == 0,
+      s"spark.graft.sim.lshBands must divide 64: $nBands")
+    val bandBits = 64 / nBands
+    val bandMask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     val e = embs(s, dir)
     val sigs = e.select(col("vec_id"), col("embedding"),
       VectorFunctions.sim_signature(col("embedding"), 64).as("sig"))
     def bands(d: DataFrame, idCol: String, embCol: String): DataFrame = {
       val bandCols: Seq[Column] =
-        (0 until 16).map(j => shiftright(col("sig"), 4 * j).bitwiseAND(0xf))
+        (0 until nBands).map(j =>
+          shiftrightunsigned(col("sig"), bandBits * j).bitwiseAND(bandMask))
       d.select(col("vec_id").as(idCol), col("embedding").as(embCol),
         posexplode(array(bandCols: _*)))
         .toDF(idCol, embCol, "band", "bv")

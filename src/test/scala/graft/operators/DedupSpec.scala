@@ -71,6 +71,14 @@ class DedupSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val want = (0 until 5).map(i => (1000L + i, 2000L + i)).toSet
     assert(got == want, s"planted-pair recovery: got $got")
+    // tuning knob: narrower bands (16×4) must still recover the pairs
+    // (higher recall config) — exercises the conf path end to end
+    try {
+      spark.conf.set("spark.graft.dedup.embedBands", "16")
+      val got16 = Dedup.dedup_embed(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got16 == want, s"16-band recovery: got $got16")
+    } finally spark.conf.unset("spark.graft.dedup.embedBands")
     // and each recovered pair really is >= 0.95 by direct computation
     val vecs = (decoys ++ planted).map(t => t._1 -> t._2).toMap
     def cos(a: Array[Float], b: Array[Float]) =

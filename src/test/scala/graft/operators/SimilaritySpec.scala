@@ -24,6 +24,15 @@ class SimilaritySpec extends SparkTestBase {
     // the candidate-pruning plan shape, asserted here with a loose bar
     assert(recall >= 0.4, s"recall=$recall")
     info(s"LSH recall vs brute force: $recall")
+    // tuning knob: 32 narrower bands must not lower recall
+    try {
+      spark.conf.set("spark.graft.sim.lshBands", "32")
+      val lsh32 = Similarity.sim_lsh_topk(spark, sf001).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      val recall32 = (exact & lsh32).size.toDouble / exact.size
+      info(s"LSH recall at 32 bands: $recall32")
+      assert(recall32 >= recall, s"$recall32 < $recall")
+    } finally spark.conf.unset("spark.graft.sim.lshBands")
   }
 
   test("IVF top-k: valid shape and recall reported vs brute force") {

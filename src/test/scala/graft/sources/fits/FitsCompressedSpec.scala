@@ -183,6 +183,28 @@ class FitsCompressedSpec extends SparkTestBase {
     }
   }
 
+  test("unsigned-16 (BZERO=32768) RICE image decodes scaled on the columnar path") {
+    // the most common archive shape: fpack'd unsigned 16-bit survey
+    // image — stored signed shorts, physical = stored + 32768
+    val width = 6
+    val stored = (0 until 4).map(r =>
+      (0 until width).map(c => (r * 1000 + c * 17 - 32768).toShort))
+    val p = Files.createTempFile("graft-u16", ".fits").toString
+    writeFz(p, "RICE_1", 16, width,
+      stored.map(l => (TileCodec.compress("RICE_1", shortTile(l: _*), 2, 32),
+        null: Array[Byte])), withGzCol = false,
+      extraCards = Seq(card("BSCALE", "1"), card("BZERO", "32768")))
+    try {
+      val df = spark.read.format("fits").option("hdu", 1).load(p)
+      assert(df.schema("Image").dataType.simpleString == "array<int>")
+      assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      val got = df.orderBy("ImgIndex").collect()
+        .map(_.getSeq[Int](0).toList).toSeq
+      val want = stored.map(_.map(_ + 32768).toList)
+      assert(got == want)
+    } finally Files.deleteIfExists(java.nio.file.Paths.get(p))
+  }
+
   test("zero-length COMPRESSED_DATA falls back to GZIP_COMPRESSED_DATA") {
     val width = 4
     val lines = (0 until 3).map(r => (0 until width).map(c => (r * 10 + c).toShort))
