@@ -9,11 +9,14 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
 
 import graft.sources.fits.core._
 
-/** Vectorized FITS reader: decodes fixed-width rows straight into
+/** Vectorized FITS reader: decodes rows straight into
   * OnHeapColumnVectors, 4096 rows per ColumnarBatch (SURVEY §7 step 10
   * — the scan feeds whole-stage codegen through ColumnarToRow exactly
   * like Spark's vectorized parquet reader, skipping per-row
-  * InternalRow materialization).
+  * InternalRow materialization). Fixed-width columns decode from the
+  * chunk buffer; variable-length (P/Q) columns and compressed-image
+  * tiles resolve their heap payloads through a per-chunk coalesced
+  * heap window (per-row pread fallback).
   *
   * Strings are trimmed at the byte level (code points ≤ U+0020 are
   * single bytes in UTF-8, so byte-trim ≡ String.trim) with no
@@ -70,13 +73,23 @@ final class FitsColumnarReader(part: FitsInputPartition,
     case DecodeSpec.CompImage(m, _) => m
     case _ => null
   }
-  private val heapStart: Long =
-    if (compMeta != null) compMeta.heapStart else -1L
+  private val heapStart: Long = part.spec match {
+    case DecodeSpec.CompImage(m, _) => m.heapStart
+    case DecodeSpec.Bintable(_, h) => h // −1 when no P/Q col survives
+    case _ => -1L
+  }
   // empty when the Image column is pruned away: an ImgIndex-only
-  // projection must not coalesce-read the tile heap
+  // projection must not coalesce-read the tile heap. For bintables the
+  // projection-pruned column set already carries only surviving P/Q
+  // columns.
   private val varCols: Array[(Int, TForm.VarArr)] = part.spec match {
     case DecodeSpec.CompImage(m, fieldKinds) if fieldKinds.contains(0) =>
       m.heapCols.toArray
+    case DecodeSpec.Bintable(cs, _) => cs.collect {
+      case c if c.tform.isInstanceOf[TForm.VarArr] &&
+        !c.tform.asInstanceOf[TForm.VarArr].degraded =>
+        (c.offset, c.tform.asInstanceOf[TForm.VarArr])
+    }
     case _ => Array.empty
   }
   private val MaxHeapSpan: Long = 64L << 20
@@ -417,6 +430,71 @@ final class FitsColumnarReader(part: FitsInputPartition,
             j += 1
           }
           v.putArray(r, r * repeat, repeat)
+          r += 1
+        }
+      case va: TForm.VarArr if va.degraded =>
+        // heap truncated (FitsStructure.degradeVarCols): NULL out
+        var r = 0
+        while (r < n) { v.putNull(r); r += 1 }
+      case va: TForm.VarArr =>
+        // heap indirection, vectorized: descriptors in the chunk rows,
+        // payloads from the coalesced heap window (per-row pread
+        // fallback), strings copied byte-exact (no trim — heap lengths
+        // are exact, FitsPartitionReader.decodeVar), arrays appended at
+        // a running child offset since rows have ragged lengths
+        val child = if (va.isString) null else v.arrayData()
+        val w = va.elem.width
+        var ofs = 0
+        var r = 0
+        while (r < n) {
+          val (n0, hoff) = va.descriptor(buf, r * rowBytes + off)
+          if (n0 < 0 || n0 > va.maxLen ||
+            n0 * w > FitsPartitionReader.MaxVarElement)
+            throw new IllegalArgumentException(
+              s"corrupt variable-length descriptor in '${col.name}': " +
+                s"count $n0 outside [0, ${va.maxLen}] or element over " +
+                s"${FitsPartitionReader.MaxVarElement} bytes")
+          val count = n0.toInt
+          val payload = count * w
+          var src: Array[Byte] = heapBuf
+          var at = 0
+          if (payload == 0) src = Array.emptyByteArray
+          else if (heapLen > 0 && hoff >= heapBase &&
+            hoff + payload <= heapBase + heapLen)
+            at = (hoff - heapBase).toInt
+          else {
+            src = new Array[Byte](payload)
+            in.readFully(heapStart + hoff, src, 0, payload)
+          }
+          if (va.isString) v.putByteArray(r, src, at, payload)
+          else {
+            child.reserve(ofs + count)
+            var j = 0
+            while (j < count) {
+              val o = at + j * w
+              val idx = ofs + j
+              va.elem match {
+                case ElemType.L => src(o) match {
+                  case 'T' => child.putBoolean(idx, true)
+                  case 'F' => child.putBoolean(idx, false)
+                  case _ => child.putNull(idx) // undefined logical
+                }
+                case ElemType.B => child.putByte(idx, src(o))
+                case ElemType.I => child.putShort(idx, ElemType.s16(src, o))
+                case ElemType.J => child.putInt(idx, ElemType.i32(src, o))
+                case ElemType.K => child.putLong(idx, ElemType.i64(src, o))
+                case ElemType.E => child.putFloat(idx,
+                  java.lang.Float.intBitsToFloat(ElemType.i32(src, o)))
+                case ElemType.D => child.putDouble(idx,
+                  java.lang.Double.longBitsToDouble(ElemType.i64(src, o)))
+                case e: ElemType.ScaledElem => throw new IllegalStateException(
+                  s"scaled element $e inside a var-length column")
+              }
+              j += 1
+            }
+            v.putArray(r, ofs, count)
+            ofs += count
+          }
           r += 1
         }
       case _ =>

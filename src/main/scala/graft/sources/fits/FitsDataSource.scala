@@ -558,9 +558,10 @@ final class FitsPartitionReaderFactory(confProps: Array[(String, String)])
   override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
     new FitsPartitionReader(p.asInstanceOf[FitsInputPartition], hadoopConf)
 
-  /** Everything except bit-field (`nX`) columns reads vectorized
-    * (ColumnarBatch → the same ColumnarToRow path as Spark's parquet
-    * reader), including fixed-repeat array columns, image HDUs, and
+  /** Everything except bit-field (`nX`) and TNULL-vector columns reads
+    * vectorized (ColumnarBatch → the same ColumnarToRow path as Spark's
+    * parquet reader), including fixed-repeat array columns, image HDUs,
+    * tile-compressed images, variable-length P/Q columns, and
     * TSCAL/TZERO/BSCALE-scaled data (unboxed via ScaledElem's
     * primitive-typed decoders). The spec is identical across one scan's
     * partitions, so the answer is scan-consistent. */
@@ -570,8 +571,11 @@ final class FitsPartitionReaderFactory(confProps: Array[(String, String)])
         case _: TForm.Scalar | _: TForm.Str | _: TForm.Vec |
              _: TForm.Scaled | _: TForm.Unsupported |
              _: TForm.AsciiInt | _: TForm.AsciiReal => true
+        // var-length columns decode through the coalesced heap window
+        // straight into vectors (strings byte-exact via putByteArray)
+        case _: TForm.VarArr => true
         case wn: TForm.WithNull => wn.inner.isInstanceOf[TForm.Scalar]
-        case _ => false // variable-length columns take the row path
+        case _ => false // bit fields / TNULL vectors take the row path
       })
       case _: DecodeSpec.Image => true
       // tiles decompress per row, then fill vectors directly — the

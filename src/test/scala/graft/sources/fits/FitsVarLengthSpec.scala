@@ -76,6 +76,8 @@ class FitsVarLengthSpec extends SparkTestBase {
     val df = spark.read.format("fits").option("hdu", 1).load(path)
     assert(df.schema.map(f => (f.name, f.dataType.simpleString)) ==
       Seq("id" -> "int", "vec" -> "array<float>", "txt" -> "string"))
+    // var-length columns ride the vectorized path (coalesced heap)
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
     val got = df.collect().sortBy(_.getInt(0))
       .map(r => (r.getInt(0), r.getSeq[Float](1).toList, r.getString(2)))
     assert(got.toSeq == Seq(
