@@ -84,7 +84,7 @@ object Bench {
     // FITS scan throughput vs the reference's measured 16 MB/s/task
     // baseline (BASELINE.md row 1) — the connector is the engine's
     // core, so its number belongs in the bench artifact.
-    val fits = fitsThroughput(spark)
+    val fits = fitsThroughput(spark) + varLenThroughput(spark)
     // Diag map goes to stderr: the driver keeps only the tail of stdout,
     // and a summary line bloated with per-query diagnostics outgrew that
     // window for six rounds straight ("parsed": null in every BENCH_r*).
@@ -117,5 +117,32 @@ object Bench {
       }.min
       val mbs = rows * 4.0 / (1 << 20) / best
       f""","fits_scan_mb_s":$mbs%.1f,"fits_baseline_mb_s_task":16"""
+    } catch { case _: Throwable => "" }
+
+  /** Scans a heap-backed var-length document corpus (1PA strings — the
+    * shape a FITS-stored training corpus takes) and reports decoded
+    * MB/s through the vectorized heap-window path. A sprinkle of long
+    * documents forces the writer's adaptive 1PA storage. */
+  private def varLenThroughput(spark: SparkSession): String =
+    try {
+      import org.apache.spark.sql.functions.{col, length, sum}
+      import spark.implicits._
+      val dir = "target/fits-bench-varlen"
+      if (!new java.io.File(dir).exists()) {
+        val docs = spark.range(200000).map { i =>
+          val r = new scala.util.Random(i)
+          val words = if (i % 997 == 0) 800 else 20 + (i % 40).toInt
+          (i, Seq.fill(words)(s"w${r.nextInt(5000)}").mkString(" "))
+        }.toDF("id", "text")
+        docs.coalesce(4).write.format("fits").mode("overwrite").save(dir)
+      }
+      val df = spark.read.format("fits").option("hdu", 1).load(dir)
+      val bytes = df.agg(sum(length(col("text")))).collect().head.getLong(0)
+      val best = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        df.agg(sum(length(col("text")))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      f""","fits_varlen_mb_s":${bytes.toDouble / (1 << 20) / best}%.1f"""
     } catch { case _: Throwable => "" }
 }
