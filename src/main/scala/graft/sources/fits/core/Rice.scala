@@ -132,18 +132,12 @@ object Rice {
     out
   }
 
-  /** Compress big-endian pixel bytes (nPix × bytepix). Any legal fs
-    * choice decodes identically; per block this picks fs from the max
-    * zig-zag difference so the unary part stays ≤ 16 bits, falling back
-    * to the raw escape when fs would reach fsmax. */
-  def encode(tile: Array[Byte], bytepix: Int,
-      blocksize: Int = 32): Array[Byte] = {
-    val (fsbits, fsmax) = params(bytepix)
-    val bbits = 8 * bytepix
-    val nPix = tile.length / bytepix
-    val bos = new java.io.ByteArrayOutputStream(tile.length / 2 + 16)
-    var bitBuf = 0
-    var bitCnt = 0
+  /** MSB-first bit writer — class fields for the same captured-var
+    * reason as [[BitReader]]. */
+  private final class BitWriter(expectedBytes: Int) {
+    private val bos = new java.io.ByteArrayOutputStream(expectedBytes)
+    private var bitBuf = 0
+    private var bitCnt = 0
     def putBits(v: Int, n: Int): Unit = {
       var left = n
       while (left > 0) {
@@ -155,6 +149,24 @@ object Rice {
         if (bitCnt == 8) { bos.write(bitBuf); bitBuf = 0; bitCnt = 0 }
       }
     }
+    def writeByte(b: Int): Unit = bos.write(b)
+    def result(): Array[Byte] = {
+      if (bitCnt > 0) putBits(0, 8 - bitCnt) // flush
+      bos.toByteArray
+    }
+  }
+
+  /** Compress big-endian pixel bytes (nPix × bytepix). Any legal fs
+    * choice decodes identically; per block this picks fs from the max
+    * zig-zag difference so the unary part stays ≤ 16 bits, falling back
+    * to the raw escape when fs would reach fsmax. */
+  def encode(tile: Array[Byte], bytepix: Int,
+      blocksize: Int = 32): Array[Byte] = {
+    val (fsbits, fsmax) = params(bytepix)
+    val bbits = 8 * bytepix
+    val nPix = tile.length / bytepix
+    val w = new BitWriter(tile.length / 2 + 16)
+    def putBits(v: Int, n: Int): Unit = w.putBits(v, n)
     def pix(i: Int): Int = {
       var v = 0
       var b = 0
@@ -165,7 +177,7 @@ object Rice {
     // raw first pixel
     var b = bytepix
     val first = pix(0)
-    while (b > 0) { bos.write((first >>> ((b - 1) * 8)) & 0xff); b -= 1 }
+    while (b > 0) { w.writeByte((first >>> ((b - 1) * 8)) & 0xff); b -= 1 }
 
     // mask values to bytepix range so diffs are mod 2^bbits
     val mask = if (bytepix == 4) -1 else (1 << bbits) - 1
@@ -214,7 +226,6 @@ object Rice {
       }
       i = imax
     }
-    if (bitCnt > 0) putBits(0, 8 - bitCnt) // flush
-    bos.toByteArray
+    w.result()
   }
 }
