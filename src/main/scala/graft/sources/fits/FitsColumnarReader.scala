@@ -323,31 +323,54 @@ final class FitsColumnarReader(part: FitsInputPartition,
               "at the TForm level (TForm.Scaled), never inside Scalar")
         }
       case wn: TForm.WithNull =>
-        // TNULL sentinel scalars: compare stored integer, putNull on hit
+        // TNULL sentinel scalars/vectors: compare the stored integer,
+        // putNull on hit (element-wise for vectors)
         val s = wn.sentinel
-        val elem = (wn.inner: @unchecked) match {
-          case TForm.Scalar(_, e) => e
+        @inline def putElem(vec: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+            idx: Int, elem: ElemType, o: Int): Unit = elem match {
+          case ElemType.B =>
+            // unsigned FITS byte: sentinel is the stored 0-255 value
+            val x = buf(o)
+            if ((x & 0xff).toLong == s) vec.putNull(idx) else vec.putByte(idx, x)
+          case ElemType.I =>
+            val x = ElemType.s16(buf, o)
+            if (x.toLong == s) vec.putNull(idx) else vec.putShort(idx, x)
+          case ElemType.J =>
+            val x = i32(o)
+            if (x.toLong == s) vec.putNull(idx) else vec.putInt(idx, x)
+          case ElemType.K =>
+            val x = i64(o)
+            if (x == s) vec.putNull(idx) else vec.putLong(idx, x)
+          case other => throw new IllegalStateException(
+            s"TNULL on non-integer element $other")
         }
+        (wn.inner: @unchecked) match {
+          case TForm.Scalar(_, elem) =>
+            var r = 0
+            while (r < n) { putElem(v, r, elem, r * rowBytes + off); r += 1 }
+          case TForm.Vec(_, elem, repeat) =>
+            val child = v.arrayData()
+            child.reserve(n * repeat)
+            val w = elem.width
+            var r = 0
+            while (r < n) {
+              val rowOff = off + r * rowBytes
+              var j = 0
+              while (j < repeat) {
+                putElem(child, r * repeat + j, elem, rowOff + j * w)
+                j += 1
+              }
+              v.putArray(r, r * repeat, repeat)
+              r += 1
+            }
+        }
+      case x: TForm.Bits =>
+        // bit field: one raw byte blob per row inside a 1-element array
+        val child = v.arrayData()
         var r = 0
         while (r < n) {
-          val o = r * rowBytes + off
-          elem match {
-            case ElemType.B =>
-              // unsigned FITS byte: sentinel is the stored 0-255 value
-              val x = buf(o)
-              if ((x & 0xff).toLong == s) v.putNull(r) else v.putByte(r, x)
-            case ElemType.I =>
-              val x = ElemType.s16(buf, o)
-              if (x.toLong == s) v.putNull(r) else v.putShort(r, x)
-            case ElemType.J =>
-              val x = i32(o)
-              if (x.toLong == s) v.putNull(r) else v.putInt(r, x)
-            case ElemType.K =>
-              val x = i64(o)
-              if (x == s) v.putNull(r) else v.putLong(r, x)
-            case other => throw new IllegalStateException(
-              s"TNULL on non-integer element $other")
-          }
+          child.putByteArray(r, buf, r * rowBytes + off, x.byteWidth)
+          v.putArray(r, r, 1)
           r += 1
         }
       case a: TForm.AsciiInt =>

@@ -567,16 +567,11 @@ final class FitsPartitionReaderFactory(confProps: Array[(String, String)])
     * partitions, so the answer is scan-consistent. */
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
     case f: FitsInputPartition => f.spec match {
-      case DecodeSpec.Bintable(cols, _) => cols.nonEmpty && cols.forall(_.tform match {
-        case _: TForm.Scalar | _: TForm.Str | _: TForm.Vec |
-             _: TForm.Scaled | _: TForm.Unsupported |
-             _: TForm.AsciiInt | _: TForm.AsciiReal => true
-        // var-length columns decode through the coalesced heap window
-        // straight into vectors (strings byte-exact via putByteArray)
-        case _: TForm.VarArr => true
-        case wn: TForm.WithNull => wn.inner.isInstanceOf[TForm.Scalar]
-        case _ => false // bit fields / TNULL vectors take the row path
-      })
+      // every bintable column form decodes vectorized: fixed-width,
+      // strings, fixed vectors, scaled, ASCII text, TNULL scalars AND
+      // vectors, bit fields, and var-length columns (through the
+      // coalesced heap window, strings byte-exact via putByteArray)
+      case DecodeSpec.Bintable(cols, _) => cols.nonEmpty
       case _: DecodeSpec.Image => true
       // tiles decompress per row, then fill vectors directly — the
       // boxed Seq[Row] path cost ~3× on wide compressed images

@@ -184,6 +184,39 @@ class FitsDataSourceSpec extends SparkTestBase {
     assert(df.count() == 20000L)
   }
 
+  test("fixed bit-field (nX) column decodes as a raw byte blob, vectorized") {
+    import FitsWriteSupport.{card, headerBlock, pad, quoted}
+    val rowBytes = 4 + 2 // id J + 12X (2 bytes)
+    val dir = java.nio.file.Files.createTempDirectory("fits-bits")
+    val f = dir.resolve("x.fits").toFile
+    val out = new java.io.DataOutputStream(new java.io.FileOutputStream(f))
+    out.write(headerBlock(Seq(card("SIMPLE", "T"), card("BITPIX", "8"),
+      card("NAXIS", "0"), pad("END", 80))))
+    out.write(headerBlock(Seq(
+      card("XTENSION", quoted("BINTABLE")), card("BITPIX", "8"),
+      card("NAXIS", "2"), card("NAXIS1", rowBytes.toString),
+      card("NAXIS2", "3"), card("PCOUNT", "0"), card("GCOUNT", "1"),
+      card("TFIELDS", "2"),
+      card("TTYPE1", quoted("id")), card("TFORM1", quoted("J")),
+      card("TTYPE2", quoted("flags")), card("TFORM2", quoted("12X")),
+      pad("END", 80))))
+    (1 to 3).foreach { r =>
+      out.writeInt(r)
+      out.writeByte(r * 16 + 1); out.writeByte(0xA0 + r)
+    }
+    out.write(new Array[Byte]((2880 - 3 * rowBytes % 2880) % 2880))
+    out.close()
+    val df = fits(f.toString)
+    assert(df.schema("flags").dataType.simpleString == "array<binary>")
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    val rows = df.orderBy("id").collect()
+    val blobs = rows.map(_.getSeq[Array[Byte]](1))
+    assert(blobs.forall(_.length == 1))
+    assert(blobs.map(_.head.toList).toSeq == Seq(
+      List(0x11.toByte, 0xA1.toByte), List(0x21.toByte, 0xA2.toByte),
+      List(0x31.toByte, 0xA3.toByte)))
+  }
+
   test("complex C/M columns decode as interleaved [re, im] float pairs") {
     import FitsWriteSupport.{card, headerBlock, pad, quoted}
     // hand-built bintable: id J, vis C (scalar complex), spec 2M
