@@ -147,6 +147,10 @@ class FitsCompressedSpec extends SparkTestBase {
       // column pruning: ImgIndex-only projection never touches the heap
       assert(df.select("ImgIndex").collect().map(_.getLong(0)).sorted.toSeq
         == (0L until 6L))
+      // zero-column projection (constant select) through the columnar
+      // path: an empty vector set must still emit the right row count
+      assert(df.select(org.apache.spark.sql.functions.lit(7))
+        .collect().map(_.getInt(0)).toSeq == Seq.fill(6)(7))
     } finally Files.deleteIfExists(java.nio.file.Paths.get(p))
   }
 
