@@ -37,10 +37,23 @@ final class FitsColumnarReader(part: FitsInputPartition,
   // multi-MB rows).
   private val chunkRowsMax: Int = {
     val byBuffer = math.max(1L, part.bufferBytes.toLong / rowBytes)
-    math.min(byBuffer, part.numRows).toInt.max(1)
+    part.spec match {
+      case DecodeSpec.CompImage(m, _) =>
+        // numRows counts image LINES here; the buffer holds descriptor
+        // TABLE rows and must cover whole tile-row bands
+        val bands = (part.numRows + m.tileH - 1) / m.tileH
+        val need = bands * m.nTileCols
+        val capBands = math.max(1L, byBuffer / m.nTileCols)
+        math.min(capBands * m.nTileCols, need).toInt.max(m.nTileCols)
+      case _ => math.min(byBuffer, part.numRows).toInt.max(1)
+    }
   }
-  private val batchRows: Int =
-    math.min(4096L, math.min(chunkRowsMax.toLong, part.numRows)).toInt.max(1)
+  private val batchRows: Int = part.spec match {
+    case _: DecodeSpec.CompImage =>
+      math.min(4096L, part.numRows).toInt.max(1)
+    case _ =>
+      math.min(4096L, math.min(chunkRowsMax.toLong, part.numRows)).toInt.max(1)
+  }
   private val buf = new Array[Byte](chunkRowsMax * rowBytes)
   private var chunkStartRow = 0L // absolute row index of buf(0)
   private var chunkRows = 0 // valid rows in buf
@@ -136,7 +149,12 @@ final class FitsColumnarReader(part: FitsInputPartition,
 
   private var emitted = 0L
 
-  override def next(): Boolean = {
+  override def next(): Boolean = part.spec match {
+    case DecodeSpec.CompImage(m, fieldKinds) => nextComp(m, fieldKinds)
+    case _ => nextRows()
+  }
+
+  private def nextRows(): Boolean = {
     if (emitted >= part.numRows) return false
     if (emitted >= chunkStartRow + chunkRows) {
       chunkStartRow = emitted
@@ -156,20 +174,8 @@ final class FitsColumnarReader(part: FitsInputPartition,
           fillColumn(cs(c), vectors(c), base, n)
           c += 1
         }
-      case DecodeSpec.CompImage(m, fieldKinds) =>
-        var c = 0
-        while (c < fieldKinds.length) {
-          val v = vectors(c)
-          v.reset()
-          if (fieldKinds(c) == 0) fillCompImage(m, v, base, n)
-          else {
-            var r = 0
-            while (r < n) {
-              v.putLong(r, part.firstRowIndex + emitted + r); r += 1
-            }
-          }
-          c += 1
-        }
+      case _: DecodeSpec.CompImage => throw new IllegalStateException(
+        "tile-compressed images take nextComp")
       case DecodeSpec.Image(elem, lineElems, fieldKinds) =>
         var c = 0
         while (c < fieldKinds.length) {
@@ -222,40 +228,135 @@ final class FitsColumnarReader(part: FitsInputPartition,
     }
   }
 
-  /** One decompressed tile (= one image line) per descriptor row. A
-    * row whose tile columns are all empty yields a NULL Image cell. */
-  private def fillCompImage(m: HduMeta.CompImage, v: OnHeapColumnVector,
-      chunkBase: Int, n: Int): Unit = {
+  // -------------------------- tile-compressed images: band/line path
+  // One emitted row = one IMAGE LINE. A chunk holds whole tile-row
+  // bands' descriptor rows; payloads come from the coalesced heap
+  // window; each band's tiles decompress once and serve tileH lines.
+  // `emitted` and `part.numRows` count LINES on this path; the chunk
+  // bookkeeping below counts bands/table rows.
+
+  private var chunkFirstBand = 0L
+  private var chunkBandsN = 0L
+  private var cachedBand = -1L
+  private var bandTiles: Array[Array[Byte]] = null
+
+  private def nextComp(m: HduMeta.CompImage,
+      fieldKinds: Array[Int]): Boolean = {
+    if (emitted >= part.numRows) return false
+    val line = part.firstRowIndex + emitted
+    val needTiles = fieldKinds.contains(0)
+    var n = math.min(batchRows.toLong, part.numRows - emitted).toInt
+    if (needTiles) {
+      val band = line / m.tileH
+      if (chunkBandsN == 0 || band >= chunkFirstBand + chunkBandsN) {
+        val endBand =
+          (part.firstRowIndex + part.numRows + m.tileH - 1) / m.tileH
+        val capBands = math.max(1, chunkRowsMax / m.nTileCols)
+        chunkFirstBand = band
+        chunkBandsN = math.min(capBands.toLong, endBand - band)
+        chunkRows = (chunkBandsN * m.nTileCols).toInt
+        val partFirstBand = part.firstRowIndex / m.tileH
+        in.readFully(
+          part.startByte +
+            (band - partFirstBand) * m.nTileCols.toLong * rowBytes,
+          buf, 0, chunkRows * rowBytes)
+        coalesceHeap()
+        cachedBand = -1L
+      }
+      val chunkEndLine = math.min((chunkFirstBand + chunkBandsN) * m.tileH,
+        part.firstRowIndex + part.numRows)
+      n = math.min(n.toLong, chunkEndLine - line).toInt
+    }
+    var c = 0
+    while (c < fieldKinds.length) {
+      val v = vectors(c)
+      v.reset()
+      if (fieldKinds(c) == 0) fillCompLines(m, v, line, n)
+      else {
+        var r = 0
+        while (r < n) { v.putLong(r, line + r); r += 1 }
+      }
+      c += 1
+    }
+    batch.setNumRows(n)
+    emitted += n
+    true
+  }
+
+  /** Decompresses band `band`'s tiles (edge tiles are narrower/shorter
+    * than the declared ZTILE size) into the band cache. */
+  private def loadBandTiles(m: HduMeta.CompImage, band: Long): Unit = {
+    val tiles = new Array[Array[Byte]](m.nTileCols)
+    val bandH = math.min(m.tileH.toLong, m.nLines - band * m.tileH).toInt
+    val rowBase = ((band - chunkFirstBand) * m.nTileCols).toInt
+    var tc = 0
+    var c0 = 0
+    while (tc < m.nTileCols) {
+      val tw = math.min(m.tileWidth, m.lineElems - c0)
+      tiles(tc) = FitsPartitionReader.compTileBytes(m, buf,
+        (rowBase + tc) * rowBytes, heapBuf, heapBase, heapLen, in,
+        heapStart, tw * bandH)
+      c0 += tw
+      tc += 1
+    }
+    bandTiles = tiles
+    cachedBand = band
+  }
+
+  /** Fills `n` image lines starting at absolute line `firstLine` from
+    * cached band tiles. A line whose band holds any empty tile yields a
+    * NULL Image cell (no partial lines). */
+  private def fillCompLines(m: HduMeta.CompImage, v: OnHeapColumnVector,
+      firstLine: Long, n: Int): Unit = {
+    val width = m.lineElems
     val child = v.arrayData()
-    val lineElems = m.lineElems
-    child.reserve(n * lineElems)
+    child.reserve(n * width)
     val elem = m.elem
     val w = elem.width
     var r = 0
     while (r < n) {
-      val tile = FitsPartitionReader.compTileBytes(m, buf,
-        chunkBase + r * rowBytes, heapBuf, heapBase, heapLen, in, heapStart)
-      if (tile == null) v.putNull(r)
+      val line = firstLine + r
+      val band = line / m.tileH
+      if (band != cachedBand) loadBandTiles(m, band)
+      val rowInBand = (line - band * m.tileH).toInt
+      var anyNull = false
+      var tc = 0
+      while (tc < bandTiles.length && !anyNull) {
+        if (bandTiles(tc) == null) anyNull = true
+        tc += 1
+      }
+      if (anyNull) v.putNull(r)
       else {
-        var j = 0
-        while (j < lineElems) {
-          val o = j * w
-          val idx = r * lineElems + j
-          elem match {
-            case ElemType.L => child.putBoolean(idx, tile(o) == 'T'.toByte)
-            case ElemType.B => child.putByte(idx, tile(o))
-            case ElemType.I => child.putShort(idx, ElemType.s16(tile, o))
-            case ElemType.J => child.putInt(idx, ElemType.i32(tile, o))
-            case ElemType.K => child.putLong(idx, ElemType.i64(tile, o))
-            case ElemType.E => child.putFloat(idx,
-              java.lang.Float.intBitsToFloat(ElemType.i32(tile, o)))
-            case ElemType.D => child.putDouble(idx,
-              java.lang.Double.longBitsToDouble(ElemType.i64(tile, o)))
-            case se: ElemType.ScaledElem => putScaled(se, child, idx, o, tile)
+        val base = r * width
+        var c0 = 0
+        tc = 0
+        while (tc < bandTiles.length) {
+          val tile = bandTiles(tc)
+          val tw = math.min(m.tileWidth, width - c0)
+          val srcOff = rowInBand * tw * w
+          var j = 0
+          while (j < tw) {
+            val o = srcOff + j * w
+            val idx = base + c0 + j
+            elem match {
+              case ElemType.L => child.putBoolean(idx, tile(o) == 'T'.toByte)
+              case ElemType.B => child.putByte(idx, tile(o))
+              case ElemType.I => child.putShort(idx, ElemType.s16(tile, o))
+              case ElemType.J => child.putInt(idx, ElemType.i32(tile, o))
+              case ElemType.K => child.putLong(idx, ElemType.i64(tile, o))
+              case ElemType.E => child.putFloat(idx,
+                java.lang.Float.intBitsToFloat(ElemType.i32(tile, o)))
+              case ElemType.D => child.putDouble(idx,
+                java.lang.Double.longBitsToDouble(ElemType.i64(tile, o)))
+              case se: ElemType.ScaledElem =>
+                putScaled(se, child, idx, o, tile)
+            }
+            j += 1
           }
-          j += 1
+          c0 += tw
+          tc += 1
         }
-        v.putArray(r, r * lineElems, lineElems)
+        v.putArray(r, base, width)
       }
       r += 1
     }

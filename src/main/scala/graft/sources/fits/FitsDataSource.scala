@@ -378,19 +378,43 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
 
   /** Row-aligned byte slices of one HDU, ≤ maxPartitionBytes each —
     * planned on the driver so readers never see torn rows and no task is
-    * ever planned outside the HDU extent. */
+    * ever planned outside the HDU extent.
+    *
+    * Tile-compressed images slice by IMAGE LINE (the emitted row unit),
+    * aligned to whole tile-row bands, and sized by DECODED line bytes:
+    * sizing by the 8-16-byte descriptor rows would pack the payload of
+    * a 100 GB compressed image into one task. `startByte` points at the
+    * first band's descriptor row; `numRows`/`firstRowIndex` count
+    * lines. */
   private def slice(path: Path, bounds: HduBounds, meta: HduMeta,
       positions: Array[Int], maxPartBytes: Long): Seq[FitsInputPartition] = {
     val rowBytes = meta.rowBytes
-    val rowsPerPart = math.max(1L, maxPartBytes / rowBytes)
     val spec = DecodeSpec.of(meta, positions)
-    (0L until meta.nRows by rowsPerPart).map { firstRow =>
-      val n = math.min(rowsPerPart, meta.nRows - firstRow)
-      FitsInputPartition(
-        path.toString,
-        bounds.dataStart + firstRow * rowBytes,
-        n, firstRow, rowBytes,
-        res.recordLength.getOrElse(4 << 20), spec)
+    meta match {
+      case c: HduMeta.CompImage =>
+        val lineBytes = math.max(1L, c.lineElems.toLong * c.elem.width)
+        val aligned = math.max(1L, maxPartBytes / lineBytes) /
+          c.tileH * c.tileH
+        val linesPerPart = math.max(c.tileH.toLong, aligned)
+        val bandRowBytes = c.nTileCols.toLong * rowBytes
+        (0L until c.nLines by linesPerPart).map { firstLine =>
+          val n = math.min(linesPerPart, c.nLines - firstLine)
+          FitsInputPartition(
+            path.toString,
+            bounds.dataStart + firstLine / c.tileH * bandRowBytes,
+            n, firstLine, rowBytes,
+            res.recordLength.getOrElse(4 << 20), spec)
+        }
+      case _ =>
+        val rowsPerPart = math.max(1L, maxPartBytes / rowBytes)
+        (0L until meta.nRows by rowsPerPart).map { firstRow =>
+          val n = math.min(rowsPerPart, meta.nRows - firstRow)
+          FitsInputPartition(
+            path.toString,
+            bounds.dataStart + firstRow * rowBytes,
+            n, firstRow, rowBytes,
+            res.recordLength.getOrElse(4 << 20), spec)
+        }
     }
   }
 

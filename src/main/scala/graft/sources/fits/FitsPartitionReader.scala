@@ -158,15 +158,10 @@ final class FitsPartitionReader(part: FitsInputPartition,
     }
 
   // var-length columns in this projection, for chunk heap coalescing
-  // (tile-compressed images coalesce their descriptor columns the same
-  // way — tiles written sequentially reference a contiguous heap span).
-  // An ImgIndex-only projection never touches tiles, so it must not
-  // coalesce-read the heap either (at scale that IO would dwarf the
-  // 8-byte descriptor rows actually needed).
+  // (tile-compressed images take the band path below, which preads per
+  // payload — this fallback reader never coalesces their heap)
   private val varCols: Array[(Int, TForm.VarArr)] = part.spec match {
-    case DecodeSpec.CompImage(m, fieldKinds) =>
-      if (fieldKinds.contains(0)) m.heapCols.toArray
-      else Array.empty
+    case _: DecodeSpec.CompImage => Array.empty
     case _ if bintableCols == null => Array.empty
     case _ => bintableCols.collect {
       case col if col.tform.isInstanceOf[TForm.VarArr] &&
@@ -182,9 +177,14 @@ final class FitsPartitionReader(part: FitsInputPartition,
   private var heapBase = 0L
   private var heapLen = 0L
 
+  // true when this partition emits IMAGE LINES assembled from a cached
+  // tile-row band rather than one row per table row
+  private val isComp: Boolean = part.spec.isInstanceOf[DecodeSpec.CompImage]
+
   override def next(): Boolean = {
     if (emitted >= part.numRows) return false
-    if (rowInChunk >= chunkRows) fill()
+    // the comp path reads per band inside get() — no chunk fill
+    if (!isComp && rowInChunk >= chunkRows) fill()
     true
   }
 
@@ -255,26 +255,18 @@ final class FitsPartitionReader(part: FitsInputPartition,
           }
           new GenericInternalRow(values)
         case DecodeSpec.CompImage(m, fieldKinds) =>
-          // one bintable row = one tile = one image line (row tiling
-          // is enforced at meta resolution)
+          // one emitted row = one IMAGE LINE assembled from the cached
+          // tile-row band (row tiling is the 1×width special case)
+          val line = part.firstRowIndex + emitted
+          val band = line / m.tileH
+          if (band != compBand) loadCompBand(m, band)
+          val rowInBand = (line - band * m.tileH).toInt
           val values = new Array[Any](fieldKinds.length)
           var i = 0
           while (i < fieldKinds.length) {
             values(i) =
-              if (fieldKinds(i) == 0) {
-                val tile = compTileBytes(m, base)
-                if (tile == null) null
-                else {
-                  val elem = m.elem
-                  val arr = new Array[Any](m.lineElems)
-                  var j = 0
-                  while (j < m.lineElems) {
-                    arr(j) = elem.decode(tile, j * elem.width)
-                    j += 1
-                  }
-                  new GenericArrayData(arr)
-                }
-              } else java.lang.Long.valueOf(part.firstRowIndex + emitted)
+              if (fieldKinds(i) == 0) assembleLine(m, rowInBand)
+              else java.lang.Long.valueOf(line)
             i += 1
           }
           new GenericInternalRow(values)
@@ -284,11 +276,64 @@ final class FitsPartitionReader(part: FitsInputPartition,
     row
   }
 
-  /** Uncompressed big-endian tile payload for the current row — shared
-    * with the vectorized reader via the companion. */
-  private def compTileBytes(m: HduMeta.CompImage, base: Int): Array[Byte] =
-    FitsPartitionReader.compTileBytes(m, buf, base,
-      heapBuf, heapBase, heapLen, in, heapStart)
+  // ------------------------------------------- tile-band cache (comp)
+
+  private var compBand = -1L
+  private var compTiles: Array[Array[Byte]] = null
+
+  /** Preads the band's descriptor rows and decompresses its tiles.
+    * This path serves only non-columnar fallbacks, so it keeps the IO
+    * simple (per-band pread, per-payload pread via compTileBytes with
+    * no coalesced window). */
+  private def loadCompBand(m: HduMeta.CompImage, band: Long): Unit = {
+    val bandRows = m.nTileCols
+    val bytes = new Array[Byte](bandRows * rowBytes)
+    val partFirstBand = part.firstRowIndex / m.tileH
+    in.readFully(
+      part.startByte + (band - partFirstBand) * bandRows.toLong * rowBytes,
+      bytes, 0, bytes.length)
+    val bandH = math.min(m.tileH.toLong, m.nLines - band * m.tileH).toInt
+    val tiles = new Array[Array[Byte]](bandRows)
+    var tc = 0
+    var c0 = 0
+    while (tc < bandRows) {
+      val tw = math.min(m.tileWidth, m.lineElems - c0)
+      tiles(tc) = FitsPartitionReader.compTileBytes(m, bytes, tc * rowBytes,
+        Array.emptyByteArray, 0L, 0L, in, heapStart, tw * bandH)
+      c0 += tw
+      tc += 1
+    }
+    compTiles = tiles
+    compBand = band
+  }
+
+  /** One image line from the cached band's tiles (null if any tile of
+    * the band holds no data). */
+  private def assembleLine(m: HduMeta.CompImage, rowInBand: Int): Any = {
+    var tc = 0
+    while (tc < compTiles.length) {
+      if (compTiles(tc) == null) return null
+      tc += 1
+    }
+    val elem = m.elem
+    val w = elem.width
+    val arr = new Array[Any](m.lineElems)
+    var c0 = 0
+    tc = 0
+    while (tc < compTiles.length) {
+      val tw = math.min(m.tileWidth, m.lineElems - c0)
+      val srcOff = rowInBand * tw * w
+      val tile = compTiles(tc)
+      var j = 0
+      while (j < tw) {
+        arr(c0 + j) = elem.decode(tile, srcOff + j * w)
+        j += 1
+      }
+      c0 += tw
+      tc += 1
+    }
+    new GenericArrayData(arr)
+  }
 
   /** Zero-allocation decode of one fixed-width row (strings excepted —
     * they inherently allocate). The returned UnsafeRow instance is
@@ -377,14 +422,16 @@ object FitsPartitionReader {
     * COMPRESSED_DATA descriptor, else the GZIP_COMPRESSED_DATA /
     * UNCOMPRESSED_DATA per-tile fallbacks (a tile that didn't compress
     * is stored there with a zero-length main descriptor); null when no
-    * column holds data. Reads from the coalesced heap window when the
-    * payload falls inside it, else one positioned read. Shared by the
-    * row and vectorized readers. */
+    * column holds data. `nPix` is THIS tile's pixel count — edge tiles
+    * of a 2D tiling are narrower/shorter than the declared ZTILE size.
+    * Reads from the coalesced heap window when the payload falls inside
+    * it, else one positioned read. Shared by the row and vectorized
+    * readers and the no-Spark facade. */
   private[fits] def compTileBytes(m: HduMeta.CompImage, rowBuf: Array[Byte],
       base: Int, heapBuf: Array[Byte], heapBase: Long, heapLen: Long,
       in: org.apache.hadoop.fs.FSDataInputStream,
-      heapStart: Long): Array[Byte] = {
-    val expect = m.lineElems * m.bytepix
+      heapStart: Long, nPix: Int): Array[Byte] = {
+    val expect = nPix * m.bytepix
     def payloadOf(off: Int, v: TForm.VarArr): Array[Byte] = {
       val (n0, hoff) = v.descriptor(rowBuf, base + off)
       if (n0 <= 0) return null
@@ -405,7 +452,7 @@ object FitsPartitionReader {
     }
     val cdB = payloadOf(m.cd._1, m.cd._2)
     if (cdB != null)
-      TileCodec.decompress(m.cmpType, cdB, m.lineElems, m.bytepix,
+      TileCodec.decompress(m.cmpType, cdB, nPix, m.bytepix,
         m.blocksize)
     else {
       val gzB = m.gz.map(g => payloadOf(g._1, g._2)).orNull

@@ -73,48 +73,61 @@ final class FitsFile private (
           }
         }
       case c: HduMeta.CompImage =>
-        val chunk = math.max(1, bufferRows)
-        def payload(buf: Array[Byte], base: Int,
-            col: (Int, TForm.VarArr)): Array[Byte] = {
-          val (n0, hoff) = col._2.descriptor(buf, base + col._1)
-          if (n0 <= 0) null
-          else {
-            // same descriptor sanity bounds as the connector path
-            // (FitsPartitionReader.compTileBytes): a corrupt or hostile
-            // descriptor must fail loudly, not drive a near-2GB
-            // allocation or a negative-size pread via (n0*width).toInt
-            val bytes = n0 * col._2.elem.width
-            if (n0 > col._2.maxLen ||
-              bytes > graft.sources.fits.FitsPartitionReader.MaxVarElement)
-              throw new IllegalArgumentException(
-                s"corrupt tile descriptor in $path: count $n0 outside " +
-                  s"[0, ${col._2.maxLen}] or payload over " +
-                  s"${graft.sources.fits.FitsPartitionReader.MaxVarElement} bytes")
-            readChunk(c.heapStart + hoff, bytes.toInt)
-          }
+        // one emitted row per IMAGE LINE; each tile-row band's tiles
+        // decompress once (per-band pread) and serve tileH lines. The
+        // shared compTileBytes applies the descriptor sanity bounds —
+        // a corrupt or hostile descriptor fails loudly instead of
+        // driving a near-2GB allocation.
+        val width = c.lineElems
+        var cachedBand = -1L
+        var tiles: Array[Array[Byte]] = null
+        def loadBand(band: Long): Unit = {
+          val rowB = c.tableRowBytes
+          val buf = readChunk(
+            bounds.dataStart + band * c.nTileCols * rowB.toLong,
+            c.nTileCols * rowB)
+          val bandH = math.min(c.tileH.toLong, c.nLines - band * c.tileH).toInt
+          val out = new Array[Array[Byte]](c.nTileCols)
+          val in = path.getFileSystem(conf).open(path)
+          try {
+            var tc = 0
+            var c0 = 0
+            while (tc < c.nTileCols) {
+              val tw = math.min(c.tileWidth, width - c0)
+              out(tc) = graft.sources.fits.FitsPartitionReader.compTileBytes(
+                c, buf, tc * rowB, Array.emptyByteArray, 0L, 0L, in,
+                c.heapStart, tw * bandH)
+              c0 += tw
+              tc += 1
+            }
+          } finally in.close()
+          tiles = out
+          cachedBand = band
         }
-        (0L until c.nTiles by chunk).iterator.flatMap { first =>
-          val n = math.min(chunk.toLong, c.nTiles - first).toInt
-          val buf = readChunk(bounds.dataStart + first * c.tableRowBytes,
-            n * c.tableRowBytes)
-          (0 until n).iterator.map { r =>
-            val base = r * c.tableRowBytes
-            val cdB = payload(buf, base, c.cd)
-            val tile =
-              if (cdB != null) TileCodec.decompress(c.cmpType, cdB,
-                c.lineElems, c.bytepix, c.blocksize)
-              else {
-                val gzB = c.gz.map(payload(buf, base, _)).orNull
-                if (gzB != null)
-                  TileCodec.gunzip(gzB, c.lineElems * c.bytepix)
-                else c.uc.map(payload(buf, base, _)).orNull
+        (0L until c.nLines).iterator.map { line =>
+          val band = line / c.tileH
+          if (band != cachedBand) loadBand(band)
+          val rowInBand = (line - band * c.tileH).toInt
+          val out =
+            if (tiles.exists(_ == null)) null
+            else {
+              val arr = Vector.newBuilder[Any]
+              var c0 = 0
+              var tc = 0
+              while (tc < tiles.length) {
+                val tw = math.min(c.tileWidth, width - c0)
+                val srcOff = rowInBand * tw * c.elem.width
+                var j = 0
+                while (j < tw) {
+                  arr += c.elem.decode(tiles(tc), srcOff + j * c.elem.width)
+                  j += 1
+                }
+                c0 += tw
+                tc += 1
               }
-            val line =
-              if (tile == null) null
-              else (0 until c.lineElems)
-                .map(j => c.elem.decode(tile, j * c.elem.width))
-            Seq(line, first + r): Seq[Any]
-          }
+              arr.result()
+            }
+          Seq(out, line): Seq[Any]
         }
       case HduMeta.Opaque => Iterator.empty
     }

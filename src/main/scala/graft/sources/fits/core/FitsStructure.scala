@@ -99,10 +99,22 @@ object HduMeta {
       cd: (Int, TForm.VarArr),
       gz: Option[(Int, TForm.VarArr)],
       uc: Option[(Int, TForm.VarArr)],
-      heapStart: Long = -1L) extends HduMeta {
+      heapStart: Long = -1L,
+      tileW: Int = 0, tileH: Int = 1) extends HduMeta {
     def lineElems: Int = if (axes.isEmpty) 0 else axes.head.toInt
+    /** effective tile width: 0 in `tileW` means whole-line tiles (the
+      * row-tiled layout every writer here produces) */
+    def tileWidth: Int = if (tileW <= 0) lineElems else tileW
+    /** tiles per tile-row band */
+    def nTileCols: Int =
+      if (lineElems == 0) 1
+      else (lineElems + tileWidth - 1) / tileWidth
+    /** image lines (DF rows; tile-table rows are `nTiles`) */
+    def nLines: Long =
+      if (axes.isEmpty || axes.head == 0L) 0L
+      else axes.product / axes.head
     def rowBytes: Int = tableRowBytes
-    def nRows: Long = nTiles
+    def nRows: Long = nLines
     def schema: StructType = StructType(Seq(
       StructField("Image", ArrayType(elem.sparkType, containsNull = true),
         nullable = true),
@@ -354,9 +366,21 @@ object FitsStructure {
     val znaxis = h.intOr("ZNAXIS", 0)
     val axes = (1 to znaxis).toVector.map(n => h.longOr(s"ZNAXIS$n", 0L))
     if (axes.isEmpty || axes.contains(0L)) return HduMeta.Opaque
+    // tiling envelope: whole-line tiles for any dimensionality (the
+    // fpack default and what our writer emits), or genuine 2D tiles
+    // (fpack -t) for 2-axis images — a tile covers tileW × tileH
+    // pixels, tiles ordered row-major (FITS tiled-image convention §4)
     val rowTiles = h.longOr("ZTILE1", axes.head) == axes.head &&
       (2 to znaxis).forall(n => h.longOr(s"ZTILE$n", 1L) == 1L)
-    if (!rowTiles) return fallback("non-row ZTILE layout")
+    val (tileW, tileH) =
+      if (rowTiles) (axes.head.toInt, 1)
+      else if (znaxis == 2) {
+        val tw = h.longOr("ZTILE1", axes.head)
+        val th = h.longOr("ZTILE2", 1L)
+        if (tw < 1 || tw > axes.head || th < 1 || th > axes(1))
+          return fallback(s"ZTILE $tw x $th outside image ${axes.head} x ${axes(1)}")
+        (tw.toInt, th.toInt)
+      } else return fallback("non-row ZTILE layout on a non-2D image")
     // lossy quantized floats need the ZSCALE/ZZERO (+dither) machinery
     if (h.values.contains("ZSCALE") || h.values.contains("ZZERO") ||
       bt.columns.exists(c => c.name == "ZSCALE" || c.name == "ZZERO"))
@@ -393,15 +417,20 @@ object FitsStructure {
       case None => return fallback("no COMPRESSED_DATA P/Q column")
     }
     val lines = axes.product / axes.head
-    if (bt.nRows != lines)
-      return fallback(s"NAXIS2 ${bt.nRows} != $lines row tiles")
+    val nTileCols = (axes.head + tileW - 1) / tileW
+    val nTileRows = (lines + tileH - 1) / tileH
+    if (bt.nRows != nTileCols * nTileRows)
+      return fallback(
+        s"NAXIS2 ${bt.nRows} != ${nTileCols * nTileRows} tiles " +
+          s"($nTileCols x $nTileRows)")
     // original-image BSCALE/BZERO pass through unchanged (applied to
     // the decompressed elements, same as the plain image path)
     val elem = ElemType.scaled(raw,
       h.doubleOr("BSCALE", 1.0), h.doubleOr("BZERO", 0.0))
     HduMeta.CompImage(elem, axes, cmp, bytepix, blocksize,
       bt.rowBytes, bt.nRows, cd,
-      varCol("GZIP_COMPRESSED_DATA"), varCol("UNCOMPRESSED_DATA"))
+      varCol("GZIP_COMPRESSED_DATA"), varCol("UNCOMPRESSED_DATA"),
+      tileW = tileW, tileH = tileH)
   }
 
   private def imageMeta(h: FitsHeader): HduMeta = {

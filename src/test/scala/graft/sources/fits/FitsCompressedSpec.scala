@@ -389,6 +389,105 @@ class FitsCompressedSpec extends SparkTestBase {
     } finally Files.deleteIfExists(java.nio.file.Paths.get(p))
   }
 
+  /** Builds a genuinely 2D-tiled (fpack -t style) ZIMAGE: 16-bit image
+    * of `width`×`height`, tiles `tileW`×`tileH` row-major, RICE_1. */
+  private def write2dFz(path: String, img: Seq[Seq[Short]], tileW: Int,
+      tileH: Int): Unit = {
+    val height = img.length
+    val width = img.head.length
+    val nTileCols = (width + tileW - 1) / tileW
+    val nTileRows = (height + tileH - 1) / tileH
+    val heap = new java.io.ByteArrayOutputStream()
+    val descs = (0 until nTileRows).flatMap { tr =>
+      (0 until nTileCols).map { tc =>
+        val tw = math.min(tileW, width - tc * tileW)
+        val th = math.min(tileH, height - tr * tileH)
+        val tile = ByteBuffer.allocate(tw * th * 2)
+        for (r <- 0 until th; j <- 0 until tw)
+          tile.putShort(img(tr * tileH + r)(tc * tileW + j))
+        val comp = TileCodec.compress("RICE_1", tile.array(), 2, 32)
+        val d = (comp.length, heap.size); heap.write(comp); d
+      }
+    }
+    val out = new DataOutputStream(new FileOutputStream(path))
+    try {
+      out.write(block(Seq(card("SIMPLE", "T"), card("BITPIX", "8"),
+        card("NAXIS", "0"), pad("END", 80))))
+      out.write(block(Seq(
+        card("XTENSION", "'BINTABLE'"), card("BITPIX", "8"),
+        card("NAXIS", "2"), card("NAXIS1", "8"),
+        card("NAXIS2", descs.length.toString),
+        card("PCOUNT", heap.size.toString), card("GCOUNT", "1"),
+        card("TFIELDS", "1"),
+        card("TTYPE1", "'COMPRESSED_DATA'"), card("TFORM1", "'1PB     '"),
+        card("ZIMAGE", "T"), card("ZCMPTYPE", "'RICE_1'"),
+        card("ZBITPIX", "16"), card("ZNAXIS", "2"),
+        card("ZNAXIS1", width.toString), card("ZNAXIS2", height.toString),
+        card("ZTILE1", tileW.toString), card("ZTILE2", tileH.toString),
+        card("ZNAME1", "'BLOCKSIZE'"), card("ZVAL1", "32"),
+        card("ZNAME2", "'BYTEPIX '"), card("ZVAL2", "2"),
+        pad("END", 80))))
+      descs.foreach { case (l, o) => out.writeInt(l); out.writeInt(o) }
+      out.write(heap.toByteArray)
+      val dataLen = 8L * descs.length + heap.size
+      out.write(new Array[Byte](
+        ((dataLen + 2879) / 2880 * 2880 - dataLen).toInt))
+    } finally out.close()
+  }
+
+  test("2D-tiled (fpack -t) RICE image reads as lines, edge tiles exact") {
+    // 10×7 image, 4×3 tiles → tile grid 3×3 with narrower/shorter edges
+    val img = (0 until 7).map(r =>
+      (0 until 10).map(c => (r * 100 + c * 7 - 350).toShort))
+    val p = Files.createTempFile("graft-2dtile", ".fits").toString
+    write2dFz(p, img, tileW = 4, tileH = 3)
+    try {
+      val df = spark.read.format("fits").option("hdu", 1).load(p)
+      assert(df.schema.map(f => (f.name, f.dataType.simpleString)) ==
+        Seq("Image" -> "array<smallint>", "ImgIndex" -> "bigint"))
+      // COUNT(*) pushdown must answer in image LINES, not tile rows
+      assert(df.count() == 7)
+      val rows = df.orderBy("ImgIndex").collect()
+      assert(rows.length == 7)
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) == i)
+        assert(r.getSeq[Short](0) == img(i), s"line $i")
+      }
+      // LIMIT through the band-aligned planner
+      assert(df.orderBy("ImgIndex").limit(4).collect().length == 4)
+      // the no-Spark facade assembles the same lines
+      val f = core.FitsFile.open(s"file://$p", hdu = 1)
+      assert(f.nRows == 7)
+      val got = f.rows().toSeq
+      assert(got.map(_(1)) == (0L until 7L))
+      assert(got.map(_.head.asInstanceOf[Seq[Short]]) == img)
+    } finally Files.deleteIfExists(java.nio.file.Paths.get(p))
+  }
+
+  test("2D-tiled image splits into band-aligned partitions and reads exactly") {
+    // 8 wide × 60 high, 3×5 tiles → 20 bands; force tiny partitions so
+    // several band-aligned slices must each pread their own tiles
+    val img = (0 until 60).map(r =>
+      (0 until 8).map(c => ((r * 31 + c * 7) % 32768).toShort))
+    val p = Files.createTempFile("graft-2dsplit", ".fits").toString
+    write2dFz(p, img, tileW = 3, tileH = 5)
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, (160).toString) // 10 lines of 16 B → 2 bands/part
+      val df = spark.read.format("fits").option("hdu", 1).load(p)
+      assert(df.rdd.getNumPartitions > 2, df.rdd.getNumPartitions)
+      val rows = df.orderBy("ImgIndex").collect()
+      assert(rows.length == 60)
+      assert(rows.zipWithIndex.forall { case (r, i) =>
+        r.getLong(1) == i && r.getSeq[Short](0) == img(i)
+      })
+    } finally {
+      spark.conf.set(key, prev)
+      Files.deleteIfExists(java.nio.file.Paths.get(p))
+    }
+  }
+
   test("unsupported variants degrade to the raw bintable, not an error") {
     val width = 4
     val tile = shortTile(1, 2, 3, 4)
