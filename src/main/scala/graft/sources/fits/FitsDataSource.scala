@@ -76,6 +76,17 @@ final case class FitsResolution(options: Map[String, String]) {
     * `GZIP_2` or `NOCOMPRESS`. The output reads back through this
     * source's compressed-image path (and fpack-compatible readers). */
   val imageCompress: Option[String] = ci.get("compress").map(_.trim.toUpperCase)
+  /** Write option (with `compress`): 2D tile size `"WxH"` in pixels —
+    * default is whole-line tiles (`ZTILE1`=width, `ZTILE2`=1). 2D tiles
+    * compress better when vertical correlation beats horizontal (and
+    * match `fpack -t`); the reader handles both layouts. */
+  val compressTile: Option[(Int, Int)] = ci.get("compresstile").map { v =>
+    val parts = v.toLowerCase.split("x")
+    require(parts.length == 2 &&
+      parts.forall(p => scala.util.Try(p.trim.toInt).toOption.exists(_ > 0)),
+      s"compressTile must be WxH with positive integers, got '$v'")
+    (parts(0).trim.toInt, parts(1).trim.toInt)
+  }
   /** Write option (image modes): emit DATASUM + CHECKSUM cards per the
     * FITS checksum convention (one extra sequential pass over the
     * partition's spill). Verify with [[FitsChecksumReport]]. */

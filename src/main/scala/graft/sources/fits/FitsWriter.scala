@@ -153,7 +153,7 @@ object FitsWriteSupport {
   /** `compress` write-option contract: image mode only, known codec
     * (RICE_1's integer-only constraint is checked against the schema in
     * the writer, where the element type is resolved). */
-  def validateCompress(res: FitsResolution): Unit =
+  def validateCompress(res: FitsResolution): Unit = {
     res.imageCompress.foreach { c =>
       require(res.imageWrite, "option 'compress' applies to image-mode " +
         "writes only — set option(\"image\", true)")
@@ -161,6 +161,10 @@ object FitsWriteSupport {
         s"unsupported compress codec '$c' — supported: " +
           core.TileCodec.Supported.mkString(", "))
     }
+    if (res.compressTile.isDefined)
+      require(res.imageCompress.isDefined,
+        "option 'compressTile' applies only with option 'compress'")
+  }
 
   /** BITPIX for an image element code. */
   def bitpixOf(code: Char): Int = code match {
@@ -211,12 +215,14 @@ final class FitsStreamingWrite(res: FitsResolution, schema: StructType)
     val img = res.imageWrite
     val cmp = res.imageCompress
     val sum = res.checksumWrite
+    val tile = res.compressTile
     new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] =
         new FitsDataWriter(pathSpec, s, partitionId, taskId, props,
           nameTag = s"e$epochId", imageMode = img,
-          imageCompress = cmp.orNull, checksum = sum)
+          imageCompress = cmp.orNull, checksum = sum,
+          compressTile = tile.orNull)
     }
   }
 
@@ -249,7 +255,8 @@ final class FitsBatchWrite(res: FitsResolution, schema: StructType,
     val props = res.hadoopConf.iterator().asScala
       .map(e => (e.getKey, e.getValue)).toArray
     new FitsDataWriterFactory(res.pathSpec, schema, props, res.imageWrite,
-      res.imageCompress.orNull, res.checksumWrite)
+      res.imageCompress.orNull, res.checksumWrite,
+      res.compressTile.orNull)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -269,18 +276,20 @@ final case class FitsWriteCommitted(file: String, rows: Long)
 
 final class FitsDataWriterFactory(dirSpec: String, schema: StructType,
     confProps: Array[(String, String)], imageMode: Boolean = false,
-    imageCompress: String = null, checksum: Boolean = false)
+    imageCompress: String = null, checksum: Boolean = false,
+    compressTile: (Int, Int) = null)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new FitsDataWriter(dirSpec, schema, partitionId, taskId, confProps,
       imageMode = imageMode, imageCompress = imageCompress,
-      checksum = checksum)
+      checksum = checksum, compressTile = compressTile)
 }
 
 final class FitsDataWriter(dirSpec: String, schema: StructType,
     partitionId: Int, taskId: Long, confProps: Array[(String, String)],
     nameTag: String = "", imageMode: Boolean = false,
-    imageCompress: String = null, checksum: Boolean = false)
+    imageCompress: String = null, checksum: Boolean = false,
+    compressTile: (Int, Int) = null)
     extends DataWriter[InternalRow] {
   import FitsWriteSupport._
 
@@ -548,19 +557,27 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
   }
 
   /** Image mode + `compress`: a ZIMAGE bintable in the fpack layout —
-    * one tile per image line, COMPRESSED_DATA P/Q byte column, tile
-    * payloads in the heap. Reads back through this source's
-    * compressed-image path (and any convention-compliant reader).
-    * Per-line tiling keeps the write single-pass-per-tile and makes the
-    * read side's partition planning identical to plain images. */
+    * COMPRESSED_DATA P/Q byte column, tile payloads in the heap. Tiles
+    * are whole lines by default (single-pass-per-tile, read planning
+    * identical to plain images); `compressTile = (w, h)` writes genuine
+    * 2D tiles (`fpack -t` layout, row-major, exact edge tiles), which
+    * compress better when vertical correlation beats horizontal. Reads
+    * back through this source's compressed-image path (and any
+    * convention-compliant reader). */
   private def commitCompressedImage(): WriterCommitMessage = {
     import graft.sources.fits.core.TileCodec
     val line = math.max(imgLine, 0)
     val tileBytes = line * imgElem.elemWidth
     val bytepix = imgElem.elemWidth
     require(nRows <= Int.MaxValue, s"too many lines in one partition: $nRows")
-    val nTiles = nRows.toInt
-    // pass 1: compress each line from the spill into a heap temp file
+    val tileW = if (compressTile == null) line
+      else math.min(math.max(1, compressTile._1), math.max(1, line))
+    val tileH = if (compressTile == null) 1 else math.max(1, compressTile._2)
+    val nTileCols = if (line == 0) 1 else (line + tileW - 1) / tileW
+    val bands = ((nRows + tileH - 1) / tileH).toInt
+    val nTiles = bands * nTileCols
+    // pass 1: compress tile-row bands from the spill into a heap temp
+    // file (the spill is line-sequential; a band buffers tileH lines)
     val heapTmp = File.createTempFile("graft-fits-zheap", ".tmp")
     val lens = new Array[Int](nTiles)
     var heapSize = 0L
@@ -571,16 +588,33 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
       val heapOut = new DataOutputStream(new BufferedOutputStream(
         new FileOutputStream(heapTmp), 1 << 20))
       try {
-        val tile = new Array[Byte](tileBytes)
+        val bandBuf = new Array[Byte](tileH * tileBytes)
+        var b = 0
         var t = 0
-        while (t < nTiles) {
-          in.readFully(tile, 0, tileBytes)
-          val comp = TileCodec.compress(imageCompress, tile, bytepix, 32)
-          heapOut.write(comp)
-          lens(t) = comp.length
-          heapSize += comp.length
-          if (comp.length > maxLen) maxLen = comp.length
-          t += 1
+        while (b < bands) {
+          val bandH = math.min(tileH.toLong, nRows - b.toLong * tileH).toInt
+          in.readFully(bandBuf, 0, bandH * tileBytes)
+          var tc = 0
+          var c0 = 0
+          while (tc < nTileCols) {
+            val tw = math.min(tileW, line - c0)
+            val tile = new Array[Byte](tw * bandH * bytepix)
+            var r = 0
+            while (r < bandH) {
+              System.arraycopy(bandBuf, r * tileBytes + c0 * bytepix,
+                tile, r * tw * bytepix, tw * bytepix)
+              r += 1
+            }
+            val comp = TileCodec.compress(imageCompress, tile, bytepix, 32)
+            heapOut.write(comp)
+            lens(t) = comp.length
+            heapSize += comp.length
+            if (comp.length > maxLen) maxLen = comp.length
+            c0 += tw
+            tc += 1
+            t += 1
+          }
+          b += 1
         }
       } finally heapOut.close()
 
@@ -626,8 +660,8 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
         card("ZIMAGE", "T"), card("ZCMPTYPE", quoted(imageCompress)),
         card("ZBITPIX", bitpixOf(imgElem.code).toString),
         card("ZNAXIS", "2"), card("ZNAXIS1", line.toString),
-        card("ZNAXIS2", nTiles.toString),
-        card("ZTILE1", line.toString), card("ZTILE2", "1"),
+        card("ZNAXIS2", nRows.toString),
+        card("ZTILE1", tileW.toString), card("ZTILE2", tileH.toString),
         card("ZNAME1", quoted("BLOCKSIZE")), card("ZVAL1", "32"),
         card("ZNAME2", quoted("BYTEPIX")),
         card("ZVAL2", bytepix.toString))

@@ -264,6 +264,43 @@ class FitsCompressedSpec extends SparkTestBase {
       fsrc.select("Image").as[Array[Float]].collect().map(_.toSeq).toSeq)
   }
 
+  test("compressTile option writes fpack -t 2D tiles that round-trip") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val width = 13
+    val src = (0 until 57).map(r =>
+      (r.toLong, (0 until width).map(c =>
+        (r * 37 - c * 11 + (r * c) % 5).toInt).toArray))
+      .toDF("ImgIndex", "Image")
+    val dir = Files.createTempDirectory("fits-zw2d").toString + "/t2d"
+    src.coalesce(1).write.format("fits")
+      .option("image", true).option("compress", "RICE_1")
+      .option("compressTile", "5x4")
+      .mode("append").save(dir)
+    // on-disk: ZTILE cards declare the 2D grid (5x4 over 13x57 →
+    // 3x15 tiles with exact edges)
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".fits")).head
+    val hdr = new String(java.util.Arrays.copyOfRange(
+      Files.readAllBytes(part.toPath), 2880, 2880 * 2), "US-ASCII")
+    val cards = hdr.grouped(80).map(_.trim).toSeq
+    assert(cards.exists(c => c.startsWith("ZTILE1") && c.contains("5")), hdr)
+    assert(cards.exists(c => c.startsWith("ZTILE2") && c.contains("4")), hdr)
+    assert(cards.exists(c => c.startsWith("NAXIS2") && c.contains("45")),
+      "table must hold 3x15 = 45 tiles")
+    val back = spark.read.format("fits").option("hdu", 1).load(dir)
+      .orderBy("ImgIndex").select(col("Image")).as[Array[Int]].collect()
+    assert(back.map(_.toSeq).toSeq ==
+      src.select("Image").as[Array[Int]].collect().map(_.toSeq).toSeq)
+    // contract: compressTile requires compress
+    val e = intercept[Exception] {
+      src.write.format("fits").option("image", true)
+        .option("compressTile", "5x4").mode("append")
+        .save(Files.createTempDirectory("fits-zw2d").toString + "/bad")
+    }
+    assert(e.getMessage.contains("compressTile"), e.getMessage)
+  }
+
   test("compress option contract: image-mode only, RICE_1 integer only") {
     import spark.implicits._
     val dir1 = Files.createTempDirectory("fits-zw").toString + "/bad1"
@@ -392,7 +429,10 @@ class FitsCompressedSpec extends SparkTestBase {
   /** Builds a genuinely 2D-tiled (fpack -t style) ZIMAGE: 16-bit image
     * of `width`×`height`, tiles `tileW`×`tileH` row-major, RICE_1. */
   private def write2dFz(path: String, img: Seq[Seq[Short]], tileW: Int,
-      tileH: Int): Unit = {
+      tileH: Int): Unit = write2dFzWithCards(path, img, tileW, tileH, Nil)
+
+  private def write2dFzWithCards(path: String, img: Seq[Seq[Short]],
+      tileW: Int, tileH: Int, extraCards: Seq[String]): Unit = {
     val height = img.length
     val width = img.head.length
     val nTileCols = (width + tileW - 1) / tileW
@@ -425,8 +465,9 @@ class FitsCompressedSpec extends SparkTestBase {
         card("ZNAXIS1", width.toString), card("ZNAXIS2", height.toString),
         card("ZTILE1", tileW.toString), card("ZTILE2", tileH.toString),
         card("ZNAME1", "'BLOCKSIZE'"), card("ZVAL1", "32"),
-        card("ZNAME2", "'BYTEPIX '"), card("ZVAL2", "2"),
-        pad("END", 80))))
+        card("ZNAME2", "'BYTEPIX '"), card("ZVAL2", "2")) ++
+        extraCards :+
+        pad("END", 80)))
       descs.foreach { case (l, o) => out.writeInt(l); out.writeInt(o) }
       out.write(heap.toByteArray)
       val dataLen = 8L * descs.length + heap.size
@@ -461,6 +502,24 @@ class FitsCompressedSpec extends SparkTestBase {
       val got = f.rows().toSeq
       assert(got.map(_(1)) == (0L until 7L))
       assert(got.map(_.head.asInstanceOf[Seq[Short]]) == img)
+    } finally Files.deleteIfExists(java.nio.file.Paths.get(p))
+  }
+
+  test("2D-tiled image with BZERO scaling decodes unsigned values") {
+    // scaled elements ride the same tile source path: physical =
+    // stored + 32768 applied per element of each 2D tile
+    val img = (0 until 5).map(r =>
+      (0 until 7).map(c => (r * 500 + c * 3 - 32768).toShort))
+    val p = Files.createTempFile("graft-2dscaled", ".fits").toString
+    // reuse the 2D writer, then patch in BSCALE/BZERO cards via rebuild
+    write2dFzWithCards(p, img, 3, 2,
+      Seq(card("BSCALE", "1"), card("BZERO", "32768")))
+    try {
+      val df = spark.read.format("fits").option("hdu", 1).load(p)
+      assert(df.schema("Image").dataType.simpleString == "array<int>")
+      val got = df.orderBy("ImgIndex").collect()
+        .map(_.getSeq[Int](0).toList).toSeq
+      assert(got == img.map(_.map(_ + 32768).toList))
     } finally Files.deleteIfExists(java.nio.file.Paths.get(p))
   }
 
