@@ -63,10 +63,31 @@ final case class FitsResolution(options: Map[String, String]) {
     throw new IllegalArgumentException("'path' must be specified"))
   // lazy: the write path needs no HDU; every read path forces it up
   // front (schema inference / scan planning), keeping the eager-error
-  // parity with the reference for reads
-  lazy val hduIndex: Int = ci.getOrElse("hdu",
+  // parity with the reference for reads. The option is an index OR an
+  // EXTNAME (astropy-style): a non-numeric value resolves against each
+  // file's EXTNAME cards, case-insensitively — so heterogeneous files
+  // that place the named extension at different indices still union.
+  private lazy val hduSpec: String = ci.getOrElse("hdu",
     throw new IllegalArgumentException(
-      "You need to specify the HDU to be read! Set the 'hdu' option.")).toInt
+      "You need to specify the HDU to be read! Set the 'hdu' option.")).trim
+  private lazy val hduSpecIndex: Option[Int] = hduSpec.toIntOption
+
+  /** Resolves the target HDU in one file: the numeric index, or the
+    * first HDU whose EXTNAME matches; −1 when a named HDU is absent
+    * (callers treat that like an out-of-range index). */
+  def hduIndexFor(hdus: Vector[Hdu]): Int = hduSpecIndex.getOrElse {
+    hdus.indexWhere(_.header.values.get("EXTNAME")
+      .exists(_.trim.equalsIgnoreCase(hduSpec)))
+  }
+
+  lazy val hduIndex: Int = hduSpecIndex.getOrElse {
+    val i = hduIndexFor(firstFileHdus)
+    require(i >= 0,
+      s"no HDU with EXTNAME '$hduSpec' in ${files.head} " +
+        s"(names: ${firstFileHdus.flatMap(_.header.values.get("EXTNAME"))
+          .map(_.trim).mkString(", ")})")
+    i
+  }
   val mode: String = ci.getOrElse("mode", "PERMISSIVE").toUpperCase
   /** Write option: `option("image", true)` writes an IMAGE primary HDU
     * (one row per image line) instead of a BINTABLE extension. */
@@ -113,10 +134,16 @@ final case class FitsResolution(options: Map[String, String]) {
 
   /** The target HDU's metadata with the `columns` option applied. */
   def targetMeta(hdus: Vector[Hdu], file: Path): HduMeta = {
-    require(hduIndex >= 0 && hduIndex < hdus.length,
-      s"HDU index $hduIndex does not exist in $file " +
-        s"(file has ${hdus.length} HDUs)")
-    val meta = hdus(hduIndex).meta
+    val idx = hduIndexFor(hdus)
+    require(idx >= 0 && idx < hdus.length,
+      if (hduSpecIndex.isDefined)
+        s"HDU index $hduSpec does not exist in $file " +
+          s"(file has ${hdus.length} HDUs)"
+      else
+        s"no HDU with EXTNAME '$hduSpec' in $file (names: " +
+          hdus.flatMap(_.header.values.get("EXTNAME"))
+            .map(_.trim).mkString(", ") + ")")
+    val meta = hdus(idx).meta
     (meta, columnsOption) match {
       case (b: HduMeta.Bintable, Some(names)) => b.select(names)
       case _ => meta
@@ -214,7 +241,8 @@ final class FitsCountScan(res: FitsResolution) extends Scan with Batch
     val firstSchema = res.inferredSchema
     FitsFiles.parMap(res.files, 16)(p => p -> res.scanFile(p))
       .toArray.flatMap { case (path, hdus) =>
-      if (res.hduIndex >= hdus.length) {
+      val idx = res.hduIndexFor(hdus)
+      if (idx < 0 || idx >= hdus.length) {
         if (res.mode == "FAILFAST") throw new IllegalArgumentException(
           s"$path has no HDU ${res.hduIndex}")
         None
@@ -265,7 +293,8 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
     // targetMeta (not raw meta): the `columns` option reorders/prunes
     // the column set that tableSchema's positions refer to
     val metas = FitsFiles.parMap(res.files, 16)(p => p -> res.scanFile(p))
-      .collect { case (p, hdus) if res.hduIndex < hdus.length =>
+      .collect { case (p, hdus)
+        if { val i = res.hduIndexFor(hdus); i >= 0 && i < hdus.length } =>
         res.targetMeta(hdus, p)
       }
       .filter(m => m.isReadable && m.rowBytes > 0)
@@ -336,7 +365,8 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
     // maxPartitionBytes, but split smaller files further so the scan
     // can still use the cluster's default parallelism.
     val readable = fileMetas.flatMap { case (path, hdus) =>
-      if (res.hduIndex >= hdus.length) {
+      val idx = res.hduIndexFor(hdus)
+      if (idx < 0 || idx >= hdus.length) {
         failOrWarn(s"$path has no HDU ${res.hduIndex}; skipping"); None
       } else {
         val meta = res.targetMeta(hdus, path)
@@ -345,7 +375,7 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
             s"differs from first file's ${firstSchema.simpleString}; skipping")
           None
         } else if (meta.isReadable && meta.nRows > 0 && meta.rowBytes > 0)
-          Some((path, hdus(res.hduIndex).bounds, meta))
+          Some((path, hdus(idx).bounds, meta))
         else None
       }
     }

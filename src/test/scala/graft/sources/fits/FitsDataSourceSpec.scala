@@ -184,6 +184,22 @@ class FitsDataSourceSpec extends SparkTestBase {
     assert(df.count() == 20000L)
   }
 
+  test("hdu option resolves EXTNAME (astropy-style), case-insensitive") {
+    val byIndex = spark.read.format("fits").option("hdu", 1)
+      .load(s"$res/toTest/swift_events.fits")
+    val byName = spark.read.format("fits").option("hdu", "events")
+      .load(s"$res/toTest/swift_events.fits")
+    assert(byName.schema == byIndex.schema)
+    assert(byName.count() == byIndex.count())
+    // missing name errors eagerly with the available names listed
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("fits").option("hdu", "nope")
+        .load(s"$res/toTest/swift_events.fits").schema
+    }
+    assert(e.getMessage.contains("EXTNAME") &&
+      e.getMessage.contains("EVENTS"), e.getMessage)
+  }
+
   test("fixed bit-field (nX) column decodes as a raw byte blob, vectorized") {
     import FitsWriteSupport.{card, headerBlock, pad, quoted}
     val rowBytes = 4 + 2 // id J + 12X (2 bytes)
