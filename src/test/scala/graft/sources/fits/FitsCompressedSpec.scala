@@ -547,6 +547,30 @@ class FitsCompressedSpec extends SparkTestBase {
     }
   }
 
+  test("property: random 2D tilings round-trip exactly through the source") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 0 until 8) {
+      val width = 1 + rnd.nextInt(23)
+      val height = 1 + rnd.nextInt(19)
+      val tileW = 1 + rnd.nextInt(width)
+      val tileH = 1 + rnd.nextInt(height)
+      val img = (0 until height).map(r =>
+        (0 until width).map(c => (rnd.nextInt(65536) - 32768).toShort))
+      val p = Files.createTempFile(s"graft-2dprop$trial", ".fits").toString
+      write2dFz(p, img, tileW, tileH)
+      try {
+        val rows = spark.read.format("fits").option("hdu", 1).load(p)
+          .orderBy("ImgIndex").collect()
+        withClue(s"${width}x$height tiles ${tileW}x$tileH: ") {
+          assert(rows.length == height)
+          assert(rows.zipWithIndex.forall { case (r, i) =>
+            r.getLong(1) == i && r.getSeq[Short](0) == img(i)
+          })
+        }
+      } finally Files.deleteIfExists(java.nio.file.Paths.get(p))
+    }
+  }
+
   test("unsupported variants degrade to the raw bintable, not an error") {
     val width = 4
     val tile = shortTile(1, 2, 3, 4)
