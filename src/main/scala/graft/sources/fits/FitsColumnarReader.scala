@@ -239,6 +239,11 @@ final class FitsColumnarReader(part: FitsInputPartition,
   private var chunkBandsN = 0L
   private var cachedBand = -1L
   private var bandTiles: Array[Array[Byte]] = null
+  // per-tile quantization params of the cached band (quantized floats)
+  private var bandScale: Array[Double] = null
+  private var bandZero: Array[Double] = null
+  private var bandBlank: Array[Long] = null
+  private var bandHasBlank: Array[Boolean] = null
 
   private def nextComp(m: HduMeta.CompImage,
       fieldKinds: Array[Int]): Boolean = {
@@ -284,11 +289,18 @@ final class FitsColumnarReader(part: FitsInputPartition,
   }
 
   /** Decompresses band `band`'s tiles (edge tiles are narrower/shorter
-    * than the declared ZTILE size) into the band cache. */
+    * than the declared ZTILE size) into the band cache, along with the
+    * per-tile quantization params when the image is quantized. */
   private def loadBandTiles(m: HduMeta.CompImage, band: Long): Unit = {
     val tiles = new Array[Array[Byte]](m.nTileCols)
     val bandH = math.min(m.tileH.toLong, m.nLines - band * m.tileH).toInt
     val rowBase = ((band - chunkFirstBand) * m.nTileCols).toInt
+    if (m.quant.isDefined && bandScale == null) {
+      bandScale = new Array[Double](m.nTileCols)
+      bandZero = new Array[Double](m.nTileCols)
+      bandBlank = new Array[Long](m.nTileCols)
+      bandHasBlank = new Array[Boolean](m.nTileCols)
+    }
     var tc = 0
     var c0 = 0
     while (tc < m.nTileCols) {
@@ -296,6 +308,24 @@ final class FitsColumnarReader(part: FitsInputPartition,
       tiles(tc) = FitsPartitionReader.compTileBytes(m, buf,
         (rowBase + tc) * rowBytes, heapBuf, heapBase, heapLen, in,
         heapStart, tw * bandH)
+      m.quant.foreach { q =>
+        val ro = (rowBase + tc) * rowBytes
+        bandScale(tc) =
+          if (q.scaleOff >= 0) java.lang.Double.longBitsToDouble(
+            ElemType.i64(buf, ro + q.scaleOff))
+          else q.scale
+        bandZero(tc) =
+          if (q.zeroOff >= 0) java.lang.Double.longBitsToDouble(
+            ElemType.i64(buf, ro + q.zeroOff))
+          else q.zero
+        if (q.blankOff >= 0) {
+          bandBlank(tc) = ElemType.i32(buf, ro + q.blankOff).toLong
+          bandHasBlank(tc) = true
+        } else {
+          bandHasBlank(tc) = q.blank.isDefined
+          bandBlank(tc) = q.blank.getOrElse(0L)
+        }
+      }
       c0 += tw
       tc += 1
     }
@@ -326,7 +356,35 @@ final class FitsColumnarReader(part: FitsInputPartition,
         tc += 1
       }
       if (anyNull) v.putNull(r)
-      else {
+      else if (m.quant.isDefined) {
+        // quantized floats: int32 codes, physical = s·code + z per
+        // tile; ZBLANK codes surface as element NULLs
+        val base = r * width
+        val isFloat = elem == ElemType.E
+        var c0 = 0
+        tc = 0
+        while (tc < bandTiles.length) {
+          val tile = bandTiles(tc)
+          val tw = math.min(m.tileWidth, width - c0)
+          val srcOff = rowInBand * tw * 4
+          val s = bandScale(tc)
+          val z = bandZero(tc)
+          val hasBlank = bandHasBlank(tc)
+          val blank = bandBlank(tc)
+          var j = 0
+          while (j < tw) {
+            val code = ElemType.i32(tile, srcOff + j * 4)
+            val idx = base + c0 + j
+            if (hasBlank && code.toLong == blank) child.putNull(idx)
+            else if (isFloat) child.putFloat(idx, (s * code + z).toFloat)
+            else child.putDouble(idx, s * code + z)
+            j += 1
+          }
+          c0 += tw
+          tc += 1
+        }
+        v.putArray(r, base, width)
+      } else {
         val base = r * width
         var c0 = 0
         tc = 0

@@ -280,9 +280,14 @@ final class FitsPartitionReader(part: FitsInputPartition,
 
   private var compBand = -1L
   private var compTiles: Array[Array[Byte]] = null
+  private var compScale: Array[Double] = null
+  private var compZero: Array[Double] = null
+  private var compBlank: Array[Long] = null
+  private var compHasBlank: Array[Boolean] = null
 
-  /** Preads the band's descriptor rows and decompresses its tiles.
-    * This path serves only non-columnar fallbacks, so it keeps the IO
+  /** Preads the band's descriptor rows and decompresses its tiles
+    * (plus per-tile quantization params for quantized floats). This
+    * path serves only non-columnar fallbacks, so it keeps the IO
     * simple (per-band pread, per-payload pread via compTileBytes with
     * no coalesced window). */
   private def loadCompBand(m: HduMeta.CompImage, band: Long): Unit = {
@@ -294,12 +299,36 @@ final class FitsPartitionReader(part: FitsInputPartition,
       bytes, 0, bytes.length)
     val bandH = math.min(m.tileH.toLong, m.nLines - band * m.tileH).toInt
     val tiles = new Array[Array[Byte]](bandRows)
+    if (m.quant.isDefined && compScale == null) {
+      compScale = new Array[Double](bandRows)
+      compZero = new Array[Double](bandRows)
+      compBlank = new Array[Long](bandRows)
+      compHasBlank = new Array[Boolean](bandRows)
+    }
     var tc = 0
     var c0 = 0
     while (tc < bandRows) {
       val tw = math.min(m.tileWidth, m.lineElems - c0)
       tiles(tc) = FitsPartitionReader.compTileBytes(m, bytes, tc * rowBytes,
         Array.emptyByteArray, 0L, 0L, in, heapStart, tw * bandH)
+      m.quant.foreach { q =>
+        val ro = tc * rowBytes
+        compScale(tc) =
+          if (q.scaleOff >= 0) java.lang.Double.longBitsToDouble(
+            ElemType.i64(bytes, ro + q.scaleOff))
+          else q.scale
+        compZero(tc) =
+          if (q.zeroOff >= 0) java.lang.Double.longBitsToDouble(
+            ElemType.i64(bytes, ro + q.zeroOff))
+          else q.zero
+        if (q.blankOff >= 0) {
+          compBlank(tc) = ElemType.i32(bytes, ro + q.blankOff).toLong
+          compHasBlank(tc) = true
+        } else {
+          compHasBlank(tc) = q.blank.isDefined
+          compBlank(tc) = q.blank.getOrElse(0L)
+        }
+      }
       c0 += tw
       tc += 1
     }
@@ -316,21 +345,45 @@ final class FitsPartitionReader(part: FitsInputPartition,
       tc += 1
     }
     val elem = m.elem
-    val w = elem.width
     val arr = new Array[Any](m.lineElems)
-    var c0 = 0
-    tc = 0
-    while (tc < compTiles.length) {
-      val tw = math.min(m.tileWidth, m.lineElems - c0)
-      val srcOff = rowInBand * tw * w
-      val tile = compTiles(tc)
-      var j = 0
-      while (j < tw) {
-        arr(c0 + j) = elem.decode(tile, srcOff + j * w)
-        j += 1
+    if (m.quant.isDefined) {
+      val isFloat = elem == ElemType.E
+      var c0 = 0
+      tc = 0
+      while (tc < compTiles.length) {
+        val tw = math.min(m.tileWidth, m.lineElems - c0)
+        val srcOff = rowInBand * tw * 4
+        val tile = compTiles(tc)
+        var j = 0
+        while (j < tw) {
+          val code = ElemType.i32(tile, srcOff + j * 4)
+          arr(c0 + j) =
+            if (compHasBlank(tc) && code.toLong == compBlank(tc)) null
+            else if (isFloat)
+              java.lang.Float.valueOf(
+                (compScale(tc) * code + compZero(tc)).toFloat)
+            else java.lang.Double.valueOf(compScale(tc) * code + compZero(tc))
+          j += 1
+        }
+        c0 += tw
+        tc += 1
       }
-      c0 += tw
-      tc += 1
+    } else {
+      val w = elem.width
+      var c0 = 0
+      tc = 0
+      while (tc < compTiles.length) {
+        val tw = math.min(m.tileWidth, m.lineElems - c0)
+        val srcOff = rowInBand * tw * w
+        val tile = compTiles(tc)
+        var j = 0
+        while (j < tw) {
+          arr(c0 + j) = elem.decode(tile, srcOff + j * w)
+          j += 1
+        }
+        c0 += tw
+        tc += 1
+      }
     }
     new GenericArrayData(arr)
   }

@@ -81,6 +81,9 @@ final class FitsFile private (
         val width = c.lineElems
         var cachedBand = -1L
         var tiles: Array[Array[Byte]] = null
+        var qScale: Array[Double] = null
+        var qZero: Array[Double] = null
+        var qBlank: Array[Option[Long]] = null
         def loadBand(band: Long): Unit = {
           val rowB = c.tableRowBytes
           val buf = readChunk(
@@ -88,6 +91,11 @@ final class FitsFile private (
             c.nTileCols * rowB)
           val bandH = math.min(c.tileH.toLong, c.nLines - band * c.tileH).toInt
           val out = new Array[Array[Byte]](c.nTileCols)
+          if (c.quant.isDefined && qScale == null) {
+            qScale = new Array[Double](c.nTileCols)
+            qZero = new Array[Double](c.nTileCols)
+            qBlank = new Array[Option[Long]](c.nTileCols)
+          }
           val in = path.getFileSystem(conf).open(path)
           try {
             var tc = 0
@@ -97,6 +105,21 @@ final class FitsFile private (
               out(tc) = graft.sources.fits.FitsPartitionReader.compTileBytes(
                 c, buf, tc * rowB, Array.emptyByteArray, 0L, 0L, in,
                 c.heapStart, tw * bandH)
+              c.quant.foreach { q =>
+                val ro = tc * rowB
+                qScale(tc) =
+                  if (q.scaleOff >= 0) java.lang.Double.longBitsToDouble(
+                    ElemType.i64(buf, ro + q.scaleOff))
+                  else q.scale
+                qZero(tc) =
+                  if (q.zeroOff >= 0) java.lang.Double.longBitsToDouble(
+                    ElemType.i64(buf, ro + q.zeroOff))
+                  else q.zero
+                qBlank(tc) =
+                  if (q.blankOff >= 0)
+                    Some(ElemType.i32(buf, ro + q.blankOff).toLong)
+                  else q.blank
+              }
               c0 += tw
               tc += 1
             }
@@ -108,6 +131,9 @@ final class FitsFile private (
           val band = line / c.tileH
           if (band != cachedBand) loadBand(band)
           val rowInBand = (line - band * c.tileH).toInt
+          val quantized = c.quant.isDefined
+          val isFloat = c.elem == ElemType.E
+          val storedW = if (quantized) 4 else c.elem.width
           val out =
             if (tiles.exists(_ == null)) null
             else {
@@ -116,10 +142,19 @@ final class FitsFile private (
               var tc = 0
               while (tc < tiles.length) {
                 val tw = math.min(c.tileWidth, width - c0)
-                val srcOff = rowInBand * tw * c.elem.width
+                val srcOff = rowInBand * tw * storedW
                 var j = 0
                 while (j < tw) {
-                  arr += c.elem.decode(tiles(tc), srcOff + j * c.elem.width)
+                  arr += (
+                    if (!quantized)
+                      c.elem.decode(tiles(tc), srcOff + j * storedW)
+                    else {
+                      val code = ElemType.i32(tiles(tc), srcOff + j * 4)
+                      if (qBlank(tc).contains(code.toLong)) null
+                      else if (isFloat)
+                        (qScale(tc) * code + qZero(tc)).toFloat
+                      else qScale(tc) * code + qZero(tc)
+                    })
                   j += 1
                 }
                 c0 += tw

@@ -92,6 +92,14 @@ object HduMeta {
     * columns GZIP_COMPRESSED_DATA / UNCOMPRESSED_DATA (−1 if absent —
     * a zero-length COMPRESSED_DATA descriptor means the tile's payload
     * lives in a fallback column instead). */
+  /** Quantized-float reconstruction parameters (NO_DITHER only —
+    * dithered variants need the cfitsio RNG and degrade): stored tile
+    * codes are int32; physical = scale·code + zero, per-tile when the
+    * ZSCALE/ZZERO table columns exist (offsets ≥ 0), else the header
+    * keywords. A code equal to `blank` (ZBLANK) reads as SQL NULL. */
+  final case class Quant(scaleOff: Int, zeroOff: Int,
+      scale: Double, zero: Double, blankOff: Int, blank: Option[Long])
+
   final case class CompImage(
       elem: ElemType, axes: Vector[Long],
       cmpType: String, bytepix: Int, blocksize: Int,
@@ -100,7 +108,8 @@ object HduMeta {
       gz: Option[(Int, TForm.VarArr)],
       uc: Option[(Int, TForm.VarArr)],
       heapStart: Long = -1L,
-      tileW: Int = 0, tileH: Int = 1) extends HduMeta {
+      tileW: Int = 0, tileH: Int = 1,
+      quant: Option[Quant] = None) extends HduMeta {
     def lineElems: Int = if (axes.isEmpty) 0 else axes.head.toInt
     /** effective tile width: 0 in `tileW` means whole-line tiles (the
       * row-tiled layout every writer here produces) */
@@ -381,10 +390,31 @@ object FitsStructure {
           return fallback(s"ZTILE $tw x $th outside image ${axes.head} x ${axes(1)}")
         (tw.toInt, th.toInt)
       } else return fallback("non-row ZTILE layout on a non-2D image")
-    // lossy quantized floats need the ZSCALE/ZZERO (+dither) machinery
-    if (h.values.contains("ZSCALE") || h.values.contains("ZZERO") ||
-      bt.columns.exists(c => c.name == "ZSCALE" || c.name == "ZZERO"))
-      return fallback("quantized (lossy) float tiles")
+    // Quantized (lossy) float tiles: stored int32 codes reconstruct as
+    // physical = ZSCALE·code + ZZERO (FITS 4.0 §10.2) — supported for
+    // ZQUANTIZ = NO_DITHER (or absent), where the map is exactly that.
+    // The SUBTRACTIVE_DITHER modes subtract a generator-seeded random
+    // offset per pixel; without cfitsio's exact RNG sequence any
+    // "support" would decode wrong values, so those degrade honestly.
+    def fixedCol(name: String, elems: Set[ElemType]): Int =
+      bt.columns.collectFirst {
+        case BintableColumn(`name`, TForm.Scalar(_, e), off)
+          if elems(e) => off
+      }.getOrElse(-1)
+    val zscaleCol = fixedCol("ZSCALE", Set(ElemType.D))
+    val zzeroCol = fixedCol("ZZERO", Set(ElemType.D))
+    val quantized = h.values.contains("ZSCALE") ||
+      h.values.contains("ZZERO") || zscaleCol >= 0 || zzeroCol >= 0
+    if (quantized) {
+      val zq = h.values.get("ZQUANTIZ").map(_.trim.toUpperCase)
+      if (!zq.forall(_ == "NO_DITHER"))
+        return fallback(s"quantization '${zq.get}' needs the cfitsio RNG")
+      if (zbitpix != -32 && zbitpix != -64)
+        return fallback(s"quantized tiles with ZBITPIX $zbitpix")
+      if (bt.columns.exists(c => c.name == "ZSCALE" || c.name == "ZZERO") &&
+        (zscaleCol < 0) != (zzeroCol < 0))
+        return fallback("ZSCALE/ZZERO columns of unsupported form")
+    }
     val raw = zbitpix match {
       case 8 => ElemType.B
       case 16 => ElemType.I
@@ -394,7 +424,7 @@ object FitsStructure {
       case -64 => ElemType.D
       case other => return fallback(s"ZBITPIX $other")
     }
-    if (cmp == "RICE_1" && !Set(8, 16, 32)(zbitpix))
+    if (cmp == "RICE_1" && !quantized && !Set(8, 16, 32)(zbitpix))
       return fallback(s"RICE_1 with ZBITPIX $zbitpix")
     // ZNAMEn/ZVALn compression parameter pairs
     val zvals = Iterator.from(1)
@@ -404,10 +434,13 @@ object FitsStructure {
     def intParam(k: String, dflt: Int): Int =
       zvals.get(k).flatMap(v =>
         scala.util.Try(v.toDouble.toInt).toOption).getOrElse(dflt)
-    val bytepix = intParam("BYTEPIX", raw.width)
+    // quantized tiles store int32 CODES whatever the original float
+    // width; plain tiles store the element itself
+    val storedWidth = if (quantized) 4 else raw.width
+    val bytepix = intParam("BYTEPIX", storedWidth)
     val blocksize = intParam("BLOCKSIZE", 32)
-    if (bytepix != raw.width)
-      return fallback(s"BYTEPIX $bytepix != element width ${raw.width}")
+    if (bytepix != storedWidth)
+      return fallback(s"BYTEPIX $bytepix != stored width $storedWidth")
     def varCol(name: String): Option[(Int, TForm.VarArr)] =
       bt.columns.collectFirst {
         case BintableColumn(`name`, v: TForm.VarArr, off) => (off, v)
@@ -424,13 +457,26 @@ object FitsStructure {
         s"NAXIS2 ${bt.nRows} != ${nTileCols * nTileRows} tiles " +
           s"($nTileCols x $nTileRows)")
     // original-image BSCALE/BZERO pass through unchanged (applied to
-    // the decompressed elements, same as the plain image path)
-    val elem = ElemType.scaled(raw,
-      h.doubleOr("BSCALE", 1.0), h.doubleOr("BZERO", 0.0))
+    // the decompressed elements, same as the plain image path); with
+    // quantization the two scalings would compose — degrade that
+    // combination rather than guess an order
+    val bscale = h.doubleOr("BSCALE", 1.0)
+    val bzero = h.doubleOr("BZERO", 0.0)
+    if (quantized && (bscale != 1.0 || bzero != 0.0))
+      return fallback("quantized tiles with BSCALE/BZERO")
+    val elem =
+      if (quantized) raw else ElemType.scaled(raw, bscale, bzero)
+    val quantInfo =
+      if (!quantized) None
+      else Some(HduMeta.Quant(zscaleCol, zzeroCol,
+        h.doubleOr("ZSCALE", 1.0), h.doubleOr("ZZERO", 0.0),
+        fixedCol("ZBLANK", Set(ElemType.J)),
+        h.values.get("ZBLANK")
+          .flatMap(v => scala.util.Try(v.trim.toLong).toOption)))
     HduMeta.CompImage(elem, axes, cmp, bytepix, blocksize,
       bt.rowBytes, bt.nRows, cd,
       varCol("GZIP_COMPRESSED_DATA"), varCol("UNCOMPRESSED_DATA"),
-      tileW = tileW, tileH = tileH)
+      tileW = tileW, tileH = tileH, quant = quantInfo)
   }
 
   private def imageMeta(h: FitsHeader): HduMeta = {

@@ -571,6 +571,91 @@ class FitsCompressedSpec extends SparkTestBase {
     }
   }
 
+  test("NO_DITHER quantized floats reconstruct s*code+z per tile; ZBLANK -> NULL") {
+    // per-line tiles; each tile row carries its own ZSCALE/ZZERO double
+    // columns (the fpack layout); codes RICE-compressed int32
+    val width = 6
+    val nLines = 4
+    val codes = (0 until nLines).map(r =>
+      (0 until width).map(c => r * 100 + c * 13 - 250))
+    val scales = (0 until nLines).map(r => 0.5 + r * 0.25)
+    val zeros = (0 until nLines).map(r => r * 10.0)
+    val blankCode = -999999
+    val codesWithBlank = codes.updated(1, codes(1).updated(3, blankCode))
+    val heap = new java.io.ByteArrayOutputStream()
+    val descs = codesWithBlank.map { l =>
+      val bb = ByteBuffer.allocate(width * 4)
+      l.foreach(bb.putInt)
+      val comp = TileCodec.compress("RICE_1", bb.array(), 4, 32)
+      val d = (comp.length, heap.size); heap.write(comp); d
+    }
+    val p = Files.createTempFile("graft-quant", ".fits").toString
+    val out = new DataOutputStream(new FileOutputStream(p))
+    try {
+      out.write(block(Seq(card("SIMPLE", "T"), card("BITPIX", "8"),
+        card("NAXIS", "0"), pad("END", 80))))
+      out.write(block(Seq(
+        card("XTENSION", "'BINTABLE'"), card("BITPIX", "8"),
+        card("NAXIS", "2"), card("NAXIS1", "24"),
+        card("NAXIS2", nLines.toString),
+        card("PCOUNT", heap.size.toString), card("GCOUNT", "1"),
+        card("TFIELDS", "3"),
+        card("TTYPE1", "'COMPRESSED_DATA'"), card("TFORM1", "'1PB     '"),
+        card("TTYPE2", "'ZSCALE  '"), card("TFORM2", "'D       '"),
+        card("TTYPE3", "'ZZERO   '"), card("TFORM3", "'D       '"),
+        card("ZIMAGE", "T"), card("ZCMPTYPE", "'RICE_1'"),
+        card("ZBITPIX", "-32"), card("ZNAXIS", "2"),
+        card("ZNAXIS1", width.toString), card("ZNAXIS2", nLines.toString),
+        card("ZTILE1", width.toString), card("ZTILE2", "1"),
+        card("ZQUANTIZ", "'NO_DITHER'"),
+        card("ZBLANK", blankCode.toString),
+        card("ZNAME1", "'BLOCKSIZE'"), card("ZVAL1", "32"),
+        card("ZNAME2", "'BYTEPIX '"), card("ZVAL2", "4"),
+        pad("END", 80))))
+      descs.zipWithIndex.foreach { case ((l, o), r) =>
+        out.writeInt(l); out.writeInt(o)
+        out.writeDouble(scales(r)); out.writeDouble(zeros(r))
+      }
+      out.write(heap.toByteArray)
+      val dataLen = 24L * nLines + heap.size
+      out.write(new Array[Byte](
+        ((dataLen + 2879) / 2880 * 2880 - dataLen).toInt))
+    } finally out.close()
+    try {
+      val df = spark.read.format("fits").option("hdu", 1).load(p)
+      assert(df.schema("Image").dataType.simpleString == "array<float>")
+      val rows = df.orderBy("ImgIndex").collect()
+      assert(rows.length == nLines)
+      for (r <- 0 until nLines; c <- 0 until width) {
+        val cell = rows(r).getSeq[Any](0)(c)
+        if (r == 1 && c == 3) assert(cell == null, "ZBLANK code must be NULL")
+        else assert(cell == (scales(r) * codes(r)(c) + zeros(r)).toFloat,
+          s"line $r col $c")
+      }
+      // the facade agrees
+      val f = core.FitsFile.open(s"file://$p", hdu = 1)
+      val line0 = f.rows().next().head.asInstanceOf[Seq[Any]]
+      assert(line0 == (0 until width).map(c =>
+        (scales(0) * codes(0)(c) + zeros(0)).toFloat))
+    } finally Files.deleteIfExists(java.nio.file.Paths.get(p))
+  }
+
+  test("dithered quantization still degrades to the raw bintable") {
+    val tile = {
+      val bb = ByteBuffer.allocate(16); (0 until 4).foreach(bb.putInt)
+      TileCodec.compress("RICE_1", bb.array(), 4, 32)
+    }
+    val p = Files.createTempFile("graft-dither", ".fits").toString
+    writeFz(p, "RICE_1", -32, 4, Seq((tile, null: Array[Byte])),
+      withGzCol = false, extraCards = Seq(
+        card("ZQUANTIZ", "'SUBTRACTIVE_DITHER_1'"),
+        card("ZSCALE", "0.125"), card("ZZERO", "0")))
+    try {
+      val df = spark.read.format("fits").option("hdu", 1).load(p)
+      assert(df.columns.toSeq == Seq("COMPRESSED_DATA")) // raw surface
+    } finally Files.deleteIfExists(java.nio.file.Paths.get(p))
+  }
+
   test("unsupported variants degrade to the raw bintable, not an error") {
     val width = 4
     val tile = shortTile(1, 2, 3, 4)
