@@ -200,6 +200,54 @@ class FitsDataSourceSpec extends SparkTestBase {
       e.getMessage.contains("EVENTS"), e.getMessage)
   }
 
+  test("EXTNAME resolves per file: same name at different indices unions") {
+    import FitsWriteSupport.{card, headerBlock, pad, quoted}
+    val dir = java.nio.file.Files.createTempDirectory("fits-extname")
+    def bintable(ids: Seq[Int]): Array[Byte] = {
+      val hdr = headerBlock(Seq(
+        card("XTENSION", quoted("BINTABLE")), card("BITPIX", "8"),
+        card("NAXIS", "2"), card("NAXIS1", "4"),
+        card("NAXIS2", ids.length.toString), card("PCOUNT", "0"),
+        card("GCOUNT", "1"), card("TFIELDS", "1"),
+        card("TTYPE1", quoted("id")), card("TFORM1", quoted("J")),
+        card("EXTNAME", quoted("CATALOG")), pad("END", 80)))
+      val bb = java.nio.ByteBuffer.allocate(2880)
+      ids.foreach(bb.putInt)
+      hdr ++ bb.array()
+    }
+    val primary = headerBlock(Seq(card("SIMPLE", "T"), card("BITPIX", "8"),
+      card("NAXIS", "0"), pad("END", 80)))
+    // an unrelated named extension that shifts CATALOG to index 2 in b
+    val decoy = headerBlock(Seq(
+      card("XTENSION", quoted("BINTABLE")), card("BITPIX", "8"),
+      card("NAXIS", "2"), card("NAXIS1", "2"), card("NAXIS2", "1"),
+      card("PCOUNT", "0"), card("GCOUNT", "1"), card("TFIELDS", "1"),
+      card("TTYPE1", quoted("x")), card("TFORM1", quoted("I")),
+      card("EXTNAME", quoted("OTHER")), pad("END", 80))) ++
+      new Array[Byte](2880)
+    java.nio.file.Files.write(dir.resolve("a.fits"),
+      primary ++ bintable(Seq(1, 2, 3)))
+    java.nio.file.Files.write(dir.resolve("b.fits"),
+      primary ++ decoy ++ bintable(Seq(10, 20)))
+    val df = spark.read.format("fits").option("hdu", "CATALOG")
+      .load(dir.toString)
+    assert(df.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3, 10, 20))
+  }
+
+  test("SQL DDL: CREATE TEMPORARY VIEW USING fits works end to end") {
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW fits_ddl
+         |USING fits
+         |OPTIONS (path '$res/test_file.fits', hdu '1')""".stripMargin)
+    try {
+      val n = spark.sql("SELECT COUNT(*) FROM fits_ddl").head.getLong(0)
+      assert(n == 20000L)
+      val first = spark.sql(
+        "SELECT target FROM fits_ddl ORDER BY Index LIMIT 1").head.getString(0)
+      assert(first == "NGC0000000")
+    } finally spark.catalog.dropTempView("fits_ddl")
+  }
+
   test("fixed bit-field (nX) column decodes as a raw byte blob, vectorized") {
     import FitsWriteSupport.{card, headerBlock, pad, quoted}
     val rowBytes = 4 + 2 // id J + 12X (2 bytes)
