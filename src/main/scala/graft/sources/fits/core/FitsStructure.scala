@@ -411,8 +411,11 @@ object FitsStructure {
         return fallback(s"quantization '${zq.get}' needs the cfitsio RNG")
       if (zbitpix != -32 && zbitpix != -64)
         return fallback(s"quantized tiles with ZBITPIX $zbitpix")
+      // if the table DECLARES per-tile params, both must be captured as
+      // D scalars — otherwise decoding would silently use the header
+      // defaults against per-tile codes (wrong values, not a crash)
       if (bt.columns.exists(c => c.name == "ZSCALE" || c.name == "ZZERO") &&
-        (zscaleCol < 0) != (zzeroCol < 0))
+        (zscaleCol < 0 || zzeroCol < 0))
         return fallback("ZSCALE/ZZERO columns of unsupported form")
     }
     val raw = zbitpix match {
