@@ -31,8 +31,9 @@ def main():
         description="Distribute the data of one or many FITS files.")
     parser.add_argument("inputpath",
                         help="file, directory, glob, or comma-list of FITS paths")
-    parser.add_argument("--hdu", type=int, default=1,
-                        help="HDU index to read (1 = first extension)")
+    parser.add_argument("--hdu", default="1",
+                        help="HDU index to read (1 = first extension), "
+                             "or an EXTNAME like 'EVENTS'")
     parser.add_argument("--write-out", default=None,
                         help="optional dir: write the first 100 rows back "
                              "out as FITS part files and read them again")
