@@ -108,6 +108,16 @@ final case class FitsResolution(options: Map[String, String]) {
       s"compressTile must be WxH with positive integers, got '$v'")
     (parts(0).trim.toInt, parts(1).trim.toInt)
   }
+  /** Write option (with `compress`, float pixels): lossy NO_DITHER
+    * quantization in fpack's terms — the per-tile step is tileSigma/q,
+    * so larger q preserves more precision. Codes are int32 with
+    * per-tile ZSCALE/ZZERO columns; non-finite pixels become ZBLANK
+    * (read back as NULL). */
+  val quantize: Option[Double] = ci.get("quantize").map { v =>
+    val q = v.toDouble
+    require(q > 0, s"quantize must be a positive sigma divisor, got $v")
+    q
+  }
   /** Write option (image modes): emit DATASUM + CHECKSUM cards per the
     * FITS checksum convention (one extra sequential pass over the
     * partition's spill). Verify with [[FitsChecksumReport]]. */

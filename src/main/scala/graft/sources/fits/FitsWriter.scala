@@ -43,6 +43,10 @@ import org.apache.spark.sql.types._
   * var-length arrays write the sentinel without a card (TNULL is
   * untyped for heap data here — documented corner). */
 object FitsWriteSupport {
+  /** ZBLANK code for non-finite pixels in quantized float tiles
+    * (cfitsio's conventional value). */
+  val QuantBlank: Int = Int.MinValue
+
   /** Right-pad WITHOUT truncation — an over-long column name must fail
     * the 80-byte card check below, not be silently chopped. */
   def pad(s: String, n: Int): String =
@@ -164,6 +168,9 @@ object FitsWriteSupport {
     if (res.compressTile.isDefined)
       require(res.imageCompress.isDefined,
         "option 'compressTile' applies only with option 'compress'")
+    if (res.quantize.isDefined)
+      require(res.imageCompress.isDefined,
+        "option 'quantize' applies only with option 'compress'")
   }
 
   /** BITPIX for an image element code. */
@@ -216,13 +223,14 @@ final class FitsStreamingWrite(res: FitsResolution, schema: StructType)
     val cmp = res.imageCompress
     val sum = res.checksumWrite
     val tile = res.compressTile
+    val quant = res.quantize
     new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] =
         new FitsDataWriter(pathSpec, s, partitionId, taskId, props,
           nameTag = s"e$epochId", imageMode = img,
           imageCompress = cmp.orNull, checksum = sum,
-          compressTile = tile.orNull)
+          compressTile = tile.orNull, quantize = quant.getOrElse(0.0))
     }
   }
 
@@ -256,7 +264,7 @@ final class FitsBatchWrite(res: FitsResolution, schema: StructType,
       .map(e => (e.getKey, e.getValue)).toArray
     new FitsDataWriterFactory(res.pathSpec, schema, props, res.imageWrite,
       res.imageCompress.orNull, res.checksumWrite,
-      res.compressTile.orNull)
+      res.compressTile.orNull, res.quantize.getOrElse(0.0))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -277,19 +285,19 @@ final case class FitsWriteCommitted(file: String, rows: Long)
 final class FitsDataWriterFactory(dirSpec: String, schema: StructType,
     confProps: Array[(String, String)], imageMode: Boolean = false,
     imageCompress: String = null, checksum: Boolean = false,
-    compressTile: (Int, Int) = null)
+    compressTile: (Int, Int) = null, quantize: Double = 0.0)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new FitsDataWriter(dirSpec, schema, partitionId, taskId, confProps,
       imageMode = imageMode, imageCompress = imageCompress,
-      checksum = checksum, compressTile = compressTile)
+      checksum = checksum, compressTile = compressTile, quantize = quantize)
 }
 
 final class FitsDataWriter(dirSpec: String, schema: StructType,
     partitionId: Int, taskId: Long, confProps: Array[(String, String)],
     nameTag: String = "", imageMode: Boolean = false,
     imageCompress: String = null, checksum: Boolean = false,
-    compressTile: (Int, Int) = null)
+    compressTile: (Int, Int) = null, quantize: Double = 0.0)
     extends DataWriter[InternalRow] {
   import FitsWriteSupport._
 
@@ -322,10 +330,16 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
   // tile compression (ZIMAGE write): codec resolved here so a bad
   // codec/type combination fails at writer construction, not mid-commit
   if (imageMode && imageCompress == "RICE_1" && imgElem != null &&
-    "BIJ".indexOf(imgElem.code) < 0)
+    "BIJ".indexOf(imgElem.code) < 0 && quantize <= 0)
     throw new IllegalArgumentException(
       s"RICE_1 compresses integer pixels only (byte/short/int lines); " +
-        s"element code '${imgElem.code}' — use GZIP_1/GZIP_2 instead")
+        s"element code '${imgElem.code}' — use GZIP_1/GZIP_2, or " +
+        "option(\"quantize\", q) for lossy float compression")
+  if (imageMode && quantize > 0 && imgElem != null &&
+    "ED".indexOf(imgElem.code) < 0)
+    throw new IllegalArgumentException(
+      "option 'quantize' applies to float image pixels only; " +
+        s"element code '${imgElem.code}' is already integer")
 
   private val tmp: File = File.createTempFile("fits-write-spill", ".bin")
   private val spill = new DataOutputStream(
@@ -524,6 +538,60 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
     FitsWriteCommitted(file.toString, nRows)
   }
 
+  /** NO_DITHER quantization of one float/double tile (fpack's scheme
+    * without the dither): step = tileSigma / q, code = round((v −
+    * mean) / step), stored with the per-tile (step, mean) as
+    * ZSCALE/ZZERO. The step widens when any code would overflow int32
+    * (extreme outliers), and non-finite pixels become the ZBLANK code.
+    * Reconstruction error is ≤ step/2 per pixel by construction. */
+  private def quantizeTile(raw: Array[Byte],
+      nPix: Int): (Array[Byte], Double, Double) = {
+    import graft.sources.fits.core.ElemType
+    val isF = imgElem.code == 'E'
+    val vals = new Array[Double](nPix)
+    var i = 0
+    var n = 0
+    var sum = 0.0
+    while (i < nPix) {
+      val v =
+        if (isF) java.lang.Float.intBitsToFloat(ElemType.i32(raw, i * 4))
+          .toDouble
+        else java.lang.Double.longBitsToDouble(ElemType.i64(raw, i * 8))
+      vals(i) = v
+      if (java.lang.Double.isFinite(v)) { n += 1; sum += v }
+      i += 1
+    }
+    val mean = if (n > 0) sum / n else 0.0
+    var ss = 0.0
+    var maxAbs = 0.0
+    i = 0
+    while (i < nPix) {
+      val v = vals(i)
+      if (java.lang.Double.isFinite(v)) {
+        val d = v - mean
+        ss += d * d
+        if (math.abs(d) > maxAbs) maxAbs = math.abs(d)
+      }
+      i += 1
+    }
+    val sigma = if (n > 1) math.sqrt(ss / n) else 0.0
+    var step = if (sigma > 0) sigma / quantize else 1.0
+    if (maxAbs / step > (Int.MaxValue - 2).toDouble)
+      step = maxAbs / (Int.MaxValue - 2).toDouble
+    if (step == 0.0 || java.lang.Double.isNaN(step)) step = 1.0
+    val out = java.nio.ByteBuffer.allocate(nPix * 4)
+    i = 0
+    while (i < nPix) {
+      val v = vals(i)
+      out.putInt(
+        if (!java.lang.Double.isFinite(v)) FitsWriteSupport.QuantBlank
+        else math.max(-(Int.MaxValue - 1).toLong, math.min(
+          (Int.MaxValue - 1).toLong, math.round((v - mean) / step))).toInt)
+      i += 1
+    }
+    (out.array(), step, mean)
+  }
+
   /** u32-word checksum partial of a whole local file, zero-padding the
     * tail to word alignment (matching the HDU's own zero block
     * padding). Folded per buffer: raw u64 accumulation would wrap mod
@@ -568,7 +636,9 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
     import graft.sources.fits.core.TileCodec
     val line = math.max(imgLine, 0)
     val tileBytes = line * imgElem.elemWidth
-    val bytepix = imgElem.elemWidth
+    // quantized float tiles store int32 codes; plain tiles the element
+    val quantized = quantize > 0
+    val bytepix = if (quantized) 4 else imgElem.elemWidth
     require(nRows <= Int.MaxValue, s"too many lines in one partition: $nRows")
     val tileW = if (compressTile == null) line
       else math.min(math.max(1, compressTile._1), math.max(1, line))
@@ -576,6 +646,8 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
     val nTileCols = if (line == 0) 1 else (line + tileW - 1) / tileW
     val bands = ((nRows + tileH - 1) / tileH).toInt
     val nTiles = bands * nTileCols
+    val qScale = if (quantized) new Array[Double](nTiles) else null
+    val qZero = if (quantized) new Array[Double](nTiles) else null
     // pass 1: compress tile-row bands from the spill into a heap temp
     // file (the spill is line-sequential; a band buffers tileH lines)
     val heapTmp = File.createTempFile("graft-fits-zheap", ".tmp")
@@ -598,13 +670,22 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
           var c0 = 0
           while (tc < nTileCols) {
             val tw = math.min(tileW, line - c0)
-            val tile = new Array[Byte](tw * bandH * bytepix)
+            val ew = imgElem.elemWidth
+            val raw = new Array[Byte](tw * bandH * ew)
             var r = 0
             while (r < bandH) {
-              System.arraycopy(bandBuf, r * tileBytes + c0 * bytepix,
-                tile, r * tw * bytepix, tw * bytepix)
+              System.arraycopy(bandBuf, r * tileBytes + c0 * ew,
+                raw, r * tw * ew, tw * ew)
               r += 1
             }
+            val tile =
+              if (!quantized) raw
+              else {
+                val (codes, step, mean) = quantizeTile(raw, tw * bandH)
+                qScale(t) = step
+                qZero(t) = mean
+                codes
+              }
             val comp = TileCodec.compress(imageCompress, tile, bytepix, 32)
             heapOut.write(comp)
             lens(t) = comp.length
@@ -620,18 +701,20 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
 
       val useQ = heapSize > Int.MaxValue.toLong
       val descBytes = if (useQ) 16 else 8
-      // descriptor rows built once: written below and, with checksum
-      // on, summed first (descriptor area is 4-byte aligned, so the
-      // heap's word phase is position-independent)
+      // one full table row per tile (descriptor + optional per-tile
+      // ZSCALE/ZZERO doubles), built once: written below and, with
+      // checksum on, summed first (the row area is 4-byte aligned, so
+      // the heap's word phase is position-independent)
+      val rowWidth = descBytes + (if (quantized) 16 else 0)
       val descs = new Array[Array[Byte]](nTiles)
       var off = 0L
       var t = 0
       while (t < nTiles) {
-        descs(t) =
-          if (useQ) java.nio.ByteBuffer.allocate(16)
-            .putLong(lens(t).toLong).putLong(off).array()
-          else java.nio.ByteBuffer.allocate(8)
-            .putInt(lens(t)).putInt(off.toInt).array()
+        val bb = java.nio.ByteBuffer.allocate(rowWidth)
+        if (useQ) bb.putLong(lens(t).toLong).putLong(off)
+        else bb.putInt(lens(t)).putInt(off.toInt)
+        if (quantized) bb.putDouble(qScale(t)).putDouble(qZero(t))
+        descs(t) = bb.array()
         off += lens(t)
         t += 1
       }
@@ -649,19 +732,31 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
       out.write(
         if (checksum) headerWithChecksum(primaryCards, 0L)
         else headerBlock(primaryCards :+ pad("END", 80)))
+      val quantCols =
+        if (!quantized) Nil
+        else Seq(
+          card("TTYPE2", quoted("ZSCALE")), card("TFORM2", quoted("D")),
+          card("TTYPE3", quoted("ZZERO")), card("TFORM3", quoted("D")))
+      val quantCards =
+        if (!quantized) Nil
+        else Seq(
+          card("ZQUANTIZ", quoted("NO_DITHER")),
+          card("ZBLANK", FitsWriteSupport.QuantBlank.toString))
       val btCards = Seq(
         card("XTENSION", quoted("BINTABLE")), card("BITPIX", "8"),
-        card("NAXIS", "2"), card("NAXIS1", descBytes.toString),
+        card("NAXIS", "2"), card("NAXIS1", rowWidth.toString),
         card("NAXIS2", nTiles.toString),
         card("PCOUNT", heapSize.toString), card("GCOUNT", "1"),
-        card("TFIELDS", "1"),
+        card("TFIELDS", if (quantized) "3" else "1"),
         card("TTYPE1", quoted("COMPRESSED_DATA")),
-        card("TFORM1", quoted(s"1${if (useQ) "Q" else "P"}B($maxLen)")),
+        card("TFORM1", quoted(s"1${if (useQ) "Q" else "P"}B($maxLen)"))) ++
+        quantCols ++ Seq(
         card("ZIMAGE", "T"), card("ZCMPTYPE", quoted(imageCompress)),
         card("ZBITPIX", bitpixOf(imgElem.code).toString),
         card("ZNAXIS", "2"), card("ZNAXIS1", line.toString),
         card("ZNAXIS2", nRows.toString),
-        card("ZTILE1", tileW.toString), card("ZTILE2", tileH.toString),
+        card("ZTILE1", tileW.toString), card("ZTILE2", tileH.toString)) ++
+        quantCards ++ Seq(
         card("ZNAME1", quoted("BLOCKSIZE")), card("ZVAL1", "32"),
         card("ZNAME2", quoted("BYTEPIX")),
         card("ZVAL2", bytepix.toString))
@@ -683,7 +778,7 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
           remaining -= take
         }
       } finally copyIn.close()
-      val dataLen = descBytes.toLong * nTiles + heapSize
+      val dataLen = rowWidth.toLong * nTiles + heapSize
       out.write(new Array[Byte](
         ((dataLen + 2879) / 2880 * 2880 - dataLen).toInt))
       out.close()

@@ -640,6 +640,59 @@ class FitsCompressedSpec extends SparkTestBase {
     } finally Files.deleteIfExists(java.nio.file.Paths.get(p))
   }
 
+  test("quantize option writes lossy float RICE tiles that read back within step/2") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val width = 32
+    val q = 64.0
+    val rnd = new scala.util.Random(5)
+    // smooth signal + noise, one NaN planted
+    val src = (0 until 40).map { r =>
+      (r.toLong, (0 until width).map { c =>
+        if (r == 3 && c == 7) Float.NaN
+        else (math.sin(r * 0.2 + c * 0.1) * 100 + rnd.nextGaussian()).toFloat
+      }.toArray)
+    }
+    val dir = Files.createTempDirectory("fits-quantw").toString + "/qf"
+    src.toDF("ImgIndex", "Image").coalesce(1).write.format("fits")
+      .option("image", true).option("compress", "RICE_1")
+      .option("quantize", q).mode("append").save(dir)
+    // on-disk: quantized layout cards present
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".fits")).head
+    val hdr = new String(java.util.Arrays.copyOfRange(
+      Files.readAllBytes(part.toPath), 2880, 2880 * 2), "US-ASCII")
+    assert(hdr.contains("NO_DITHER") && hdr.contains("ZSCALE"), hdr)
+    val back = spark.read.format("fits").option("hdu", 1).load(dir)
+      .orderBy("ImgIndex").collect()
+    assert(back.length == 40)
+    for (r <- 0 until 40) {
+      val line = back(r).getSeq[Any](0)
+      // per-line tiles: bound = lineSigma/q/2 (the writer's step rule)
+      val orig = src(r)._2
+      val finite = orig.filter(v => !v.isNaN)
+      val mean = finite.sum / finite.length
+      val sigma = math.sqrt(
+        finite.map(v => (v - mean) * (v - mean)).sum / finite.length)
+      val bound = (if (sigma > 0) sigma / q else 1.0) / 2 + 1e-5
+      for (c <- 0 until width) {
+        val cell = line(c)
+        if (orig(c).isNaN) assert(cell == null, s"NaN at $r/$c must be NULL")
+        else {
+          val err = math.abs(cell.asInstanceOf[Float] - orig(c))
+          assert(err <= bound, s"line $r col $c: err $err > $bound")
+        }
+      }
+    }
+    // contract: quantize without compress fails; on integers fails
+    val e1 = intercept[Exception] {
+      src.toDF("ImgIndex", "Image").write.format("fits")
+        .option("image", true).option("quantize", 4)
+        .mode("append").save(dir + "-bad1")
+    }
+    assert(e1.getMessage.contains("quantize"), e1.getMessage)
+  }
+
   test("dithered quantization still degrades to the raw bintable") {
     val tile = {
       val bb = ByteBuffer.allocate(16); (0 until 4).foreach(bb.putInt)
