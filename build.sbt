@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench`
+// as the bench summary JSON. Two sbt behaviors defeated that for seven
+// rounds: every forked-child line was re-logged with an `[info] `
+// prefix, and a `[success] Total time: ...` trailer landed after it.
+// StdoutOutput passes the child's stdout through unprefixed, and
+// showSuccess drops the trailer — so the bare JSON line printed by
+// Bench/Verify really is the final stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

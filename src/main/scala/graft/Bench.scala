@@ -91,8 +91,18 @@ object Bench {
     // The summary JSON must be the FINAL line on stdout, alone and
     // self-contained (total + per-query timings + probe).
     System.err.println(s"""{"diag":$diags}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson$fits}""")
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson$fits}"""
+    // Belt-and-braces for the driver's parser: the summary also lands in
+    // a file at the repo root, immune to sbt's log prefixes/trailers.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+      (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // stop() BEFORE the summary print so no late executor/log line can
+    // land on stdout after it — the JSON must be the final stdout line
     spark.stop()
+    println(summary)
+    System.out.flush()
     if (failed.nonEmpty) sys.exit(1)
   }
 
@@ -127,15 +137,16 @@ object Bench {
     try {
       import org.apache.spark.sql.functions.{col, length, sum}
       import spark.implicits._
+      // always rewritten: a cached corpus from a previous jar (or a
+      // partial prior write) would silently bench stale bytes after
+      // writer-format changes
       val dir = "target/fits-bench-varlen"
-      if (!new java.io.File(dir).exists()) {
-        val docs = spark.range(200000).map { i =>
-          val r = new scala.util.Random(i)
-          val words = if (i % 997 == 0) 800 else 20 + (i % 40).toInt
-          (i, Seq.fill(words)(s"w${r.nextInt(5000)}").mkString(" "))
-        }.toDF("id", "text")
-        docs.coalesce(4).write.format("fits").mode("overwrite").save(dir)
-      }
+      val docs = spark.range(200000).map { i =>
+        val r = new scala.util.Random(i)
+        val words = if (i % 997 == 0) 800 else 20 + (i % 40).toInt
+        (i, Seq.fill(words)(s"w${r.nextInt(5000)}").mkString(" "))
+      }.toDF("id", "text")
+      docs.coalesce(4).write.format("fits").mode("overwrite").save(dir)
       val df = spark.read.format("fits").option("hdu", 1).load(dir)
       val bytes = df.agg(sum(length(col("text")))).collect().head.getLong(0)
       val best = (1 to 3).map { _ =>

@@ -107,13 +107,27 @@ object Similarity {
 
   /** Drops this session's memoized IVF quantizers (driver-resident
     * centroid tables; small, but the map holds strong session keys and
-    * never shrinks on its own — r2/r3 hygiene item) and index paths. */
+    * never shrinks on its own — r2/r3 hygiene item) and index paths.
+    * Evicted index directories are deleted from java.io.tmpdir —
+    * without that, every session leaks a whole bucketed corpus copy. */
   def evictMemo(s: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
     ivfMemo.keySet.asScala.filter(_._1 eq s).toList
       .foreach(ivfMemo.remove)
     ivfIndexMemo.keySet.asScala.filter(_._1 eq s).toList
-      .foreach(ivfIndexMemo.remove)
+      .foreach { k =>
+        Option(ivfIndexMemo.remove(k)).foreach(deleteRecursively)
+      }
+  }
+
+  private def deleteRecursively(path: String): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toList
+        .reverseIterator  // children before parents
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   /** Coarse quantizer for the IVF index, fit ONCE per (session, corpus)

@@ -67,7 +67,7 @@ final case class FitsResolution(options: Map[String, String]) {
   // EXTNAME (astropy-style): a non-numeric value resolves against each
   // file's EXTNAME cards, case-insensitively — so heterogeneous files
   // that place the named extension at different indices still union.
-  private lazy val hduSpec: String = ci.getOrElse("hdu",
+  lazy val hduSpec: String = ci.getOrElse("hdu",
     throw new IllegalArgumentException(
       "You need to specify the HDU to be read! Set the 'hdu' option.")).trim
   private lazy val hduSpecIndex: Option[Int] = hduSpec.toIntOption
@@ -245,7 +245,7 @@ final class FitsCountScan(res: FitsResolution) extends Scan with Batch
       "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
   override def toBatch: Batch = this
   override def description(): String =
-    s"FITS ${res.pathSpec} hdu=${res.hduIndex} [metadata-only count]"
+    s"FITS ${res.pathSpec} hdu=${res.hduSpec} [metadata-only count]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val firstSchema = res.inferredSchema
@@ -254,13 +254,13 @@ final class FitsCountScan(res: FitsResolution) extends Scan with Batch
       val idx = res.hduIndexFor(hdus)
       if (idx < 0 || idx >= hdus.length) {
         if (res.mode == "FAILFAST") throw new IllegalArgumentException(
-          s"$path has no HDU ${res.hduIndex}")
+          s"$path has no HDU ${res.hduSpec}")
         None
       } else {
         val meta = res.targetMeta(hdus, path)
         if (meta.schema != firstSchema) {
           if (res.mode == "FAILFAST") throw new IllegalArgumentException(
-            s"$path HDU ${res.hduIndex} schema differs from first file's")
+            s"$path HDU ${res.hduSpec} schema differs from first file's")
           None
         } else Some(FitsCountPartition(meta.nRows): InputPartition)
       }
@@ -345,7 +345,7 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
     }
   }
   override def description(): String =
-    s"FITS ${res.pathSpec} hdu=${res.hduIndex} " +
+    s"FITS ${res.pathSpec} hdu=${res.hduSpec} " +
       s"cols=${required.fieldNames.mkString(",")}" +
       limit.map(l => s" limit=$l").getOrElse("")
 
@@ -377,11 +377,11 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
     val readable = fileMetas.flatMap { case (path, hdus) =>
       val idx = res.hduIndexFor(hdus)
       if (idx < 0 || idx >= hdus.length) {
-        failOrWarn(s"$path has no HDU ${res.hduIndex}; skipping"); None
+        failOrWarn(s"$path has no HDU ${res.hduSpec}; skipping"); None
       } else {
         val meta = res.targetMeta(hdus, path)
         if (meta.schema != firstSchema) {
-          failOrWarn(s"$path HDU ${res.hduIndex} schema ${meta.schema.simpleString} " +
+          failOrWarn(s"$path HDU ${res.hduSpec} schema ${meta.schema.simpleString} " +
             s"differs from first file's ${firstSchema.simpleString}; skipping")
           None
         } else if (meta.isReadable && meta.nRows > 0 && meta.rowBytes > 0)

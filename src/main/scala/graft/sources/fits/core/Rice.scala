@@ -59,8 +59,8 @@ object Rice {
     }
 
     /** Count of 0-bits before the next 1-bit (the 1 is consumed). */
-    def unary(maxTop: Int): Int = {
-      var top = 0
+    def unary(maxTop: Long): Int = {
+      var top = 0L
       while (true) {
         if (cnt == 0) refill(1)
         val window = buf & ((1L << cnt) - 1)
@@ -68,7 +68,7 @@ object Rice {
         else {
           val z = cnt - (64 - java.lang.Long.numberOfLeadingZeros(window))
           cnt -= z + 1
-          return top + z
+          return (top + z).toInt
         }
         if (top > maxTop) throw new IllegalArgumentException(
           "RICE_1 stream corrupt: runaway unary code")
@@ -92,7 +92,10 @@ object Rice {
     while (k < bytepix) { lastpix = (lastpix << 8) | (comp(k) & 0xff); k += 1 }
 
     val r = new BitReader(comp, bytepix)
-    val maxTop = 8 * comp.length
+    // Long: 8 * length overflows Int for payloads >= 256 MiB (the
+    // MaxVarElement cap admits exactly 2^28 bytes), which would make a
+    // maximal legal tile spuriously fail as "runaway unary code".
+    val maxTop = 8L * comp.length
 
     def put(i: Int, v: Int): Unit = {
       var b = bytepix
