@@ -220,6 +220,7 @@ final class FitsColumnarReader(part: FitsInputPartition,
           case ElemType.D =>
             child.putDouble(idx, java.lang.Double.longBitsToDouble(i64(o)))
           case se: ElemType.ScaledElem => putScaled(se, child, idx, o)
+          case be: ElemType.BlankElem => putBlanked(be, child, idx, o)
         }
         j += 1
       }
@@ -227,6 +228,22 @@ final class FitsColumnarReader(part: FitsInputPartition,
       r += 1
     }
   }
+
+  /** BLANK-sentinel integer image element: NULL on the sentinel, else
+    * the (possibly scaled) value, unboxed. */
+  @inline private def putBlanked(be: ElemType.BlankElem,
+      v: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+      idx: Int, o: Int, src: Array[Byte] = buf): Unit =
+    if (be.isBlankAt(src, o)) v.putNull(idx)
+    else be.inner match {
+      case ElemType.B => v.putByte(idx, src(o))
+      case ElemType.I => v.putShort(idx, ElemType.s16(src, o))
+      case ElemType.J => v.putInt(idx, ElemType.i32(src, o))
+      case ElemType.K => v.putLong(idx, ElemType.i64(src, o))
+      case se: ElemType.ScaledElem => putScaled(se, v, idx, o, src)
+      case other => throw new IllegalStateException(
+        s"BLANK on non-integer element $other")
+    }
 
   // -------------------------- tile-compressed images: band/line path
   // One emitted row = one IMAGE LINE. A chunk holds whole tile-row
@@ -408,6 +425,8 @@ final class FitsColumnarReader(part: FitsInputPartition,
                 java.lang.Double.longBitsToDouble(ElemType.i64(tile, o)))
               case se: ElemType.ScaledElem =>
                 putScaled(se, child, idx, o, tile)
+              case be: ElemType.BlankElem =>
+                putBlanked(be, child, idx, o, tile)
             }
             j += 1
           }
@@ -477,7 +496,8 @@ final class FitsColumnarReader(part: FitsInputPartition,
               v.putDouble(r, java.lang.Double.longBitsToDouble(i64(r * rowBytes + off)))
               r += 1
             }
-          case e: ElemType.ScaledElem => throw new IllegalStateException(
+          case e @ (_: ElemType.ScaledElem | _: ElemType.BlankElem) =>
+            throw new IllegalStateException(
             s"scaled element $e inside a raw Scalar — TForm.scaled wraps " +
               "at the TForm level (TForm.Scaled), never inside Scalar")
         }
@@ -575,7 +595,8 @@ final class FitsColumnarReader(part: FitsInputPartition,
                 child.putFloat(idx, java.lang.Float.intBitsToFloat(i32(o)))
               case ElemType.D =>
                 child.putDouble(idx, java.lang.Double.longBitsToDouble(i64(o)))
-              case e: ElemType.ScaledElem => throw new IllegalStateException(
+              case e @ (_: ElemType.ScaledElem | _: ElemType.BlankElem) =>
+            throw new IllegalStateException(
                 s"scaled element $e cannot take the vectorized path")
             }
             j += 1
@@ -669,7 +690,8 @@ final class FitsColumnarReader(part: FitsInputPartition,
                   java.lang.Float.intBitsToFloat(ElemType.i32(src, o)))
                 case ElemType.D => child.putDouble(idx,
                   java.lang.Double.longBitsToDouble(ElemType.i64(src, o)))
-                case e: ElemType.ScaledElem => throw new IllegalStateException(
+                case e @ (_: ElemType.ScaledElem | _: ElemType.BlankElem) =>
+            throw new IllegalStateException(
                   s"scaled element $e inside a var-length column")
               }
               j += 1

@@ -416,7 +416,8 @@ final class FitsPartitionReader(part: FitsInputPartition,
               java.lang.Float.intBitsToFloat(readInt(off)))
             case ElemType.D => w.write(i,
               java.lang.Double.longBitsToDouble(readLong(off)))
-            case e: ElemType.ScaledElem => throw new IllegalStateException(
+            case e @ (_: ElemType.ScaledElem | _: ElemType.BlankElem) =>
+            throw new IllegalStateException(
               s"scaled element $e cannot take the unsafe path")
           }
         case TForm.Str(_, len) =>

@@ -412,6 +412,13 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
     * line length is locked rectangular by the first row). An integral
     * line-index column, if present, is not stored — row order is the
     * line order, exactly what the image reader reproduces. */
+  // integer-image null round-trip: a null pixel spills the type's
+  // MinValue and the HDU gains a BLANK card at commit (the image
+  // counterpart of the bintable TNULL encoding); data holding BOTH
+  // nulls and a legitimate MinValue pixel fails loudly at commit.
+  private var imgHasNull = false
+  private var imgSawMin = false
+
   private def writeImageLine(row: InternalRow): Unit = {
     if (row.isNullAt(imgCol)) throw new IllegalArgumentException(
       s"null image line in column '${fields(imgCol).name}'")
@@ -424,10 +431,67 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
     val et = imgElem.elemType
     var j = 0
     while (j < n) {
-      writeScalar(-1, et, nul = arr.isNullAt(j), arr.get(j, et)); j += 1
+      writeImagePixel(et, nul = arr.isNullAt(j), arr.get(j, et)); j += 1
     }
     nRows += 1
   }
+
+  /** One image pixel: integer nulls spill the MinValue sentinel (BLANK
+    * card at commit); float/boolean pixels keep writeScalar's legacy
+    * behavior (null → 0 / undefined). */
+  private def writeImagePixel(dt: DataType, nul: Boolean,
+      get: => Any): Unit = dt match {
+    case ByteType =>
+      if (nul) { imgHasNull = true; spill.writeByte(Byte.MinValue) }
+      else {
+        val v = get.asInstanceOf[Byte]
+        if (v == Byte.MinValue) imgSawMin = true
+        spill.writeByte(v)
+      }
+    case ShortType =>
+      if (nul) { imgHasNull = true; spill.writeShort(Short.MinValue) }
+      else {
+        val v = get.asInstanceOf[Short]
+        if (v == Short.MinValue) imgSawMin = true
+        spill.writeShort(v)
+      }
+    case IntegerType =>
+      if (nul) { imgHasNull = true; spill.writeInt(Int.MinValue) }
+      else {
+        val v = get.asInstanceOf[Int]
+        if (v == Int.MinValue) imgSawMin = true
+        spill.writeInt(v)
+      }
+    case LongType =>
+      if (nul) { imgHasNull = true; spill.writeLong(Long.MinValue) }
+      else {
+        val v = get.asInstanceOf[Long]
+        if (v == Long.MinValue) imgSawMin = true
+        spill.writeLong(v)
+      }
+    case _ => writeScalar(-1, dt, nul, get)
+  }
+
+  /** The BLANK card for an integer image that spilled null pixels; the
+    * stored 'B' sentinel byte 0x80 is the unsigned value 128, same
+    * normalization as the table TNULL card. */
+  private def imageBlankCards: Seq[String] =
+    if (!imgHasNull) Nil
+    else if (imgSawMin) throw new IllegalArgumentException(
+      s"image column '${fields(imgCol).name}' contains both NULL pixels " +
+        "and the type's MinValue — the BLANK sentinel encoding is " +
+        "ambiguous; shift the data or drop the nulls")
+    else {
+      val sentinel = imgElem.code match {
+        case 'B' => 128L
+        case 'I' => Short.MinValue.toLong
+        case 'J' => Int.MinValue.toLong
+        case 'K' => Long.MinValue
+        case other => throw new IllegalStateException(
+          s"null pixels in non-integer image element '$other'")
+      }
+      Seq(card("BLANK", sentinel.toString))
+    }
 
   private def writeTableRow(row: InternalRow): Unit = {
     var i = 0
@@ -514,7 +578,7 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
       val cards = Seq(card("SIMPLE", "T"),
         card("BITPIX", bitpixOf(imgElem.code).toString),
         card("NAXIS", "2"), card("NAXIS1", line.toString),
-        card("NAXIS2", nRows.toString))
+        card("NAXIS2", nRows.toString)) ++ imageBlankCards
       out.write(
         if (checksum) headerWithChecksum(cards, dataSum)
         else headerBlock(cards :+ pad("END", 80)))
@@ -756,7 +820,7 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
         card("ZNAXIS", "2"), card("ZNAXIS1", line.toString),
         card("ZNAXIS2", nRows.toString),
         card("ZTILE1", tileW.toString), card("ZTILE2", tileH.toString)) ++
-        quantCards ++ Seq(
+        quantCards ++ imageBlankCards ++ Seq(
         card("ZNAME1", quoted("BLOCKSIZE")), card("ZVAL1", "32"),
         card("ZNAME2", quoted("BYTEPIX")),
         card("ZVAL2", bytepix.toString))

@@ -467,8 +467,12 @@ object FitsStructure {
     val bzero = h.doubleOr("BZERO", 0.0)
     if (quantized && (bscale != 1.0 || bzero != 0.0))
       return fallback("quantized tiles with BSCALE/BZERO")
+    // BLANK → NULL applies to lossless integer tiles exactly as to a
+    // plain integer image (quantized floats have ZBLANK instead)
     val elem =
-      if (quantized) raw else ElemType.scaled(raw, bscale, bzero)
+      if (quantized) raw
+      else ElemType.blanked(
+        ElemType.scaled(raw, bscale, bzero), blankOf(h, zbitpix))
     val quantInfo =
       if (!quantized) None
       else Some(HduMeta.Quant(zscaleCol, zzeroCol,
@@ -495,9 +499,18 @@ object FitsStructure {
         s"Unsupported image BITPIX $other")
     }
     // BSCALE/BZERO linear scaling (beyond reference — ElemType.ScaledElem)
-    val elem = ElemType.scaled(raw,
+    val scaledElem = ElemType.scaled(raw,
       h.doubleOr("BSCALE", 1.0), h.doubleOr("BZERO", 0.0))
+    // BLANK → SQL NULL for integer images (defined for BITPIX > 0 only;
+    // compares the STORED value, so it wraps outside the scaling)
+    val elem = ElemType.blanked(scaledElem, blankOf(h, bitpix))
     val meta = HduMeta.Image(elem, h.axes)
     if (meta.nRows == 0) HduMeta.Opaque else meta
   }
+
+  /** The integer-image BLANK sentinel, when declared and applicable. */
+  private def blankOf(h: FitsHeader, bitpix: Int): Option[Long] =
+    if (bitpix <= 0) None
+    else h.values.get("BLANK")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
 }

@@ -132,6 +132,59 @@ object ElemType {
       case L | _: ScaledElem => e
       case _ => ScaledElem(e, scale, zero)
     }
+
+  /** Integer-image `BLANK` null sentinel (FITS 4.0 §4.4.2.5): a STORED
+    * pixel equal to the sentinel reads as SQL NULL. The comparison is
+    * on the stored integer, before any BSCALE/BZERO scaling — exactly
+    * the standard's definition — so `inner` may be the raw integer
+    * element or a [[ScaledElem]] wrapping it. The image-HDU counterpart
+    * of the bintable TNULL machinery (TForm.WithNull); the reference
+    * parses BLANK but never consumes it (FitsLib.scala:110-115). */
+  final case class BlankElem(inner: ElemType, sentinel: Long)
+      extends ElemType {
+    private val stored: ElemType = inner match {
+      case ScaledElem(i, _, _) => i
+      case e => e
+    }
+    def code: Char = inner.code
+    def width: Int = inner.width
+    def sparkType: DataType = inner.sparkType
+    /** The stored integer at `off` (B unsigned per the standard). */
+    @inline def storedLong(b: Array[Byte], off: Int): Long = stored match {
+      case B => (b(off) & 0xffL)
+      case I => s16(b, off).toLong
+      case J => i32(b, off).toLong
+      case K => i64(b, off)
+      case other => throw new IllegalStateException(
+        s"BLANK on non-integer element $other")
+    }
+    @inline def isBlankAt(b: Array[Byte], off: Int): Boolean =
+      storedLong(b, off) == sentinel
+    def decode(b: Array[Byte], off: Int): Any =
+      if (isBlankAt(b, off)) null else inner.decode(b, off)
+  }
+
+  /** Wraps integer-based image elements with the BLANK sentinel; the
+    * keyword is defined for positive BITPIX only, so float/logical
+    * elements ignore it. For BITPIX=8 the stored byte is unsigned:
+    * the sentinel is normalized to 0-255 so both the standard card and
+    * legacy signed cards (e.g. -128) match the same stored byte. */
+  def blanked(e: ElemType, sentinel: Option[Long]): ElemType =
+    sentinel match {
+      case None => e
+      case Some(s) =>
+        def intBase(x: ElemType): Option[ElemType] = x match {
+          case B | I | J | K => Some(x)
+          case ScaledElem(i, _, _) if i == B || i == I || i == J || i == K =>
+            Some(i)
+          case _ => None
+        }
+        intBase(e) match {
+          case Some(B) => BlankElem(e, s & 0xffL)
+          case Some(_) => BlankElem(e, s)
+          case None => e
+        }
+    }
 }
 
 /** A parsed TFORM: repeat count + element code.
