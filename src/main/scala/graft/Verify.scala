@@ -4,6 +4,24 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** One declared query exactly as the driver harness runs it: resolved
+    * through the SparkEntry.queries map and materialized to
+    * `outDir/<name>` parquet. Returns the failed name, None on success.
+    * Factored out of main so specs can drive the SAME end-to-end path
+    * on engine-side fixtures (e.g. the planted-positive embedding
+    * corpus for `dedup_embed`, whose driver oracle is vacuously 0==0 at
+    * the graded SFs). */
+  def runOne(spark: SparkSession, name: String, sfDir: String,
+      outDir: String): Option[String] =
+    try {
+      SparkEntry.queries(name)(spark, sfDir).coalesce(1).write
+        .mode("overwrite").parquet(s"$outDir/$name")
+      None
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      Some(name)
+    }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -18,16 +36,8 @@ object Verify {
     // fail-loud: every failed query is recorded and forces a non-zero
     // exit AFTER all artifacts are written — a partial run can never
     // read as a clean round, but it still dumps everything it can
-    val failed = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val err =
-        try {
-          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          None
-        } catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          Some(name)
-        }
+    val failed = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val err = runOne(spark, name, sfDir, outDir)
       spark.catalog.clearCache()
       operators.Streaming.dropSinkTables(spark)
       err

@@ -171,6 +171,17 @@ object Similarity {
       out
     })
 
+  /** Builds (and memoizes) the IVF index for `dir` ahead of time,
+    * returning the build seconds. The bench calls this in warmup so
+    * `sim_ivf_topk` measures what the 100 TB design promises — the
+    * pruned PROBE — while the one-off k-means fit + bucketed corpus
+    * write is reported as its own `sim_ivf_build` timing. */
+  def warmIvfIndex(s: SparkSession, dir: String, k: Int = 16): Double = {
+    val t0 = System.nanoTime()
+    ivfIndexPath(s, dir, k)
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** IVF (inverted-file) ANN: coarse k-means quantization of the
     * corpus, queries probe their 2 nearest centroids and rank only
     * those buckets — the other standard scale path besides LSH. The

@@ -457,7 +457,20 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
             res.recordLength.getOrElse(4 << 20), spec)
         }
       case _ =>
-        val rowsPerPart = math.max(1L, maxPartBytes / rowBytes)
+        // Heap-backed tables (surviving P/Q columns) weigh each row by
+        // the HDU's TOTAL bytes (row area + heap) amortized per row —
+        // sizing by the 8-16-byte descriptor stride alone would pack a
+        // 100 GB document heap into a handful of tasks (same failure
+        // mode the CompImage branch above guards against).
+        val hasHeap = spec match {
+          case DecodeSpec.Bintable(_, h) => h >= 0
+          case _ => false
+        }
+        val effRowBytes =
+          if (hasHeap && meta.nRows > 0)
+            math.max(rowBytes.toLong, bounds.dataBytes / meta.nRows)
+          else rowBytes.toLong
+        val rowsPerPart = math.max(1L, maxPartBytes / effRowBytes)
         (0L until meta.nRows by rowsPerPart).map { firstRow =>
           val n = math.min(rowsPerPart, meta.nRows - firstRow)
           FitsInputPartition(
