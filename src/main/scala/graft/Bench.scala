@@ -55,15 +55,20 @@ object Bench {
     val ivfBuildSec = operators.Similarity.warmIvfIndex(spark, sfDir)
 
     // Deterministic run order; each query fully materialized via count().
+    // The row count goes into the summary: a run that silently processes
+    // nothing (e.g. a source glob matching zero files) looks FAST, and
+    // only the count exposes it — canary_check compares rows, not just
+    // seconds (the r7 canary streamed zero events without failing).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
+      val rows =
+        try fn(spark, sfDir).count()
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
+            -1L
         }
+      val ok = rows >= 0
       // a failed query must not report its time-to-crash as a timing
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // queries cache intermediates for intra-query reuse; evict between
@@ -74,13 +79,15 @@ object Bench {
       operators.Streaming.dropSinkTables(spark)
       val diag = f"""{"rdds":$nRdds,"storage_mb":$storageMb,""" +
         f""""heap_mb":$heapMb,"gc_ms":$gcMs,"load":$loadAvg%.1f}"""
-      (name, dt, ok, diag)
+      (name, dt, rows, diag)
     }
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val rowsJson = results.map { case (k, _, n, _) => "\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
     val diags = results.map { case (k, _, _, d) => "\"" + k + "\":" + d }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, n, _) if n < 0 => "\"" + k + "\"" }
     val failedJson = failed.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // drop the memoized (checkpoint-backed) operator state before the
@@ -98,7 +105,7 @@ object Bench {
     // self-contained (total + per-query timings + probe).
     System.err.println(s"""{"diag":$diags}""")
     val summary =
-      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson,"sim_ivf_build_s":$ivfBuildSec%.3f$fits}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rowsJson,"sf":"$sfDir","failed":$failedJson,"sim_ivf_build_s":$ivfBuildSec%.3f$fits}"""
     // Belt-and-braces for the driver's parser: the summary also lands in
     // a file at the repo root, immune to sbt's log prefixes/trailers.
     java.nio.file.Files.write(

@@ -58,4 +58,27 @@ object VecAlgo {
     }
     sig
   }
+
+  /** [[signSignature]] for arbitrary widths: bit k lands in word k/64.
+    * Bits 0..63 match signSignature(v, 64) exactly (same hyperplanes),
+    * so widening a signature only APPENDS bits — narrow- and wide-band
+    * geometries agree on their shared prefix. */
+  def signSignatureWords(v: ArrayData, nBits: Int): Array[Long] = {
+    val d = v.numElements()
+    val words = new Array[Long]((nBits + 63) >>> 6)
+    var k = 0
+    while (k < nBits) {
+      var acc = 0.0
+      var j = 0
+      while (j < d) {
+        val r = TextAlgo.fmix64(k.toLong * 0x9e3779b97f4a7c15L + j)
+        val sign = if ((r & 1L) == 1L) 1.0 else -1.0
+        acc += sign * v.getFloat(j)
+        j += 1
+      }
+      if (acc >= 0) words(k >>> 6) |= (1L << (k & 63))
+      k += 1
+    }
+    words
+  }
 }

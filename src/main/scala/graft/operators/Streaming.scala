@@ -26,17 +26,32 @@ object Streaming {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** The file stream source wants a directory, and `<table>.parquet`
+    * under a scale-factor dir can be either a plain file (TESTDATA
+    * layout) or a Spark-written directory of `part-*.parquet` files
+    * (CanaryGen layout, and any Hadoop-FS dataset at real scale). A
+    * glob that assumes one layout silently streams ZERO files on the
+    * other — the r7 canary ran every streaming query over an empty
+    * source without failing. Resolve the layout through the Hadoop
+    * FileSystem and aim the source accordingly. */
+  private def streamTable(s: SparkSession, dir: String, table: String,
+      schema: StructType): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val rdr = s.readStream.schema(schema)
+    if (fs.getFileStatus(path).isDirectory)
+      rdr.option("pathGlobFilter", "*.parquet").parquet(path.toString)
+    else
+      rdr.option("pathGlobFilter", s"$table.parquet").parquet(dir)
+  }
+
   /** events replayed as a file stream; ts nanos → TimestampType (µs —
     * lossless: the generator emits µs-precision values). */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     require(s.conf.get(graft.Tables.NanosAsLongKey, "false") == "true",
       s"streaming the events table requires ${graft.Tables.NanosAsLongKey}" +
         "=true at session construction (Tables.withNanosAsLong)")
-    // the file stream source wants a directory; pathGlobFilter narrows
-    // it to the events table
-    s.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    streamTable(s, dir, "events", eventsSchema)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
@@ -134,9 +149,7 @@ object Streaming {
     * with the watermark; the replay here is bounded, like the other
     * AvailableNow queries. */
   val stream_dedup: Q = (s, dir) => {
-    val docs = s.readStream.schema(documentsSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    val docs = streamTable(s, dir, "documents", documentsSchema)
     val distinct = docs.dropDuplicates("text").select(col("text"))
     runToTable(s, distinct, "stream_dedup_tbl", "append")
       .orderBy(col("text"))

@@ -19,14 +19,18 @@ import graft.functions.VecAlgo
   * without a wide Distinct).
   *
   * Semantics: emit each (left, right) pair whose vectors share ≥1
-  * sign-LSH band (64-bit signature, 8 bands × 8 bits) AND whose exact
-  * cosine ≥ threshold, exactly once, with the cosine appended as `sim`.
+  * sign-LSH band (`spark.graft.approxJoin.bands` × bitsPerBand; default
+  * 8 bands with corpus-adaptive width — see
+  * [[ApproxCosineJoinExec.resolveGeometry]]) AND whose exact cosine ≥
+  * threshold, exactly once, with the cosine appended as `sim`.
   * Approximate by design (band recall < 1); the user opts in through
   * [[ApproxCosineJoin.join]] — no silent rewrite of exact plans.
   *
   * Scale: both sides shuffle once on the band key (cogroup); a pair
   * colliding in several bands is emitted only at its *minimal* matching
-  * band — deduplication without global state or a wide Distinct.
+  * band — deduplication without global state or a wide Distinct. Band
+  * width grows with the corpus (auto mode) so random band collisions —
+  * the quadratic term — stay bounded per bucket.
   */
 final case class ApproxCosineJoinNode(
     left: LogicalPlan,
@@ -67,29 +71,69 @@ final case class ApproxCosineJoinExec(
     output: Seq[Attribute])
     extends BinaryExecNode {
 
-  private val NBits = 64
-  private val Bands = 8
-  private val BitsPerBand = NBits / Bands
-
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
     copy(left = newLeft, right = newRight)
 
-  @inline private def bandVal(sig: Long, b: Int): Int =
-    ((sig >>> (b * BitsPerBand)) & ((1 << BitsPerBand) - 1)).toInt
-
-  /** (band index, band value) keys for one signature. */
-  private def keysOf(sig: Long): Array[(Int, Int)] =
-    Array.tabulate(Bands)(b => (b, bandVal(sig, b)))
+  /** Band value `b` of a multi-word signature: `bits` bits starting at
+    * bit `b*bits`, possibly spanning a word boundary. `bits` ≤ 24 < 64,
+    * so the mask shift never overflows. */
+  @inline private def bandVal(sig: Array[Long], b: Int, bits: Int): Long = {
+    val start = b.toLong * bits
+    val word = (start >>> 6).toInt
+    val off = (start & 63).toInt
+    val lo = sig(word) >>> off
+    val v =
+      if (off + bits <= 64 || word + 1 >= sig.length) lo
+      else lo | (sig(word + 1) << (64 - off))
+    v & ((1L << bits) - 1)
+  }
 
   /** Minimal band index on which two signatures collide, or -1. */
-  private def minMatchingBand(a: Long, b: Long): Int = {
+  private def minMatchingBand(a: Array[Long], b: Array[Long],
+      bands: Int, bits: Int): Int = {
     var i = 0
-    while (i < Bands) {
-      if (bandVal(a, i) == bandVal(b, i)) return i
+    while (i < bands) {
+      if (bandVal(a, i, bits) == bandVal(b, i, bits)) return i
       i += 1
     }
     -1
+  }
+
+  private def ceilLog2(x: Long): Int =
+    if (x <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1)
+
+  /** Band geometry. `bands` is `spark.graft.approxJoin.bands` (default
+    * 8); `bitsPerBand` is `spark.graft.approxJoin.bitsPerBand` (default
+    * "auto").
+    *
+    * Fixed-width bands cannot survive growth: a random (unrelated) pair
+    * collides in a band with P = 2^-bits, so the verify loop does
+    * ~bands · N² / 2^bits cosine evaluations — quadratic in the corpus
+    * for any FIXED bits (the r7 canary measured 8.6× time at 10× data
+    * on 8-bit bands). "auto" therefore sizes bits to the corpus:
+    * bits = clamp(8, 24, ceil(log2(maxSide / 64))), which bounds the
+    * expected random-collision bucket at ~64 rows and keeps candidate
+    * volume ~linear in N up to ~10⁹ rows per side. The price of auto is
+    * one extra counting pass over each child (linear — cheap insurance
+    * against a quadratic loop) and band recall that narrows as bands
+    * widen: at bits=16, a true cos=0.9 pair still collides per band
+    * with p=(1−θ/π)^16 ≈ 0.29 (recall ≈ 0.93 over 8 bands), while the
+    * low-similarity tail thins out — the operator is FOR high-similarity
+    * search; raise `bands` to buy recall with linear, not quadratic,
+    * cost. Set bitsPerBand explicitly to skip the counting pass. */
+  private def resolveGeometry(): (Int, Int) = {
+    val bands = conf.getConfString("spark.graft.approxJoin.bands", "8").toInt
+    require(bands >= 1 && bands <= 64, s"approxJoin.bands out of range: $bands")
+    val bitsStr = conf.getConfString("spark.graft.approxJoin.bitsPerBand", "auto")
+    val bits = bitsStr match {
+      case "auto" =>
+        val n = math.max(left.execute().count(), right.execute().count())
+        math.min(24, math.max(8, ceilLog2(n / 64)))
+      case s => s.toInt
+    }
+    require(bits >= 1 && bits <= 24, s"approxJoin.bitsPerBand out of range: $bits")
+    (bands, bits)
   }
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -98,19 +142,22 @@ final case class ApproxCosineJoinExec(
     val lBound = BindReferences.bindReference(leftVec, left.output)
     val rBound = BindReferences.bindReference(rightVec, right.output)
     val t = threshold
+    val (bands, bits) = resolveGeometry()
+    val nBits = bands * bits
 
-    def keyed(plan: SparkPlan, bound: Expression): RDD[((Int, Int), (InternalRow, Long, ArrayData))] =
+    def keyed(plan: SparkPlan, bound: Expression): RDD[((Int, Long), (InternalRow, Array[Long], ArrayData))] =
       plan.execute().mapPartitions { it =>
         it.flatMap { row =>
           val v = bound.eval(row)
           if (v == null) Iterator.empty
           else {
             val arr = v.asInstanceOf[ArrayData]
-            val sig = VecAlgo.signSignature(arr, NBits)
+            val sig = VecAlgo.signSignatureWords(arr, nBits)
             val copied = row.copy()
             // copy the vector out of the reused row buffer too
             val vecCopy = arr.copy()
-            keysOf(sig).iterator.map(k => (k, (copied, sig, vecCopy)))
+            (0 until bands).iterator.map(b =>
+              ((b, bandVal(sig, b, bits)), (copied, sig, vecCopy)))
           }
         }
       }
@@ -134,7 +181,7 @@ final case class ApproxCosineJoinExec(
       conf.getConfString("spark.graft.lsh.maxBucket", null)).map(_.toLong)
     val cap: Long = explicitCap.getOrElse(1000000L)
     explicitCap.filter(_ > 0).foreach { c =>
-        def hotKeys(rdd: RDD[((Int, Int), (InternalRow, Long, ArrayData))]) =
+        def hotKeys(rdd: RDD[((Int, Long), (InternalRow, Array[Long], ArrayData))]) =
           rdd.map(kv => (kv._1, 1L)).reduceByKey(_ + _)
             .filter(_._2 > c).keys
         val hot = (hotKeys(lk) ++ hotKeys(rk)).distinct().collect().toSet
@@ -164,7 +211,7 @@ final case class ApproxCosineJoinExec(
           (lRow, lSig, lVec) <- ls.iterator
           (rRow, rSig, rVec) <- rs.iterator
           // emit only at the minimal matching band → exactly-once pairs
-          if minMatchingBand(lSig, rSig) == band
+          if minMatchingBand(lSig, rSig, bands, bits) == band
           sim = VecAlgo.cosine(lVec, rVec)
           if sim >= t
         } yield {

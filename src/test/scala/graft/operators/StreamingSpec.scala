@@ -192,6 +192,30 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.sorted.sameElements(streamed), "output is sorted")
   }
 
+  test("streaming sources read directory-layout tables (canary corpus shape)") {
+    // CanaryGen (and any Spark job at real scale) writes <table>.parquet
+    // as a DIRECTORY of part files; the r7 canary silently streamed zero
+    // rows because the source glob assumed the single-file layout.
+    val out = java.nio.file.Files.createTempDirectory("stream-dirlayout").toString
+    spark.read.parquet(s"$sf0001/events.parquet")
+      .write.parquet(s"$out/events.parquet")
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .write.parquet(s"$out/documents.parquet")
+    val fromFile = Streaming.stream_hour_counts(spark, sf0001).collect()
+    assert(fromFile.nonEmpty)
+    Streaming.dropSinkTables(spark)
+    val fromDir = Streaming.stream_hour_counts(spark, out).collect()
+    assert(fromDir.length == fromFile.length)
+    assert(fromDir.map(_.toString).sorted.sameElements(
+      fromFile.map(_.toString).sorted))
+    Streaming.dropSinkTables(spark)
+    val dedupRows = Streaming.stream_dedup(spark, out).count()
+    val batchDistinct = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("text").distinct().count()
+    assert(dedupRows == batchDistinct && dedupRows > 0)
+    Streaming.dropSinkTables(spark)
+  }
+
   test("stateful session count equals session-window session count") {
     val byState = Streaming.stream_state_sessions(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

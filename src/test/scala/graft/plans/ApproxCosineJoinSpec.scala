@@ -87,6 +87,25 @@ class ApproxCosineJoinSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.lsh.maxBucket")
   }
 
+  test("wide band geometry keeps exactly-once + planted recall") {
+    // explicit 16-bit bands (the shape auto picks at ~10⁶ rows): the
+    // planted cos≈1 pairs still collide in every band, pairs are still
+    // emitted exactly once, and widening only thins random collisions
+    val left = baseDf.select(col("id").as("l_id"), col("vec").as("l_vec"))
+    val right = dupDf.select(col("id").as("r_id"), col("vec").as("r_vec"))
+    for (bits <- Seq("16", "24", "auto")) {
+      spark.conf.set("spark.graft.approxJoin.bitsPerBand", bits)
+      try {
+        val pairs = ApproxCosineJoin.join(left, right, "l_vec", "r_vec", 0.99)
+          .select("l_id", "r_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(pairs.distinct.size == pairs.size, s"bits=$bits: dup pairs")
+        assert(pairs.toSet == (0 until 10)
+          .map(i => (i.toLong, i + 1000L)).toSet, s"bits=$bits: recall")
+      } finally spark.conf.unset("spark.graft.approxJoin.bitsPerBand")
+    }
+  }
+
   test("empty result below threshold; no crash on nulls") {
     import spark.implicits._
     val withNull = Seq((1L, null.asInstanceOf[Array[Float]]),

@@ -3,10 +3,14 @@
 corpus, see graft.examples.CanaryGen) against the base-SF summary and
 emit CANARY_sf1.json with per-query ratios.
 
-Pass criteria: failed == [] on the canary run, and no query slower than
+Pass criteria: failed == [] on the canary run, no query slower than
 RATIO_MAX x its base time (default 10, the replication factor -- linear
 scaling; sub-second base times are floored to avoid fixed-overhead
-noise dominating the ratio).
+noise dominating the ratio), and no VACUOUS query: when both summaries
+carry a "rows" map, a query that returns rows on the base corpus must
+return rows on the canary too -- a source that silently matches zero
+files looks fast, and only the row count exposes it (the r7 canary
+streamed zero events without failing).
 
 Usage: canary_check.py <canary_summary.json> <base_summary.json> [out]
 """
@@ -27,6 +31,9 @@ def main() -> int:
 
     ratios = {}
     slow = []
+    vacuous = []
+    base_rows = base.get("rows", {})
+    canary_rows = canary.get("rows", {})
     for name, ct in sorted(canary["queries"].items()):
         bt = base["queries"].get(name)
         if bt is None or bt < 0 or ct < 0:
@@ -36,6 +43,12 @@ def main() -> int:
                         "ratio": round(ratio, 2)}
         if ratio > RATIO_MAX:
             slow.append(name)
+        br, cr = base_rows.get(name), canary_rows.get(name)
+        if br is not None and cr is not None:
+            ratios[name]["base_rows"] = br
+            ratios[name]["canary_rows"] = cr
+            if br > 0 and cr == 0:
+                vacuous.append(name)
 
     result = {
         "canary_sf": canary.get("sf"),
@@ -45,13 +58,14 @@ def main() -> int:
         "total_canary_s": round(canary.get("value", -1), 1),
         "ratio_max_allowed": RATIO_MAX,
         "queries_over_ratio": slow,
-        "ok": not canary.get("failed") and not slow,
+        "queries_vacuous": vacuous,
+        "ok": not canary.get("failed") and not slow and not vacuous,
         "queries": ratios,
     }
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print(f"canary: {len(ratios)} compared, failed={result['failed']}, "
-          f"over-ratio={slow}, ok={result['ok']}")
+          f"over-ratio={slow}, vacuous={vacuous}, ok={result['ok']}")
     return 0 if result["ok"] else 1
 
 
