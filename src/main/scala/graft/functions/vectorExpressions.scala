@@ -40,6 +40,25 @@ case class SimSignature(child: Expression, nBits: Int)
   override def prettyName: String = "sim_signature"
 }
 
+/** [[SimSignature]] for widths beyond 64 bits → ArrayType(LongType),
+  * bit k in word k/64. Words(0) equals sim_signature(v, 64) — same
+  * hyperplanes — so Hamming prefilters tuned on the 64-bit prefix stay
+  * valid when band geometry widens. */
+case class SimSignatureWords(child: Expression, nBits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      VecAlgo.signSignatureWords(v.asInstanceOf[ArrayData], nBits))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VecAlgo.signSignatureWords($c, $nBits))")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "sim_signature_words"
+}
+
 /** MinHash sketch as a TypedImperativeAggregate (SURVEY §2 north-star:
   * custom sketch aggregates belong at this layer, not as UDAF wrappers).
   *
@@ -245,6 +264,8 @@ object VectorFunctions {
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
   def sim_signature(v: Column, nBits: Int): Column =
     Bridge.column(SimSignature(Bridge.expression(v), nBits))
+  def sim_signature_words(v: Column, nBits: Int): Column =
+    Bridge.column(SimSignatureWords(Bridge.expression(v), nBits))
   def minhash_agg(hash: Column, numHashes: Int): Column =
     Bridge.column(
       MinHashAgg(Bridge.expression(hash), numHashes).toAggregateExpression())

@@ -79,6 +79,15 @@ class DedupSpec extends SparkTestBase {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got16 == want, s"16-band recovery: got $got16")
     } finally spark.conf.unset("spark.graft.dedup.embedBands")
+    // wide bands (the shape auto picks on large corpora, here forced):
+    // multi-word signature extraction end to end; planted pairs at
+    // cos≈0.987 still collide (recall ≈ 0.99 at 8×16), decoys thin out
+    try {
+      spark.conf.set("spark.graft.dedup.embedBandBits", "16")
+      val gotWide = Dedup.dedup_embed(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotWide == want, s"wide-band recovery: got $gotWide")
+    } finally spark.conf.unset("spark.graft.dedup.embedBandBits")
     // and each recovered pair really is >= 0.95 by direct computation
     val vecs = (decoys ++ planted).map(t => t._1 -> t._2).toMap
     def cos(a: Array[Float], b: Array[Float]) =
