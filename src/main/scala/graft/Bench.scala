@@ -86,7 +86,19 @@ object Bench {
         operators.Streaming.dropSinkTables(spark)
         (dt, rows)
       }
-      val runs = (1 to reps).map(_ => once())
+      // The survivor-labeling memo must be dropped between reps of the
+      // queries it backs: a memoized rep 2 reads ~0s and min-of-N would
+      // report the cache hit as the query's cost (observed: 0.046s
+      // dedup_survivors "base"). Rep 1 keeps driver parity — in run
+      // order pipeline_clean still reuses the memo dedup_survivors
+      // built, exactly as in a REPS=1 run. The IVF index memo is NOT
+      // dropped: the index is warmup-built by design and sim_ivf_topk's
+      // declared timing is the pruned probe, every rep.
+      val memoBacked = Set("dedup_survivors", "pipeline_clean")
+      val runs = (1 to reps).map { r =>
+        if (r > 1 && memoBacked(name)) operators.Dedup.evictMemo(spark)
+        once()
+      }
       // any failed rep fails the query; else best time, first-rep rows
       val (dt, rows) =
         if (runs.exists(_._2 < 0)) (-1.0, -1L)
