@@ -48,17 +48,20 @@ object Bench {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
 
+    // SPARK_GRAFT_REPS > 1 → per-query best-of-N (the canary runs use 2:
+    // a single cold pass conflates JIT/page-cache warmup with the plan,
+    // and one 6× cold-start outlier fails a 10×-ratio gate that the
+    // steady-state plan passes honestly). Default 1 = driver behavior.
+    // Validated BEFORE the expensive warmup — reps=0 would otherwise
+    // surface as empty.min only after minutes of index build.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
+
     // IVF index build is a one-off offline job in the 100 TB design;
     // timing it inside sim_ivf_topk would misreport the probe cost the
     // index exists to make cheap. Build it up front and report the
     // build as its own summary field.
     val ivfBuildSec = operators.Similarity.warmIvfIndex(spark, sfDir)
-
-    // SPARK_GRAFT_REPS > 1 → per-query best-of-N (the canary runs use 2:
-    // a single cold pass conflates JIT/page-cache warmup with the plan,
-    // and one 6× cold-start outlier fails a 10×-ratio gate that the
-    // steady-state plan passes honestly). Default 1 = driver behavior.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
 
     // Deterministic run order; each query fully materialized via count().
     // The row count goes into the summary: a run that silently processes

@@ -175,6 +175,8 @@ object GraftFunctions {
       es => CosineSim(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("sim_signature",
       es => SimSignature(es(0), intArg(es(1), "nBits")), "scala_udf")
+    reg.createOrReplaceTempFunction("sim_signature_words",
+      es => SimSignatureWords(es(0), intArg(es(1), "nBits")), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_agg",
       es => MinHashAgg(es(0), intArg(es(1), "numHashes"))
         .toAggregateExpression(), "scala_udf")

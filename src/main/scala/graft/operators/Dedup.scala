@@ -543,6 +543,13 @@ object Dedup {
     // the planted near-dup range (J≥0.9): exact-verified output matches
     // the exact-Jaccard oracle.
     "dedup_minhash" -> jaccardOracle,
+    // dedup_embed is LSH-approximate by construction; this exact-join
+    // oracle is valid at the graded scale factors, where auto geometry
+    // resolves to 8×8 bands (recall ≈ 1−3·10⁻⁹ per cos≥0.95 pair, and
+    // the shipped corpora hold no such pair: 0 == 0). On a corpus past
+    // ~16k embeddings auto widens the bands and tail recall at the 0.95
+    // boundary drops below exactness — there the operator's contract is
+    // the DedupSpec planted-recovery bound, not this SQL.
     "dedup_embed" ->
       """SELECT a.vec_id AS a_vid, b.vec_id AS b_vid
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -21,7 +21,7 @@ import graft.functions.VecAlgo
   * Semantics: emit each (left, right) pair whose vectors share ≥1
   * sign-LSH band (`spark.graft.approxJoin.bands` × bitsPerBand; default
   * 8 bands with corpus-adaptive width — see
-  * [[ApproxCosineJoinExec.resolveGeometry]]) AND whose exact cosine ≥
+  * [[ApproxCosineJoinExec.resolvedGeometry]]) AND whose exact cosine ≥
   * threshold, exactly once, with the cosine appended as `sim`.
   * Approximate by design (band recall < 1); the user opts in through
   * [[ApproxCosineJoin.join]] — no silent rewrite of exact plans.
@@ -121,8 +121,12 @@ final case class ApproxCosineJoinExec(
     * with p=(1−θ/π)^16 ≈ 0.29 (recall ≈ 0.93 over 8 bands), while the
     * low-similarity tail thins out — the operator is FOR high-similarity
     * search; raise `bands` to buy recall with linear, not quadratic,
-    * cost. Set bitsPerBand explicitly to skip the counting pass. */
-  private def resolveGeometry(): (Int, Int) = {
+    * cost. Set bitsPerBand explicitly to skip the counting pass.
+    *
+    * Memoized (lazy) per exec instance: QueryExecution reuses the same
+    * physical plan across actions on a frame, so the counting passes
+    * run once, not once per collect/count. */
+  private lazy val resolvedGeometry: (Int, Int) = {
     val bands = conf.getConfString("spark.graft.approxJoin.bands", "8").toInt
     require(bands >= 1 && bands <= 64, s"approxJoin.bands out of range: $bands")
     val bitsStr = conf.getConfString("spark.graft.approxJoin.bitsPerBand", "auto")
@@ -142,7 +146,7 @@ final case class ApproxCosineJoinExec(
     val lBound = BindReferences.bindReference(leftVec, left.output)
     val rBound = BindReferences.bindReference(rightVec, right.output)
     val t = threshold
-    val (bands, bits) = resolveGeometry()
+    val (bands, bits) = resolvedGeometry
     val nBits = bands * bits
 
     def keyed(plan: SparkPlan, bound: Expression): RDD[((Int, Long), (InternalRow, Array[Long], ArrayData))] =

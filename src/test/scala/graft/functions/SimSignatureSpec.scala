@@ -50,6 +50,17 @@ class SimSignatureSpec extends SparkTestBase {
     }
   }
 
+  test("sim_signature_words is callable from SQL text") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq((1L, Array(1f, 2f, 3f))).toDF("id", "v").createOrReplaceTempView("sswv")
+    val row = spark.sql(
+      "SELECT sim_signature_words(v, 128) AS sw, sim_signature(v, 64) AS s64 " +
+        "FROM sswv").collect().head
+    assert(row.getSeq[Long](0).length == 2)
+    assert(row.getSeq[Long](0).head == row.getLong(1))
+  }
+
   test("near-identical vectors agree on almost all signature bits") {
     val rnd = new Random(6)
     val a = Array.fill(64)(rnd.nextGaussian().toFloat)

@@ -60,7 +60,13 @@ def main() -> int:
             if br > 0 and cr == 0:
                 vacuous.append(name)
             if br > 0 and cr / br > allowance:
-                allowance = cr / br  # superlinear OUTPUT: gate on it
+                # superlinear OUTPUT: gate on it instead -- capped at
+                # ratio_max^2 (pairwise output can't legitimately outgrow
+                # the input squared, and an uncapped allowance taken from
+                # the canary's own rows would let a duplicate-emitting
+                # regression self-certify; exactly-once invariants are
+                # additionally spec-gated engine-side)
+                allowance = min(cr / br, ratio_max * ratio_max)
                 ratios[name]["allowed_ratio"] = round(allowance, 2)
         if ratio > allowance:
             slow.append(name)
