@@ -25,6 +25,12 @@ import graft.Tables
   *     cosine of high-dim Gaussians ≈ 0 (same reasoning as above for
   *     the cos ≥ 0.95 near-dup threshold).
   *   - `region`/`nation` are dimensions and copy through unchanged.
+  *   - Sky positions are NOT mutated, so replicas overlay the same sky
+  *     and cross-match output grows ~quadratically in reps (99× rows at
+  *     10×). That is the answer, not a plan defect — canary_check's
+  *     output-growth allowance covers it, but its ratio_max² cap means
+  *     crossmatch saturates the gate near reps ≈ ratio_max²/(pairs per
+  *     position); past that, give replicas disjoint declination bands.
   *   - `events.ts` stays a raw nanos long (read WITHOUT Tables.load's
   *     µs conversion) so the canary dir round-trips through
   *     Tables.loadEvents exactly like the originals.

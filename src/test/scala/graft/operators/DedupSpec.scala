@@ -81,13 +81,17 @@ class DedupSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.dedup.embedBands")
     // wide bands (the shape auto picks on large corpora, here forced):
     // multi-word signature extraction end to end; planted pairs at
-    // cos≈0.987 still collide (recall ≈ 0.99 at 8×16), decoys thin out
-    try {
-      spark.conf.set("spark.graft.dedup.embedBandBits", "16")
-      val gotWide = Dedup.dedup_embed(spark, dir).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(gotWide == want, s"wide-band recovery: got $gotWide")
-    } finally spark.conf.unset("spark.graft.dedup.embedBandBits")
+    // cos≈0.987 still collide (recall ≈ 0.99 at 8×16), decoys thin out.
+    // bits=12 additionally crosses a 64-bit word boundary (8×12 = 96
+    // bits; band 5 spans bits 60..71) — the SQL-side two-word splice.
+    for (bits <- Seq("16", "12")) {
+      try {
+        spark.conf.set("spark.graft.dedup.embedBandBits", bits)
+        val gotWide = Dedup.dedup_embed(spark, dir).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(gotWide == want, s"bits=$bits recovery: got $gotWide")
+      } finally spark.conf.unset("spark.graft.dedup.embedBandBits")
+    }
     // and each recovered pair really is >= 0.95 by direct computation
     val vecs = (decoys ++ planted).map(t => t._1 -> t._2).toMap
     def cos(a: Array[Float], b: Array[Float]) =

@@ -106,6 +106,28 @@ class ApproxCosineJoinSpec extends SparkTestBase {
     }
   }
 
+  test("odd geometry crossing word boundaries stays exact-once + subset") {
+    // 5 bands × 13 bits = 65 signature bits: band 4 spans the word-0/
+    // word-1 boundary — the cross-word extraction path that a divisor
+    // geometry never exercises. Exactness properties must be unchanged.
+    val left = baseDf.select(col("id").as("l_id"), col("vec").as("l_vec"))
+    val right = dupDf.select(col("id").as("r_id"), col("vec").as("r_vec"))
+    spark.conf.set("spark.graft.approxJoin.bands", "5")
+    spark.conf.set("spark.graft.approxJoin.bitsPerBand", "13")
+    try {
+      val pairs = ApproxCosineJoin.join(left, right, "l_vec", "r_vec", 0.99)
+        .select("l_id", "r_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(pairs.distinct.size == pairs.size, "exactly-once")
+      // precision 1 (cosine-verified) and full planted recall at cos≈1
+      assert(pairs.toSet == (0 until 10)
+        .map(i => (i.toLong, i + 1000L)).toSet)
+    } finally {
+      spark.conf.unset("spark.graft.approxJoin.bands")
+      spark.conf.unset("spark.graft.approxJoin.bitsPerBand")
+    }
+  }
+
   test("empty result below threshold; no crash on nulls") {
     import spark.implicits._
     val withNull = Seq((1L, null.asInstanceOf[Array[Float]]),
