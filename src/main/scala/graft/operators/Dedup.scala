@@ -374,7 +374,14 @@ object Dedup {
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst")
       .localCheckpoint()
-    var checkpointed = d.select(col("doc_id"), col("doc_id").as("label"))
+    // Iterate over docs that appear in a near-dup edge ONLY: an
+    // isolated doc is its own component and can never change label, so
+    // shuffling it through every round is pure waste — at 100 TB the
+    // edge-vertex set (near-dups) is orders of magnitude smaller than
+    // the corpus, and per-round state must be ∝ |V(edges)|, not |docs|.
+    // Isolated docs get identity labels in one join after convergence.
+    var checkpointed = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint()
     var labels = checkpointed
     var changed = 1L
@@ -410,7 +417,16 @@ object Dedup {
     if (changed > 0)
       throw new IllegalStateException(
         s"label propagation did not converge within $maxRounds rounds")
-    labels
+    // union the isolated docs back with identity labels; checkpoint so
+    // the memoized frame survives catalog.clearCache() AND releases the
+    // loop's last round (which only covered edge vertices)
+    val full = d.select(col("doc_id"))
+      .join(labels.withColumnRenamed("label", "cc"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cc"), col("doc_id")).as("label"))
+      .localCheckpoint()
+    Bridge.unpersistCheckpoint(checkpointed)
+    full
   }
 
   /** Distinct (a_id < b_id) pairs colliding in at least one band.
