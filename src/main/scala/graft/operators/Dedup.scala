@@ -362,7 +362,14 @@ object Dedup {
     * is materialized (`catalog.clearCache()` would NOT free them — they
     * are checkpoint RDD blocks, not cache entries). `edges` is released
     * at convergence. Only the final labels frame stays pinned, for the
-    * memo. */
+    * memo.
+    *
+    * localCheckpoint is a deliberate speed-for-fault-tolerance trade:
+    * blocks live on executors with no lineage to recompute them, so an
+    * executor loss fails the job. Right for this engine's bounded
+    * multi-minute rounds; a multi-hour production CC over a 1000-
+    * executor cluster should swap in reliable `checkpoint()` against a
+    * durable dir (one-line change here) and re-run the round on loss. */
   private def computeSurvivorLabels(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftx.Bridge
     val d = docs(s, dir)

@@ -99,6 +99,23 @@ class DedupSpec extends SparkTestBase {
     assert(want.forall { case (a, b) => cos(vecs(a), vecs(b)) >= 0.95 })
   }
 
+  test("survivors on a pair-free corpus: every doc labels itself") {
+    // the CC loop iterates edge vertices only; with ZERO near-dup pairs
+    // the loop runs over an empty frame and every label must come from
+    // the post-convergence identity join
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cc-empty").toString
+    (0 until 40).map(i =>
+      (i.toLong, s"utterly unique document number $i with token ${i * 37}",
+        "en", "src", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = Dedup.dedup_survivors(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 40)
+    assert(rows.forall { case (id, keep) => id == keep })
+  }
+
   test("minhash signature agreement approximates Jaccard") {
     import graft.functions.VectorFunctions
     val sh = Dedup.shingleHashes(spark.read.parquet(s"$sf001/documents.parquet"))
