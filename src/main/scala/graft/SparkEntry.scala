@@ -23,7 +23,7 @@ object SparkEntry {
     operators.Relational.queries ++ operators.TextOps.queries ++
       operators.Dedup.queries ++ operators.Similarity.queries ++
       operators.Multimodal.queries ++ operators.Streaming.queries ++
-      operators.CrossMatch.queries
+      operators.CrossMatch.queries ++ operators.Sampling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +31,5 @@ object SparkEntry {
     operators.Relational.oracles ++ operators.TextOps.oracles ++
       operators.Dedup.oracles ++ operators.Similarity.oracles ++
       operators.Multimodal.oracles ++ operators.Streaming.oracles ++
-      operators.CrossMatch.oracles
+      operators.CrossMatch.oracles ++ operators.Sampling.oracles
 }

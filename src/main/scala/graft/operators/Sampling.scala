@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Deterministic corpus sampling (north-star pipeline extension): the
+  * train/val-split and per-stratum-downsampling primitive every
+  * training-data pipeline needs.
+  *
+  * Exact stratified sample: the k smallest documents per stratum under
+  * a deterministic per-row score — reproducible across runs, engines
+  * and partitionings (no RNG state, no sample() nondeterminism), and
+  * exactly DuckDB-oracle-checkable for the same reason.
+  *
+  * Score: Park–Miller residue h = (doc_id · 48271) mod (2³¹ − 1) — a
+  * full-period multiplicative scramble that is pure integer SQL on both
+  * engines (no overflow below doc_id ≈ 1.9·10¹⁴) and uncorrelated with
+  * doc_id order, so "k smallest h" is a uniform without-replacement
+  * draw per stratum.
+  *
+  * Scale shape: TopKAgg keeps a k-heap per (task, stratum) map-side, so
+  * the only shuffle carries tasks × strata × k rows — no Window funnel
+  * (`row_number() OVER (PARTITION BY lang)` would pull every row of a
+  * 100 TB corpus through |strata| reducers), no global sort. Ordering
+  * ties break on doc_id asc, identical to the oracle's ORDER BY.
+  */
+object Sampling {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 20
+  // Park–Miller modulus/multiplier (public-domain MINSTD constants)
+  private val Mult = 48271L
+  private val Mod = 2147483647L
+
+  /** k=20 docs per language, smallest Park–Miller residue first. */
+  val pipeline_sample: Q = (s, dir) => {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        (col("doc_id") * Mult % Mod).as("h"))
+    // TopKAgg ranks by (score DESC, id ASC); negate the residue so the
+    // heap keeps the k SMALLEST h. h < 2³¹ is exact in a Double.
+    d.groupBy(col("lang"))
+      .agg(VectorFunctions.topk_agg(-col("h").cast("double"), col("doc_id"), K)
+        .as("tk"))
+      .select(col("lang"), posexplode(col("tk")))
+      .select(col("lang"), (col("pos") + 1).as("rnk"),
+        col("col.neighbor_id").as("doc_id"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  val queries: Map[String, Q] = Map("pipeline_sample" -> pipeline_sample)
+
+  val oracles: Map[String, String] = Map(
+    "pipeline_sample" ->
+      s"""SELECT lang, CAST(rn AS INT) AS rnk, doc_id FROM (
+         |  SELECT lang, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY (doc_id * $Mult) % $Mod, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= $K
+         |ORDER BY lang, rnk""".stripMargin,
+  )
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+
+class SamplingSpec extends SparkTestBase {
+
+  test("stratified sample equals the window-ranked brute force") {
+    val got = Sampling.pipeline_sample(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("doc_id") * 48271L % 2147483647L, col("doc_id"))
+    val want = Tables.load(spark, sf001, "documents")
+      .select(col("lang"), col("doc_id"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 20)
+      .orderBy(col("lang"), col("rnk"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getLong(1)))
+    assert(got.length == want.length && got.nonEmpty)
+    assert(got.sameElements(want))
+  }
+
+  test("sample is invariant under repartitioning (deterministic draw)") {
+    import spark.implicits._
+    val docs = (0 until 997).map(i =>
+      (i.toLong * 13 + 5, s"text $i", if (i % 3 == 0) "en" else "de",
+        "src", 6L))
+    val dir = java.nio.file.Files.createTempDirectory("sample-det").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(7).write.parquet(s"$dir/documents.parquet")
+    val a = Sampling.pipeline_sample(spark, dir).collect().map(_.toString)
+    val b = Sampling.pipeline_sample(spark, dir).collect().map(_.toString)
+    assert(a.sameElements(b))
+    // every stratum contributes exactly min(k, stratum size) rows
+    val perLang = a.groupBy(_.split(",")(0))
+    assert(perLang.values.forall(_.length == 20))
+  }
+
+  test("no Window funnel: the plan aggregates, it does not rank globally") {
+    val plan = Sampling.pipeline_sample(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window funnel in plan:\n$plan")
+    assert(plan.contains("topk_agg"))
+  }
+}
