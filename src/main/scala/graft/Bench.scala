@@ -169,7 +169,11 @@ object Bench {
       }.min
       val mbs = rows * 4.0 / (1 << 20) / best
       f""","fits_scan_mb_s":$mbs%.1f,"fits_baseline_mb_s_task":16"""
-    } catch { case _: Throwable => "" }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] fits scan probe failed: ${e.getMessage}")
+        ""
+    }
 
   /** Scans a heap-backed var-length document corpus (1PA strings — the
     * shape a FITS-stored training corpus takes) and reports decoded
@@ -195,13 +199,19 @@ object Bench {
       // the write is timed too (spill + sequential upload + atomic
       // rename): the writer is a first-class engine surface and its
       // throughput belongs in the record. Input is cached first so the
-      // timing measures the writer, not the row generation.
+      // timing measures the writer, not the row generation; best-of-2
+      // for the same noise rationale as the read probes (one GC pause
+      // in a single shot reads as a writer regression).
       docs.persist()
       docs.count()
-      val t0 = System.nanoTime()
-      docs.write.format("fits").mode("overwrite").save(dir)
-      val writeSec = (System.nanoTime() - t0) / 1e9
-      docs.unpersist()
+      val writeSec =
+        try
+          (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            docs.write.format("fits").mode("overwrite").save(dir)
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        finally docs.unpersist() // a failed write must not pin ~100 MB
       val df = spark.read.format("fits").option("hdu", 1).load(dir)
       val bytes = df.agg(sum(length(col("text")))).collect().head.getLong(0)
       val best = (1 to 3).map { _ =>
@@ -211,5 +221,11 @@ object Bench {
       }.min
       val mb = bytes.toDouble / (1 << 20)
       f""","fits_varlen_mb_s":${mb / best}%.1f,"fits_write_mb_s":${mb / writeSec}%.1f"""
-    } catch { case _: Throwable => "" }
+    } catch {
+      case e: Throwable =>
+        // the summary line must still print, but a vanished probe field
+        // must not read as a clean run — say why it is missing
+        System.err.println(s"[bench] varlen/write probe failed: ${e.getMessage}")
+        ""
+    }
 }

@@ -25,18 +25,26 @@ class SamplingSpec extends SparkTestBase {
 
   test("sample is invariant under repartitioning (deterministic draw)") {
     import spark.implicits._
+    // 'xx' has only 7 docs — fewer than k: the stratum must surface ALL
+    // of them with contiguous ranks, not pad or truncate the short heap
     val docs = (0 until 997).map(i =>
-      (i.toLong * 13 + 5, s"text $i", if (i % 3 == 0) "en" else "de",
+      (i.toLong * 13 + 5, s"text $i",
+        if (i < 7) "xx" else if (i % 3 == 0) "en" else "de",
         "src", 6L))
     val dir = java.nio.file.Files.createTempDirectory("sample-det").toString
     docs.toDF("doc_id", "text", "lang", "source", "n_chars")
       .repartition(7).write.parquet(s"$dir/documents.parquet")
-    val a = Sampling.pipeline_sample(spark, dir).collect().map(_.toString)
-    val b = Sampling.pipeline_sample(spark, dir).collect().map(_.toString)
+    val a = Sampling.pipeline_sample(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val b = Sampling.pipeline_sample(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
     assert(a.sameElements(b))
     // every stratum contributes exactly min(k, stratum size) rows
-    val perLang = a.groupBy(_.split(",")(0))
-    assert(perLang.values.forall(_.length == 20))
+    val perLang = a.groupBy(_._1)
+    assert(perLang("en").length == 20 && perLang("de").length == 20)
+    assert(perLang("xx").length == 7, "under-k stratum keeps all its docs")
+    assert(perLang("xx").map(_._2).sorted.sameElements(1 to 7),
+      "under-k stratum ranks are contiguous from 1")
   }
 
   test("no Window funnel: the plan aggregates, it does not rank globally") {
