@@ -148,40 +148,45 @@ object GraftFunctions {
   private def col(e: Expression): Column = Bridge.column(e)
   private def expression(c: Column): Expression = Bridge.expression(c)
 
+  // int literal argument (e.g. the k of an n-gram or top-k)
+  private def intArg(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** (name, builder) for every SQL-exposed function — one list feeds
+    * BOTH registration paths: [[register]] (temp functions on an
+    * existing session) and [[graft.plans.GraftExtensions]]
+    * (`spark.sql.extensions` injection at session build, so a SQL-only
+    * deployment sets one conf and gets the whole surface). */
+  private[graft] val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] =
+    Seq(
+      "rolling_hash" -> ((es: Seq[Expression]) => RollingHash(es.head)),
+      "doc_fingerprint" -> ((es: Seq[Expression]) => DocFingerprint(es.head)),
+      "simhash64" -> ((es: Seq[Expression]) => SimHash64(es.head)),
+      "lang_id" -> ((es: Seq[Expression]) => LangId(es.head)),
+      "word_shingle_hashes" -> ((es: Seq[Expression]) =>
+        WordShingleHashes(es(0), intArg(es(1), "k"))),
+      "word_ngram_hashes" -> ((es: Seq[Expression]) =>
+        WordNgramHashes(es(0), intArg(es(1), "k"))),
+      "cosine_sim" -> ((es: Seq[Expression]) => CosineSim(es(0), es(1))),
+      "sim_signature" -> ((es: Seq[Expression]) =>
+        SimSignature(es(0), intArg(es(1), "nBits"))),
+      "sim_signature_words" -> ((es: Seq[Expression]) =>
+        SimSignatureWords(es(0), intArg(es(1), "nBits"))),
+      "minhash_agg" -> ((es: Seq[Expression]) =>
+        MinHashAgg(es(0), intArg(es(1), "numHashes")).toAggregateExpression()),
+      "topk_agg" -> ((es: Seq[Expression]) =>
+        TopKAgg(es(0), es(1), intArg(es(2), "k")).toAggregateExpression()),
+    )
+
   /** Makes the functions callable from SQL text too — the full custom
     * surface, so a SQL-only user loses nothing vs the Column API. */
   def register(spark: SparkSession): Unit = {
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    // int literal argument (e.g. the k of an n-gram or top-k)
-    def intArg(e: Expression, what: String): Int = e match {
-      case Literal(v: Int, _) => v
-      case other => throw new IllegalArgumentException(
-        s"$what must be an integer literal, got $other")
-    }
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("rolling_hash",
-      es => RollingHash(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("doc_fingerprint",
-      es => DocFingerprint(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash64",
-      es => SimHash64(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("lang_id",
-      es => LangId(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("word_shingle_hashes",
-      es => WordShingleHashes(es(0), intArg(es(1), "k")), "scala_udf")
-    reg.createOrReplaceTempFunction("word_ngram_hashes",
-      es => WordNgramHashes(es(0), intArg(es(1), "k")), "scala_udf")
-    reg.createOrReplaceTempFunction("cosine_sim",
-      es => CosineSim(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("sim_signature",
-      es => SimSignature(es(0), intArg(es(1), "nBits")), "scala_udf")
-    reg.createOrReplaceTempFunction("sim_signature_words",
-      es => SimSignatureWords(es(0), intArg(es(1), "nBits")), "scala_udf")
-    reg.createOrReplaceTempFunction("minhash_agg",
-      es => MinHashAgg(es(0), intArg(es(1), "numHashes"))
-        .toAggregateExpression(), "scala_udf")
-    reg.createOrReplaceTempFunction("topk_agg",
-      es => TopKAgg(es(0), es(1), intArg(es(2), "k"))
-        .toAggregateExpression(), "scala_udf")
+    sqlBuilders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 }

@@ -263,8 +263,19 @@ object ApproxCosineJoin {
   }
 }
 
-/** `spark.sql.extensions=graft.plans.GraftExtensions` registration. */
+/** `spark.sql.extensions=graft.plans.GraftExtensions` registration:
+  * the planner strategy AND the full SQL function surface, so a
+  * SQL-only deployment (spark-sql, Thrift server, PySpark without
+  * Scala access) sets one conf and gets everything. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => ApproxCosineJoinStrategy)
+    graft.functions.GraftFunctions.sqlBuilders.foreach { case (name, builder) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions", name),
+        builder))
+    }
+  }
 }
