@@ -89,15 +89,20 @@ object Bench {
         operators.Streaming.dropSinkTables(spark)
         (dt, rows)
       }
-      // The survivor-labeling memo must be dropped between reps of the
-      // queries it backs: a memoized rep 2 reads ~0s and min-of-N would
-      // report the cache hit as the query's cost (observed: 0.046s
-      // dedup_survivors "base"). Rep 1 keeps driver parity — in run
-      // order pipeline_clean still reuses the memo dedup_survivors
-      // built, exactly as in a REPS=1 run. The IVF index memo is NOT
+      // The session-lifetime memos (shingle pass, survivor labels) must
+      // be dropped between reps of the queries they back: a memoized
+      // rep 2 reads ~0s and min-of-N would report the cache hit as the
+      // query's cost (observed: 0.046s dedup_survivors "base"). Rep 1
+      // keeps driver parity — in run order the family still shares the
+      // memo exactly as in a REPS=1 run. The IVF index memo is NOT
       // dropped: the index is warmup-built by design and sim_ivf_topk's
-      // declared timing is the pruned probe, every rep.
-      val memoBacked = Set("dedup_survivors", "pipeline_clean")
+      // declared timing is the pruned probe, every rep. The set is
+      // operator metadata, asserted against the registry so a renamed
+      // or dropped key fails fast instead of silently cache-hit timing.
+      val memoBacked = SparkEntry.memoBackedQueries
+      require(memoBacked.subsetOf(SparkEntry.queries.keySet),
+        s"memoBacked keys missing from queries: " +
+          (memoBacked -- SparkEntry.queries.keySet).mkString(", "))
       val runs = (1 to reps).map { r =>
         if (r > 1 && memoBacked(name)) operators.Dedup.evictMemo(spark)
         once()
@@ -133,13 +138,32 @@ object Bench {
     // The summary JSON must be the FINAL line on stdout, alone and
     // self-contained (total + per-query timings + probe).
     System.err.println(s"""{"diag":$diags}""")
-    val summary =
+    // FULL record (full-precision timings + per-query rows) → file. The
+    // driver's stdout capture keeps only the last ~2.3 KB of the run,
+    // and the full line is ~3.1 KB — r8's summary arrived with its head
+    // truncated and parsed as null for the eighth round running. The
+    // file is immune to that window AND to sbt log framing.
+    val full =
       f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rowsJson,"sf":"$sfDir","failed":$failedJson,"sim_ivf_build_s":$ivfBuildSec%.3f$fits}"""
-    // Belt-and-braces for the driver's parser: the summary also lands in
-    // a file at the repo root, immune to sbt's log prefixes/trailers.
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SUMMARY.json"),
-      (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // STDOUT line: same shape, but sized for the driver's tail window —
+    // millisecond-precision timings and no rows map (those live in the
+    // file, pointed at by "detail"). ~1.7 KB today; the length guard
+    // below drops the queries map too if the registry ever outgrows
+    // the window, so the line can never silently truncate again.
+    def ms(v: Double): String =
+      if (v < 0) "-1" else f"$v%.3f"
+    val qsCompact = results.map { case (k, v, _, _) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val tailFields =
+      f""""sf":"$sfDir","failed":$failedJson,"sim_ivf_build_s":$ivfBuildSec%.3f$fits,"detail":"BENCH_SUMMARY.json"}"""
+    val head = s"""{"metric":"total","value":${ms(total)},"unit":"sec","""
+    val compact = head + s""""queries":$qsCompact,""" + tailFields
+    val summary =
+      if (compact.length <= 2000) compact
+      else head + tailFields
     // stop() BEFORE the summary print so no late executor/log line can
     // land on stdout after it — the JSON must be the final stdout line
     spark.stop()

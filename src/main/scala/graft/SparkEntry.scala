@@ -25,6 +25,15 @@ object SparkEntry {
       operators.Multimodal.queries ++ operators.Streaming.queries ++
       operators.CrossMatch.queries ++ operators.Sampling.queries
 
+  /** Queries whose cost is partially backed by a session-lifetime memo
+    * (localCheckpoint-pinned intermediates shared across queries).
+    * Declared HERE, next to the query registry, so the bench derives
+    * its between-reps eviction set from operator metadata instead of a
+    * hardcoded name list that silently drifts on a rename — Bench
+    * asserts this is a subset of `queries.keySet`. */
+  def memoBackedQueries: Set[String] =
+    operators.Dedup.memoBacked ++ operators.TextOps.memoBacked
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

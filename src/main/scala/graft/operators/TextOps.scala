@@ -147,6 +147,10 @@ object TextOps {
     "pipeline_clean" -> pipeline_clean,
   )
 
+  /** pipeline_clean rides Dedup's session-lifetime survivor memo (see
+    * Dedup.memoBacked for the rationale of declaring this here). */
+  val memoBacked: Set[String] = Set("pipeline_clean")
+
   private val stopsSql = stops.map(s => s"'$s'").mkString(", ")
 
   /** lang-id and the custom fingerprints are not SQL-expressible in
