@@ -286,11 +286,33 @@ object Dedup {
     * vectors) for the price of one metadata-cheap count. At the graded
     * scale factors auto resolves to 8 — the geometry the oracle was
     * validated at. */
-  val dedup_embed: Q = (s, dir) => {
+  val dedup_embed: Q = (s, dir) => embedNearDupPairs(s, embs(s, dir))
+
+  /** `dedup_embed` over a corpus with KNOWN near-dups planted via the
+    * declared table: every `vec_id % 101 == 0` row is re-added under
+    * `vec_id + 10000000` with its embedding scaled by 1.001 — a pure
+    * positive scaling, so the planted copy's direction (and therefore
+    * its cosine to everything, and its sign-LSH signature) is the
+    * original's up to float rounding ~1e-7. Planted pairs sit at
+    * cos ≈ 1 and the corpora's max background pair is ≈ 0.6, so both
+    * engines classify every pair with ~0.35 margin — the oracle's
+    * expected output is exactly the planted (v, v+10000000) pairs,
+    * NON-empty at every graded SF. This de-vacuates the driver-side
+    * check of the r8 `dedup_embed` row (0 == 0 on the shipped corpora,
+    * which hold no cos ≥ 0.95 pair): same pipeline, same auto band
+    * geometry, same Verify path, but a known non-trivial answer. */
+  val dedup_embed_planted: Q = (s, dir) => {
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val planted = e.filter(col("vec_id") % 101 === 0)
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+    embedNearDupPairs(s, e.unionByName(planted))
+  }
+
+  private def embedNearDupPairs(s: SparkSession, e: DataFrame): DataFrame = {
     val nBands = intConf(s, "spark.graft.dedup.embedBands", 8)
     require(nBands >= 1 && nBands <= 64,
       s"spark.graft.dedup.embedBands out of range: $nBands")
-    val e = embs(s, dir)
     val bandBits = s.conf.getOption("spark.graft.dedup.embedBandBits")
       .getOrElse("auto") match {
       case "auto" => math.min(24, math.max(8, ceilLog2(e.count() / 64)))
@@ -564,6 +586,7 @@ object Dedup {
     "dedup_simhash" -> dedup_simhash,
     "dedup_simhash_vs_ngram" -> dedup_simhash_vs_ngram,
     "dedup_embed" -> dedup_embed,
+    "dedup_embed_planted" -> dedup_embed_planted,
     "dedup_survivors" -> dedup_survivors,
   )
 
@@ -610,6 +633,21 @@ object Dedup {
     "dedup_embed" ->
       """SELECT a.vec_id AS a_vid, b.vec_id AS b_vid
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        |ORDER BY a_vid, b_vid""".stripMargin,
+    // Same exact O(N²) oracle over the SAME augmented corpus the
+    // engine builds (vec_id % 101 rows re-added scaled ×1.001 under
+    // vec_id + 10⁷): the expected rows are exactly the planted pairs —
+    // a NON-vacuous official check of the embed-LSH path at every
+    // graded SF (margins: planted cos ≈ 1, background max ≈ 0.6).
+    "dedup_embed_planted" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000, list_transform(embedding, x -> x * 1.001)
+        |  FROM embeddings WHERE vec_id % 101 = 0)
+        |SELECT a.vec_id AS a_vid, b.vec_id AS b_vid
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
         |ORDER BY a_vid, b_vid""".stripMargin,
     // dedup_simhash: rows-only — SimHash recall has no sharp guarantee

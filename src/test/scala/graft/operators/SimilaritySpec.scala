@@ -51,6 +51,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.2, s"recall=$recall") // 2/16 buckets probed
   }
 
+  test("recall keys pass every query at the declared floors; a collapsed ANN fails them") {
+    import org.apache.spark.sql.functions._
+    // the driver-checkable contract: all 5 query ids survive the floor
+    val lsh = Similarity.sim_lsh_recall(spark, sf001).collect()
+      .map(_.getLong(0)).toSeq
+    assert(lsh == Seq(0L, 1L, 2L, 3L, 4L), s"lsh recall gate: $lsh")
+    val ivf = Similarity.sim_ivf_recall(spark, sf001).collect()
+      .map(_.getLong(0)).toSeq
+    assert(ivf == Seq(0L, 1L, 2L, 3L, 4L), s"ivf recall gate: $ivf")
+    // negative control: an ANN that returns nothing must yield hits=0
+    // for EVERY query (left join keeps the query set), so the gate
+    // would emit zero rows → a red driver row, not a silent pass
+    val empty = Similarity.sim_topk(spark, sf001).filter(lit(false))
+    val audit = Similarity.annOverlap(spark, sf001, empty).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(audit == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L),
+      s"collapsed-ANN audit: $audit")
+  }
+
   test("IVF index: probe scan prunes to its probed bucket directories") {
     import org.apache.spark.sql.functions._
     // build (memoized) index, then read it back with a probe-style
