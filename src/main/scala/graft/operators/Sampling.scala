@@ -17,9 +17,15 @@ import graft.functions.VectorFunctions
   *
   * Score: Park–Miller residue h = (doc_id · 48271) mod (2³¹ − 1) — a
   * full-period multiplicative scramble that is pure integer SQL on both
-  * engines (no overflow below doc_id ≈ 1.9·10¹⁴) and uncorrelated with
-  * doc_id order, so "k smallest h" is a uniform without-replacement
-  * draw per stratum.
+  * engines and uncorrelated with doc_id order, so "k smallest h" is a
+  * uniform without-replacement draw per stratum. Both engines compute
+  * it as ((doc_id mod M) · 48271) mod M — identical by modular
+  * arithmetic, and the inner reduction bounds the product at
+  * (M−1)·48271 < 2⁵⁷, so the expression is exact for EVERY non-negative
+  * BIGINT doc_id (the naive doc_id·48271 silently wraps in Spark's
+  * non-ANSI Long arithmetic above doc_id ≈ 1.9·10¹⁴ while DuckDB errors
+  * loudly — the engines would diverge exactly where a 100 TB corpus
+  * id space lives).
   *
   * Scale shape: TopKAgg keeps a k-heap per (task, stratum) map-side, so
   * the only shuffle carries tasks × strata × k rows — no Window funnel
@@ -40,7 +46,7 @@ object Sampling {
   val pipeline_sample: Q = (s, dir) => {
     val d = Tables.load(s, dir, "documents")
       .select(col("lang"), col("doc_id"),
-        (col("doc_id") * Mult % Mod).as("h"))
+        (col("doc_id") % Mod * Mult % Mod).as("h"))
     // TopKAgg ranks by (score DESC, id ASC); negate the residue so the
     // heap keeps the k SMALLEST h. h < 2³¹ is exact in a Double.
     d.groupBy(col("lang"))
@@ -59,7 +65,7 @@ object Sampling {
       s"""SELECT lang, CAST(rn AS INT) AS rnk, doc_id FROM (
          |  SELECT lang, doc_id,
          |    ROW_NUMBER() OVER (PARTITION BY lang
-         |      ORDER BY (doc_id * $Mult) % $Mod, doc_id) AS rn
+         |      ORDER BY ((doc_id % $Mod) * $Mult) % $Mod, doc_id) AS rn
          |  FROM documents)
          |WHERE rn <= $K
          |ORDER BY lang, rnk""".stripMargin,

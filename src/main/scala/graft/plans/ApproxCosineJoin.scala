@@ -123,16 +123,34 @@ final case class ApproxCosineJoinExec(
     * search; raise `bands` to buy recall with linear, not quadratic,
     * cost. Set bitsPerBand explicitly to skip the counting pass.
     *
+    * Sizing source: logical-plan row-count STATISTICS when the
+    * optimizer has them (exact for leaf scans with gathered stats; no
+    * extra execution), else one counting pass per child. The counting
+    * fallback executes each child plan once more than the keyed pass —
+    * auto mode therefore ASSUMES deterministic children (a
+    * rand()-derived vector column or files mutating between the two
+    * passes would size the geometry on different data than it joins;
+    * pass bitsPerBand explicitly for such inputs, which also skips the
+    * extra pass). log2 granularity makes the choice robust: an
+    * estimate within 2× of the true count lands within one bit of the
+    * same geometry.
+    *
     * Memoized (lazy) per exec instance: QueryExecution reuses the same
     * physical plan across actions on a frame, so the counting passes
-    * run once, not once per collect/count. */
+    * run once, not once per collect/count. AQE's plan copies
+    * (withNewChildrenInternal) get a fresh lazy val — with
+    * deterministic children each copy resolves the identical geometry,
+    * and under stats-based sizing the re-resolution is free. */
   private lazy val resolvedGeometry: (Int, Int) = {
     val bands = conf.getConfString("spark.graft.approxJoin.bands", "8").toInt
     require(bands >= 1 && bands <= 64, s"approxJoin.bands out of range: $bands")
     val bitsStr = conf.getConfString("spark.graft.approxJoin.bitsPerBand", "auto")
+    def planRows(p: SparkPlan): Long =
+      p.logicalLink.flatMap(_.stats.rowCount).map(_.toLong)
+        .getOrElse(p.execute().count())
     val bits = bitsStr match {
       case "auto" =>
-        val n = math.max(left.execute().count(), right.execute().count())
+        val n = math.max(planRows(left), planRows(right))
         math.min(24, math.max(8, ceilLog2(n / 64)))
       case s => s.toInt
     }

@@ -47,6 +47,28 @@ class SamplingSpec extends SparkTestBase {
       "under-k stratum ranks are contiguous from 1")
   }
 
+  test("draw is exact past the naive Long-overflow bound (doc_id > 1.9e14)") {
+    import spark.implicits._
+    // naive doc_id * 48271 wraps a signed Long above ~1.9e14; the
+    // decomposed (doc_id % M) * 48271 % M must equal the BigInt truth
+    // for ids in a realistic 100 TB id space
+    val ids = Seq(0L, 190000000000000L, Long.MaxValue / 48271L + 17L,
+      Long.MaxValue - 1, 998877665544332211L)
+    val docs = ids.map(i => (i, "t", "en", "src", 1L))
+    val dir = java.nio.file.Files.createTempDirectory("sample-ovf").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Sampling.pipeline_sample(spark, dir)
+      .collect().map(r => r.getLong(2)).toSet
+    assert(got == ids.toSet, "every row sampled (k > n)")
+    // the ORDER the heap produced must match exact modular arithmetic
+    val gotOrder = Sampling.pipeline_sample(spark, dir)
+      .collect().map(r => r.getLong(2)).toSeq
+    val wantOrder = ids.sortBy(i =>
+      ((BigInt(i) * 48271) mod BigInt(2147483647)).toLong -> i)
+    assert(gotOrder == wantOrder, s"draw order: $gotOrder vs $wantOrder")
+  }
+
   test("no Window funnel: the plan aggregates, it does not rank globally") {
     val plan = Sampling.pipeline_sample(spark, sf001)
       .queryExecution.executedPlan.toString
