@@ -138,6 +138,56 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark decontamination: the n-gram-collision check an LLM
+    * training pipeline runs against its eval suites before training —
+    * emit (doc_id, bench_id, shared) for every corpus document sharing
+    * at least `minShared` distinct 3-word shingles with a benchmark
+    * document. [[pipeline_decontam]] binds the declared corpus with
+    * doc_id ≡ 0 (mod 97) as the benchmark suite; this is the general
+    * two-frame operator over (doc_id, h) shingle frames.
+    *
+    * Scale shape (100 TB): a benchmark suite is tiny next to the
+    * corpus, so its shingle frame is broadcast and the corpus side
+    * NEVER shuffles for the match; the group-by shuffles only matched
+    * (doc, bench) pairs with map-side partial counts. Past ~10⁸
+    * benchmark shingles drop the broadcast hint and this becomes a
+    * plain shingle-hash equi-join like the dedup family (same
+    * hot-shingle discipline: a stop-shingle in the benchmark fans out
+    * to its corpus df — cap with `spark.graft.dedup.maxShingleDf` in
+    * production; uncapped here so the oracle is exact). */
+  private[operators] def decontamFromShingles(corpus: DataFrame,
+      bench: DataFrame, minShared: Int): DataFrame =
+    corpus.join(broadcast(bench), Seq("h"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .orderBy(col("doc_id"), col("bench_id"))
+
+  /** Spec-facing variant over two (doc_id, text) frames. */
+  private[operators] def decontamPairs(corpus: DataFrame, bench: DataFrame,
+      minShared: Int): DataFrame = {
+    def sh(d: DataFrame) = d.select(col("doc_id"),
+      explode(GraftFunctions.word_shingle_hashes(col("text"), 3)).as("h"))
+    decontamFromShingles(sh(corpus),
+      sh(bench).withColumnRenamed("doc_id", "bench_id"), minShared)
+  }
+
+  /** Declared decontamination query: benchmark = doc_id ≡ 0 (mod 97),
+    * minShared = `spark.graft.decontam.minShared` (default 3 ≈ a
+    * shared 5-word contiguous span). Rides the dedup family's
+    * memoized shingle pass — one corpus shingle scan serves all six
+    * shingle consumers. */
+  val pipeline_decontam: Q = (s, dir) => {
+    val minShared = s.conf.getOption("spark.graft.decontam.minShared")
+      .map(_.toInt).getOrElse(3)
+    val sh = Dedup.shingleHashesFor(s, dir)
+    decontamFromShingles(
+      sh.filter(col("doc_id") % 97 =!= 0),
+      sh.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("bench_id"), col("h")),
+      minShared)
+  }
+
   val queries: Map[String, Q] = Map(
     "text_tokens" -> text_tokens,
     "text_quality" -> text_quality,
@@ -145,17 +195,30 @@ object TextOps {
     "text_fingerprint" -> text_fingerprint,
     "text_bigrams" -> text_bigrams,
     "pipeline_clean" -> pipeline_clean,
+    "pipeline_decontam" -> pipeline_decontam,
   )
 
-  /** pipeline_clean rides Dedup's session-lifetime survivor memo (see
-    * Dedup.memoBacked for the rationale of declaring this here). */
-  val memoBacked: Set[String] = Set("pipeline_clean")
+  /** pipeline_clean rides Dedup's session-lifetime survivor memo,
+    * pipeline_decontam its shingle memo (see Dedup.memoBacked for the
+    * rationale of declaring this here). */
+  val memoBacked: Set[String] = Set("pipeline_clean", "pipeline_decontam")
 
   private val stopsSql = stops.map(s => s"'$s'").mkString(", ")
 
   /** lang-id and the custom fingerprints are not SQL-expressible in
     * DuckDB → rows-only checks for those. */
   val oracles: Map[String, String] = Map(
+    "pipeline_decontam" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS wds
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2] AS s
+        |       FROM w, UNNEST(range(1, len(wds)-1)) AS t(i)),
+        |hits AS (SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS shared
+        |         FROM sh c JOIN sh b ON c.s = b.s
+        |         WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+        |         GROUP BY 1, 2)
+        |SELECT doc_id, bench_id, shared FROM hits
+        |WHERE shared >= 3 ORDER BY doc_id, bench_id""".stripMargin,
     "text_bigrams" ->
       """WITH w AS (SELECT regexp_split_to_array(TRIM(text), '\s+') AS wds
         |           FROM documents),

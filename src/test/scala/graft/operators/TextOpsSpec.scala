@@ -88,6 +88,41 @@ class TextOpsSpec extends SparkTestBase {
     assert(got == Seq("a b", "a b", "b c"))
   }
 
+  test("decontam flags planted shingle overlap, exact shared counts") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares the 5-word span "alpha beta gamma delta epsilon" → 3 shingles
+      (1L, "alpha beta gamma delta epsilon nope"),
+      // shares words but no 3-word shingle
+      (2L, "alpha beta nope gamma delta nope2"),
+      // verbatim benchmark text → all 4 shingles
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "completely unrelated words here and more of them")
+    ).toDF("doc_id", "text")
+    val got = TextOps.decontamPairs(corpus, bench, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 100L, 3L), (3L, 100L, 4L)), got)
+    // raising the threshold drops the partial overlap, keeps verbatim
+    assert(TextOps.decontamPairs(corpus, bench, minShared = 4)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("pipeline_decontam: benchmark split honored, bench side broadcast") {
+    val df = TextOps.pipeline_decontam(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "decontam must be non-vacuous at sf0.001")
+    rows.foreach { r =>
+      assert(r.getLong(1) % 97 == 0, s"bench_id not in benchmark set: $r")
+      assert(r.getLong(0) % 97 != 0, s"corpus doc in benchmark set: $r")
+      assert(r.getLong(2) >= 3, s"below threshold: $r")
+    }
+    df.collect() // AQE-finalized plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     val df = TextOps.text_fingerprint(spark, sf0001)
     df.collect() // materialize so AQE finalizes the physical plan
