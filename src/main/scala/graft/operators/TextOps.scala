@@ -188,6 +188,45 @@ object TextOps {
       minShared)
   }
 
+  /** Sliding-window word chunking — the RAG-indexing / training-
+    * sequence-packing primitive: split each document into windows of
+    * `windowWords` words advancing by `windowWords - overlapWords`,
+    * emitting (doc_id, chunk_id, n_chunk_words, chunk). The tail chunk
+    * may be shorter than the window; every word lands in ≥ 1 chunk.
+    *
+    * Scale shape (100 TB): pure per-row explode over codegen'd array
+    * built-ins (split/sequence/slice/array_join) — no shuffle, no UDF,
+    * output rows ≈ corpus_words / step (linear). The final orderBy
+    * exists only for the deterministic driver dump; a production write
+    * stays partition-local without it. */
+  private[operators] def chunkWords(d: DataFrame, windowWords: Int,
+      overlapWords: Int): DataFrame = {
+    require(overlapWords >= 0 && overlapWords < windowWords,
+      s"need 0 <= overlap < window, got $overlapWords/$windowWords")
+    val step = windowWords - overlapWords
+    d.select(col("doc_id"), split(trim(col("text")), "\\s+").as("wds"))
+      .select(col("doc_id"), col("wds"),
+        posexplode(sequence(lit(1), size(col("wds")), lit(step))))
+      .withColumnRenamed("pos", "chunk_id")
+      .withColumnRenamed("col", "start")
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        least(lit(windowWords), size(col("wds")) - col("start") + 1)
+          .cast("long").as("n_chunk_words"),
+        array_join(slice(col("wds"), col("start"), lit(windowWords)), " ")
+          .as("chunk"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** Declared chunking query: window/overlap from
+    * `spark.graft.chunk.{words,overlap}` (defaults 64/16 → step 48). */
+  val pipeline_chunk: Q = (s, dir) => {
+    val w = s.conf.getOption("spark.graft.chunk.words").map(_.toInt)
+      .getOrElse(64)
+    val o = s.conf.getOption("spark.graft.chunk.overlap").map(_.toInt)
+      .getOrElse(16)
+    chunkWords(docs(s, dir), w, o)
+  }
+
   val queries: Map[String, Q] = Map(
     "text_tokens" -> text_tokens,
     "text_quality" -> text_quality,
@@ -196,6 +235,7 @@ object TextOps {
     "text_bigrams" -> text_bigrams,
     "pipeline_clean" -> pipeline_clean,
     "pipeline_decontam" -> pipeline_decontam,
+    "pipeline_chunk" -> pipeline_chunk,
   )
 
   /** pipeline_clean rides Dedup's session-lifetime survivor memo,
@@ -208,6 +248,14 @@ object TextOps {
   /** lang-id and the custom fingerprints are not SQL-expressible in
     * DuckDB → rows-only checks for those. */
   val oracles: Map[String, String] = Map(
+    "pipeline_chunk" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS wds
+        |           FROM documents)
+        |SELECT doc_id, (start - 1) // 48 AS chunk_id,
+        |       LEAST(64, len(wds) - start + 1) AS n_chunk_words,
+        |       array_to_string(wds[start:start+63], ' ') AS chunk
+        |FROM w, UNNEST(range(1, len(wds) + 1, 48)) AS t(start)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "pipeline_decontam" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS wds
         |           FROM documents),

@@ -123,6 +123,35 @@ class TextOpsSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("chunkWords: exact windows, overlap, short tail, full coverage") {
+    import spark.implicits._
+    val d = Seq((7L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")).toDF("doc_id", "text")
+    // window 4, overlap 2 → step 2: starts 1,3,5,7,9
+    val got = TextOps.chunkWords(d, 4, 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == Seq(
+      (0L, 4L, "w1 w2 w3 w4"), (1L, 4L, "w3 w4 w5 w6"),
+      (2L, 4L, "w5 w6 w7 w8"), (3L, 4L, "w7 w8 w9 w10"),
+      (4L, 2L, "w9 w10")), got)
+    // no overlap → exact partition of the word sequence
+    val flat = TextOps.chunkWords(d, 3, 0).collect().map(_.getString(3))
+    assert(flat.mkString(" ") == "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")
+    // single chunk when the doc fits in one window
+    assert(TextOps.chunkWords(d, 32, 8).count() == 1)
+  }
+
+  test("pipeline_chunk: linear row growth, shuffle-free until the dump sort") {
+    val df = TextOps.pipeline_chunk(spark, sf0001)
+    val n = df.count()
+    assert(n > 0)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // per-row explode only: a join or aggregate here would mean the
+    // operator shuffles corpus data beyond the deterministic-dump sort
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     val df = TextOps.text_fingerprint(spark, sf0001)
     df.collect() // materialize so AQE finalizes the physical plan
