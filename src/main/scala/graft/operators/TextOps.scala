@@ -227,6 +227,45 @@ object TextOps {
     chunkWords(docs(s, dir), w, o)
   }
 
+  /** Token-budget sequence packing — the step that lays documents
+    * end-to-end into fixed-size training sequences: each doc is
+    * assigned the pack where its start offset lands (start = running
+    * token count of its predecessors in the shard), emitting
+    * (doc_id, shard, pack_id, offset, n_tokens).
+    *
+    * Scale shape (100 TB): packing is inherently sequential WITHIN a
+    * pack, so the shard count is the parallelism knob — docs are
+    * sharded by `doc_id % shards` and the running sum is a window
+    * partitioned by shard (one hash exchange, no global sort before
+    * the dump ordering). 64 shards covers local[32]; a production run
+    * raises `spark.graft.pack.shards` until a shard's token stream
+    * fits an executor (e.g. 10k shards ≈ 10 GB each at 100 TB). */
+  private[operators] def packTokens(d: DataFrame, shards: Int,
+      budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.select(col("doc_id"),
+        pmod(col("doc_id"), lit(shards)).as("shard"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"),
+        floor(col("start") / budget).cast("long").as("pack_id"),
+        (col("start") % budget).as("offset"),
+        col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Declared packing query: shards/budget from
+    * `spark.graft.pack.{shards,budget}` (defaults 64 / 2048 tokens). */
+  val pipeline_pack: Q = (s, dir) => {
+    val shards = s.conf.getOption("spark.graft.pack.shards").map(_.toInt)
+      .getOrElse(64)
+    val budget = s.conf.getOption("spark.graft.pack.budget").map(_.toInt)
+      .getOrElse(2048)
+    packTokens(docs(s, dir), shards, budget)
+  }
+
   val queries: Map[String, Q] = Map(
     "text_tokens" -> text_tokens,
     "text_quality" -> text_quality,
@@ -236,6 +275,7 @@ object TextOps {
     "pipeline_clean" -> pipeline_clean,
     "pipeline_decontam" -> pipeline_decontam,
     "pipeline_chunk" -> pipeline_chunk,
+    "pipeline_pack" -> pipeline_pack,
   )
 
   /** pipeline_clean rides Dedup's session-lifetime survivor memo,
@@ -256,6 +296,18 @@ object TextOps {
         |       array_to_string(wds[start:start+63], ' ') AS chunk
         |FROM w, UNNEST(range(1, len(wds) + 1, 48)) AS t(start)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "pipeline_pack" ->
+      """WITH t AS (SELECT doc_id, doc_id % 64 AS shard,
+        |                  len(regexp_split_to_array(TRIM(text), '\s+')) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               - n_tokens AS start
+        |      FROM t)
+        |SELECT doc_id, shard, start // 2048 AS pack_id,
+        |       start % 2048 AS offset, n_tokens
+        |FROM c ORDER BY doc_id""".stripMargin,
     "pipeline_decontam" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS wds
         |           FROM documents),

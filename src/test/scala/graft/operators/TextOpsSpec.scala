@@ -152,6 +152,36 @@ class TextOpsSpec extends SparkTestBase {
     assert(!plan.contains("HashAggregate"), plan)
   }
 
+  test("packTokens: exact running offsets, pack assignment by start") {
+    import spark.implicits._
+    // one shard (shards=1) so the sequence is fully determined
+    val d = Seq(
+      (0L, "a b c"),            // 3 tokens, start 0  → pack 0, offset 0
+      (1L, "d e f g"),          // 4 tokens, start 3  → pack 0, offset 3
+      (2L, "h i"),              // 2 tokens, start 7  → pack 0, offset 7
+      (3L, "j k l m n")         // 5 tokens, start 9  → pack 1, offset 1
+    ).toDF("doc_id", "text")
+    val got = TextOps.packTokens(d, 1, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq((0L, 0L, 0L, 3L), (1L, 0L, 3L, 4L),
+      (2L, 0L, 7L, 2L), (3L, 1L, 1L, 5L)), got)
+    // sharding: docs 0,2 → shard 0 and 1,3 → shard 1 pack independently
+    val sharded = TextOps.packTokens(d, 2, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(sharded == Seq((0L, 0L, 0L), (1L, 1L, 0L),
+      (2L, 0L, 3L), (3L, 1L, 4L)), sharded)
+  }
+
+  test("pipeline_pack: non-vacuous, window partitioned by shard") {
+    val df = TextOps.pipeline_pack(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    // the running sum must be sharded — a partition-less window would
+    // funnel the corpus through one task
+    assert(plan.contains("windowspecdefinition(shard"), plan)
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     val df = TextOps.text_fingerprint(spark, sf0001)
     df.collect() // materialize so AQE finalizes the physical plan
