@@ -67,7 +67,7 @@ object Streaming {
   private val sinkTableNames = Seq(
     "stream_hour_counts_tbl", "stream_sliding_tbl", "stream_sessions_tbl",
     "stream_state_sessions_tbl", "stream_append_tbl", "stream_dedup_tbl",
-    "stream_dedup_bounded_tbl")
+    "stream_dedup_bounded_tbl", "stream_decontam_tbl")
 
   /** Memory-sink tables hold their full result in the driver for the
     * session's life; a long multi-query session (the bench) must drop
@@ -202,6 +202,34 @@ object Streaming {
       .orderBy(col("user_id"))
   }
 
+  /** Stream–static join: documents arrive as a micro-batch stream and
+    * are decontamination-checked against a STATIC benchmark suite
+    * (doc_id ≡ 0 mod 97 of the same corpus, matching
+    * [[TextOps.pipeline_decontam]]) — the streaming-ingest form of
+    * benchmark decontamination, and the B24 surface's stream-static
+    * join shape. The static side is computed once per micro-batch plan
+    * and broadcast, so the unbounded stream side never shuffles for
+    * the match; state is the (doc, bench) pair counts only. Shares the
+    * batch key's oracle. */
+  val stream_decontam: Q = (s, dir) => {
+    val bench = graft.Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_id"),
+        explode(graft.functions.GraftFunctions
+          .word_shingle_hashes(col("text"), 3)).as("h"))
+    val corpus = streamTable(s, dir, "documents", documentsSchema)
+      .filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions
+          .word_shingle_hashes(col("text"), 3)).as("h"))
+    val hits = corpus.join(broadcast(bench), Seq("h"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 3)
+    runToTable(s, hits, "stream_decontam_tbl", "complete")
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_hour_counts" -> stream_hour_counts,
     "stream_sliding" -> stream_sliding,
@@ -210,6 +238,7 @@ object Streaming {
     "stream_append" -> stream_append,
     "stream_dedup" -> stream_dedup,
     "stream_dedup_bounded" -> stream_dedup_bounded,
+    "stream_decontam" -> stream_decontam,
   )
 
   private val sessionIslands =
@@ -227,6 +256,17 @@ object Streaming {
       |  FROM flags)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stream_decontam" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS wds
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2] AS s
+        |       FROM w, UNNEST(range(1, len(wds)-1)) AS t(i)),
+        |hits AS (SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS shared
+        |         FROM sh c JOIN sh b ON c.s = b.s
+        |         WHERE b.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+        |         GROUP BY 1, 2)
+        |SELECT doc_id, bench_id, shared FROM hits
+        |WHERE shared >= 3 ORDER BY doc_id, bench_id""".stripMargin,
     "stream_hour_counts" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h, event_type,
         |  COUNT(*) AS cnt

@@ -216,6 +216,16 @@ class StreamingSpec extends SparkTestBase {
     Streaming.dropSinkTables(spark)
   }
 
+  test("stream-static decontam equals the batch decontam result") {
+    val streamed = Streaming.stream_decontam(spark, sf0001)
+    val rows = streamed.collect()
+    assert(rows.nonEmpty, "decontam stream must be non-vacuous at sf0.001")
+    val batch = TextOps.pipeline_decontam(spark, sf0001).collect()
+    assert(rows.map(_.toString).sorted.sameElements(
+      batch.map(_.toString).sorted))
+    Streaming.dropSinkTables(spark)
+  }
+
   test("stateful session count equals session-window session count") {
     val byState = Streaming.stream_state_sessions(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
