@@ -58,7 +58,45 @@ object Sampling {
       .orderBy(col("lang"), col("rnk"))
   }
 
-  val queries: Map[String, Q] = Map("pipeline_sample" -> pipeline_sample)
+  /** Domain-mixture resampling — the data-recipe step that reweights
+    * corpus domains before training (e.g. keep all zh, half of en, a
+    * quarter of everything else): a deterministic per-stratum Bernoulli
+    * draw, keep iff residue h < floor(rate · M). Rates come from
+    * `spark.graft.mix.rates` ("en:0.5,zh:1.0,default:0.25"); the
+    * declared defaults match the oracle's hardcoded thresholds the same
+    * way pipeline_sample hardcodes k.
+    *
+    * Scale shape: pure per-row filter over integer arithmetic — no
+    * shuffle, no RNG state, reproducible across engines, runs and
+    * partitionings; thresholds are precomputed Longs so the comparison
+    * is exact (no float boundary drift between engines). */
+  val pipeline_mix: Q = (s, dir) => {
+    val spec = s.conf.getOption("spark.graft.mix.rates")
+      .getOrElse("en:0.5,zh:1.0,default:0.25")
+    val rates = spec.split(",").map(_.split(":"))
+      .map(a => a(0).trim -> a(1).trim.toDouble).toMap
+    require(rates.values.forall(r => r >= 0 && r <= 1), s"rates in [0,1]: $spec")
+    val defaultThr = (rates.getOrElse("default", 1.0) * Mod).toLong
+    // TWO Park–Miller steps, not one: pipeline_sample only needs a
+    // relative ORDER scramble, but a Bernoulli threshold needs h
+    // spread over the full [0, M) range — one step maps small ids to
+    // h = id·48271, which sits below every realistic threshold (an
+    // sf0.01 corpus kept 100% of rows at rate 0.25). The second step
+    // wraps the product past M; each is exact in a Long.
+    val h = col("doc_id") % Mod * Mult % Mod * Mult % Mod
+    val thr = (rates - "default").toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultThr)) { case (acc, (l, r)) =>
+        when(col("lang") === l, lit((r * Mod).toLong)).otherwise(acc)
+      }
+    Tables.load(s, dir, "documents")
+      .filter(h < thr)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "pipeline_sample" -> pipeline_sample,
+    "pipeline_mix" -> pipeline_mix)
 
   val oracles: Map[String, String] = Map(
     "pipeline_sample" ->
@@ -69,5 +107,15 @@ object Sampling {
          |  FROM documents)
          |WHERE rn <= $K
          |ORDER BY lang, rnk""".stripMargin,
+    // thresholds = floor(rate * M) for the declared default rates
+    // (en 0.5, zh 1.0, default 0.25), precomputed so both engines
+    // compare integers
+    "pipeline_mix" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ((((doc_id % $Mod) * $Mult) % $Mod) * $Mult) % $Mod <
+         |  CASE lang WHEN 'en' THEN 1073741823
+         |            WHEN 'zh' THEN 2147483647
+         |            ELSE 536870911 END
+         |ORDER BY doc_id""".stripMargin,
   )
 }

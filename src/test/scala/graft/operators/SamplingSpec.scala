@@ -69,6 +69,33 @@ class SamplingSpec extends SparkTestBase {
     assert(gotOrder == wantOrder, s"draw order: $gotOrder vs $wantOrder")
   }
 
+  test("mix: per-stratum keep rates honored, zh kept whole, draw deterministic") {
+    val d = Tables.load(spark, sf001, "documents")
+    val totals = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Sampling.pipeline_mix(spark, sf001)
+    val keptBy = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rate 1.0 keeps every row; thresholds are exact, not approximate
+    assert(keptBy("zh") == totals("zh"))
+    // Bernoulli(0.5 / 0.25) on a uniform residue: generous 3-sigma bands
+    def inBand(lang: String, rate: Double): Unit = {
+      val n = totals(lang).toDouble
+      val sd = math.sqrt(n * rate * (1 - rate))
+      assert(math.abs(keptBy(lang) - n * rate) <= 3 * sd + 1,
+        s"$lang kept=${keptBy(lang)} of $n at rate $rate")
+    }
+    inBand("en", 0.5); inBand("de", 0.25); inBand("fr", 0.25)
+    // deterministic: a second run returns the identical id set
+    val a = kept.collect().map(_.getLong(0))
+    val b = Sampling.pipeline_mix(spark, sf001).collect().map(_.getLong(0))
+    assert(a.sameElements(b))
+    // no shuffle: per-row filter only (dump sort aside)
+    kept.collect()
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("Window"), plan)
+  }
+
   test("no Window funnel: the plan aggregates, it does not rank globally") {
     val plan = Sampling.pipeline_sample(spark, sf001)
       .queryExecution.executedPlan.toString
