@@ -36,11 +36,12 @@ val jdk17AddOpens = Seq(
 // Fork-JVM heap: explicit SPARK_DRIVER_MEM always wins; otherwise size
 // from the bench corpus (SPARK_GRAFT_SF_DIR). The 100x canary's
 // streaming memory sinks peak ~7.5 GiB — right at the old fixed 8g
-// default's OOM edge (one run died there). Heuristic: ~10 GiB heap per
+// default's OOM edge (one run died there). Heuristic: ~16 GiB heap per
 // GiB of on-disk parquet (snappy decompresses ~6-8x, plus memory-sink
-// retention and shuffle), +6 GiB fixed, floored at 8g, capped at 48g.
-// Reproduces the empirically-good 24g for the ~1.7 GiB 100x corpus and
-// stays at 8g for the graded SFs. Unset/missing dir => 8g floor.
+// retention, shuffle, and the REPS=2 memo churn — the r9 100x run
+// OOM'd in dedup_survivors at the earlier 10x-per-GiB guess), +6 GiB
+// fixed, floored at 8g, capped at 48g. Gives ~26g for the ~1.2 GiB
+// 100x corpus and stays at 8g for the graded SFs. Unset => 8g floor.
 def graftDirBytes(d: java.io.File): Long =
   if (d.isFile) d.length
   else Option(d.listFiles).map(_.map(graftDirBytes).sum).getOrElse(0L)
@@ -48,7 +49,7 @@ def graftDriverMem: String = sys.env.getOrElse("SPARK_DRIVER_MEM", {
   val corpusGiB = sys.env.get("SPARK_GRAFT_SF_DIR")
     .map(p => graftDirBytes(new java.io.File(p)).toDouble / (1L << 30))
     .getOrElse(0.0)
-  s"${math.max(8L, math.min(48L, 6L + math.ceil(corpusGiB * 10).toLong))}g"
+  s"${math.max(8L, math.min(48L, 6L + math.ceil(corpusGiB * 16).toLong))}g"
 })
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
