@@ -227,6 +227,92 @@ object TextOps {
     chunkWords(docs(s, dir), w, o)
   }
 
+  /** Within-document repetition scoring — the boilerplate/template
+    * signal of the published LLM quality-filter stacks (fraction of
+    * duplicate word n-grams inside each document; high values mean
+    * machine-generated or scraped-template text). Emits per doc the
+    * total and distinct bigram/trigram counts plus the duplicate
+    * fractions, rounded to 5 decimals.
+    *
+    * Scale shape (100 TB): pure per-row array builtins (split /
+    * sequence / transform / array_distinct) — codegen'd, no shuffle,
+    * no UDF; the n-gram arrays live only inside the projection. The
+    * orderBy exists for the deterministic driver dump. */
+  private[operators] def repetitionStats(d: DataFrame): DataFrame = {
+    val wds = split(trim(col("text")), "\\s+")
+    // n-gram string array, empty when the doc has fewer than n words
+    // (sequence(1, 0) would count DOWN, so the short case is explicit)
+    def grams(n: Int): Column =
+      when(size(col("wds")) >= n,
+        transform(sequence(lit(1), size(col("wds")) - (n - 1)), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(col("wds"), i + j)): _*)))
+        .otherwise(array().cast("array<string>"))
+    def dupFrac(tot: Column, dis: Column): Column =
+      when(tot > 0,
+        round((tot - dis).cast("double") / tot.cast("double"), 5))
+        .otherwise(lit(0.0))
+    d.select(col("doc_id"), col("text")).withColumn("wds", wds)
+      .withColumn("bi", grams(2)).withColumn("tri", grams(3))
+      .select(col("doc_id"), size(col("wds")).as("n_words"),
+        size(col("bi")).as("n_bigrams"),
+        size(array_distinct(col("bi"))).as("n_distinct_bigrams"),
+        size(col("tri")).as("n_trigrams"),
+        size(array_distinct(col("tri"))).as("n_distinct_trigrams"))
+      .withColumn("dup_bigram_frac",
+        dupFrac(col("n_bigrams"), col("n_distinct_bigrams")))
+      .withColumn("dup_trigram_frac",
+        dupFrac(col("n_trigrams"), col("n_distinct_trigrams")))
+      .orderBy(col("doc_id"))
+  }
+
+  val text_repetition: Q = (s, dir) => repetitionStats(docs(s, dir))
+
+  // PII patterns — identical semantics under Java regex (Spark) and
+  // RE2 (DuckDB): ASCII classes, bounded repetition, \b, no lookaround.
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val LongNumPat = "\\b\\d{7,}\\b"
+
+  /** PII redaction — the scrubbing pass a training pipeline runs before
+    * anything leaves the ingest zone: mask emails, IPv4 addresses and
+    * long digit runs (phone/account numbers), and count what was hit
+    * per category. Counts are taken on the raw text; replacement is
+    * sequential email → ip → number (the categories are disjoint by
+    * construction: an email's local part never contains 7+ digit runs
+    * bounded by \b and never parses as a dotted quad).
+    *
+    * Scale shape (100 TB): per-row codegen'd regexp builtins — no
+    * shuffle, no UDF; regex cost is linear in text length. */
+  private[operators] def redactPii(d: DataFrame): DataFrame = {
+    val red = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      EmailPat, "<EMAIL>"), Ipv4Pat, "<IP>"), LongNumPat, "<NUM>")
+    d.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailPat), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Pat), lit(0))).as("n_ips"),
+      size(regexp_extract_all(col("text"), lit(LongNumPat), lit(0))).as("n_longnums"),
+      red.as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Declared redaction query. The synthetic corpus is digit-free word
+    * salad, so a bare redact over it would be a vacuous identity
+    * (0 == 0 proves nothing — the dedup_embed lesson). The declared
+    * query therefore PLANTS deterministic PII derived from doc_id via
+    * the same concat on both engines — every row carries an email, a
+    * dotted-quad and a 10-digit number (plus a second email on
+    * doc_id ≡ 0 mod 3 so the counts vary), and the oracle checks the
+    * full redacted text hash. [[redactPii]] stays the general operator
+    * for real corpora. */
+  val pipeline_redact: Q = (s, dir) => {
+    val aug = concat(col("text"),
+      lit(" contact u"), col("doc_id").cast("string"),
+      lit("@ex.com from 10.0."), (col("doc_id") % 256).cast("string"),
+      lit("."), (col("doc_id") % 97).cast("string"),
+      when(col("doc_id") % 3 === 0, lit(" cc admin@site.org")).otherwise(lit("")),
+      lit(" ref "), (col("doc_id") + 7770000000L).cast("string"))
+    redactPii(docs(s, dir).withColumn("text", aug))
+  }
+
   /** Token-budget sequence packing — the step that lays documents
     * end-to-end into fixed-size training sequences: each doc is
     * assigned the pack where its start offset lands (start = running
@@ -276,6 +362,8 @@ object TextOps {
     "pipeline_decontam" -> pipeline_decontam,
     "pipeline_chunk" -> pipeline_chunk,
     "pipeline_pack" -> pipeline_pack,
+    "text_repetition" -> text_repetition,
+    "pipeline_redact" -> pipeline_redact,
   )
 
   /** pipeline_clean rides Dedup's session-lifetime survivor memo,
@@ -346,6 +434,44 @@ object TextOps {
          |WHERE surv.doc_id = surv.keep_id AND q.qual >= 0.05
          |ORDER BY q.doc_id""".stripMargin
     },
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS wds
+        |           FROM documents),
+        |bi AS (SELECT doc_id, COUNT(*) AS tot,
+        |              COUNT(DISTINCT wds[i] || ' ' || wds[i+1]) AS dis
+        |       FROM w, UNNEST(range(1, len(wds))) AS t(i) GROUP BY 1),
+        |tri AS (SELECT doc_id, COUNT(*) AS tot,
+        |               COUNT(DISTINCT wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2]) AS dis
+        |        FROM w, UNNEST(range(1, len(wds) - 1)) AS t(i) GROUP BY 1)
+        |SELECT w.doc_id, CAST(len(wds) AS INTEGER) AS n_words,
+        |  CAST(COALESCE(bi.tot, 0) AS INTEGER) AS n_bigrams,
+        |  CAST(COALESCE(bi.dis, 0) AS INTEGER) AS n_distinct_bigrams,
+        |  CAST(COALESCE(tri.tot, 0) AS INTEGER) AS n_trigrams,
+        |  CAST(COALESCE(tri.dis, 0) AS INTEGER) AS n_distinct_trigrams,
+        |  CASE WHEN COALESCE(bi.tot, 0) > 0
+        |       THEN ROUND(CAST(bi.tot - bi.dis AS DOUBLE) / bi.tot, 5)
+        |       ELSE 0.0 END AS dup_bigram_frac,
+        |  CASE WHEN COALESCE(tri.tot, 0) > 0
+        |       THEN ROUND(CAST(tri.tot - tri.dis AS DOUBLE) / tri.tot, 5)
+        |       ELSE 0.0 END AS dup_trigram_frac
+        |FROM w LEFT JOIN bi USING (doc_id) LEFT JOIN tri USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "pipeline_redact" ->
+      """WITH aug AS (SELECT doc_id,
+        |  text || ' contact u' || doc_id || '@ex.com from 10.0.'
+        |       || (doc_id % 256) || '.' || (doc_id % 97)
+        |       || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@site.org' ELSE '' END
+        |       || ' ref ' || (doc_id + 7770000000) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\b\d{7,}\b')) AS INTEGER) AS n_longnums,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{7,}\b', '<NUM>', 'g') AS redacted
+        |FROM aug ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS INTEGER) AS ws_tokens,

@@ -182,6 +182,43 @@ class TextOpsSpec extends SparkTestBase {
     assert(plan.contains("windowspecdefinition(shard"), plan)
   }
 
+  test("repetition stats count duplicate n-grams exactly") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b a b"), (2L, "x y z"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val m = TextOps.repetitionStats(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: bigrams [a b, b a, a b, b a, a b] → 5 total / 2 distinct
+    assert(m(1L).getInt(2) == 5 && m(1L).getInt(3) == 2)
+    assert(m(1L).getDouble(6) == 0.6)
+    // trigrams [a b a, b a b, a b a, b a b] → 4 total / 2 distinct
+    assert(m(1L).getInt(4) == 4 && m(1L).getInt(5) == 2)
+    assert(m(1L).getDouble(7) == 0.5)
+    // doc 2: all n-grams unique → zero duplicate fraction
+    assert(m(2L).getDouble(6) == 0.0 && m(2L).getDouble(7) == 0.0)
+    // doc 3: one word → no n-grams at all; fractions defined as 0
+    assert(m(3L).getInt(2) == 0 && m(3L).getInt(4) == 0)
+    assert(m(3L).getDouble(6) == 0.0 && m(3L).getDouble(7) == 0.0)
+  }
+
+  test("redact masks emails, IPs and long digit runs; counts are pre-replacement") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "write john.doe+x@mail.example.org or 10.1.2.3 ref 12345678 ok"),
+      (2L, "no pii here just words"),
+      (3L, "short 123456 and 1.2.3 stay, a@b stays too"))
+      .toDF("doc_id", "text")
+    val m = TextOps.redactPii(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getInt(1) == 1 && m(1L).getInt(2) == 1 && m(1L).getInt(3) == 1)
+    assert(m(1L).getString(4) == "write <EMAIL> or <IP> ref <NUM> ok")
+    assert(m(2L).getInt(1) == 0 && m(2L).getInt(2) == 0 && m(2L).getInt(3) == 0)
+    assert(m(2L).getString(4) == "no pii here just words")
+    // 6-digit runs, 3-part dotted numbers and TLD-less emails stay
+    assert(m(3L).getInt(1) == 0 && m(3L).getInt(2) == 0 && m(3L).getInt(3) == 0)
+    assert(m(3L).getString(4) == "short 123456 and 1.2.3 stay, a@b stays too")
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     val df = TextOps.text_fingerprint(spark, sf0001)
     df.collect() // materialize so AQE finalizes the physical plan
