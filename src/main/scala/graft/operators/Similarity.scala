@@ -233,6 +233,45 @@ object Similarity {
     s
   }
 
+  /** Int8 scalar quantization: per-vector symmetric max-abs scaling
+    * q_i = round(x_i · 127 / max|x|) — the 4× memory/bandwidth
+    * compression every large vector corpus ships with. Both engines
+    * compute it in double (float→double widening is exact, ties round
+    * half-away-from-zero in both), so the quantized vectors are
+    * bit-identical across Spark and DuckDB. */
+  private[operators] def quantizeInt8(emb: Column): Column = {
+    val scale = array_max(transform(emb, x => abs(x))).cast("double")
+    when(scale > 0,
+      transform(emb, x => round(x.cast("double") * 127.0 / scale).cast("int")))
+      .otherwise(transform(emb, _ => lit(0)))
+  }
+
+  /** Brute-force top-k over int8-quantized embeddings ranked by the
+    * integer dot product. On a unit-norm corpus the int dot preserves
+    * cosine order to quantization error (recall vs the float baseline
+    * asserted in SimilaritySpec), and unlike every float scoring path
+    * the ranking is PURE INTEGER math — no accumulation-order
+    * nondeterminism — so this top-k is exactly DuckDB-oracled,
+    * ties breaking on neighbor_id like the float baseline.
+    *
+    * Scale shape (100 TB): same as sim_topk — queries broadcast, the
+    * corpus never shuffles — but the scan moves 8-bit codes instead of
+    * 32-bit floats. Quantization runs inline here; a production corpus
+    * stores the codes once and scans only them. */
+  val sim_topk_int8: Q = (s, dir) => {
+    val e = embs(s, dir)
+    val q8 = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), quantizeInt8(col("embedding")).as("qv"))
+    val c8 = e.select(col("vec_id").as("neighbor_id"),
+      quantizeInt8(col("embedding")).as("cv"))
+    val scored = c8.crossJoin(broadcast(q8))
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        aggregate(zip_with(col("qv"), col("cv"), (a, b) => (a * b).cast("long")),
+          lit(0L), (acc, x) => acc + x).cast("double").as("sim"))
+    rankTopK(scored)
+  }
+
   /** The custom ApproxCosineJoin operator (logical node + strategy +
     * physical banded-shuffle plan, graft.plans) run as a self-join over
     * embeddings. Deterministic but approximate → rows-only check. */
@@ -301,6 +340,7 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "sim_topk" -> sim_topk,
+    "sim_topk_int8" -> sim_topk_int8,
     "sim_lsh_topk" -> sim_lsh_topk, // rows-only: approximate by design
     "sim_ivf_topk" -> sim_ivf_topk, // rows-only: approximate by design
     "sim_lsh_recall" -> sim_lsh_recall,
@@ -316,6 +356,20 @@ object Similarity {
         |             c.vec_id) AS INTEGER) AS rnk,
         |  c.vec_id AS neighbor_id
         |FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        |WHERE q.vec_id < 5
+        |QUALIFY rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin,
+    "sim_topk_int8" ->
+      """WITH q8 AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0
+        |    / CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE))
+        |    AS INTEGER)) AS v
+        |  FROM embeddings)
+        |SELECT q.vec_id AS q_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id) AS INTEGER) AS rnk,
+        |  c.vec_id AS neighbor_id
+        |FROM q8 q JOIN q8 c ON c.vec_id != q.vec_id
         |WHERE q.vec_id < 5
         |QUALIFY rnk <= 10
         |ORDER BY q_id, rnk""".stripMargin,

@@ -96,6 +96,34 @@ class SimilaritySpec extends SparkTestBase {
       spark.read.parquet(s"$sf001/embeddings.parquet").count())
   }
 
+  test("int8 quantization is exact; its top-k tracks the float baseline") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // exact quantized values at scale = max|x| = 1.0: 63.5 rounds
+    // half-away-from-zero to 64 (the tie case both engines must agree on)
+    val q = Seq((1L, Array(0.5f, -1.0f, 0.25f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .select(Similarity.quantizeInt8(col("embedding")).as("q"))
+      .collect()(0).getSeq[Int](0)
+    assert(q.toSeq == Seq(64, -127, 32, 0), q)
+    val rows = Similarity.sim_topk_int8(spark, sf001).collect()
+    assert(rows.length == 50)
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 10))
+    }
+    // int8 on a unit-norm corpus preserves cosine order to quantization
+    // error. Random near-orthogonal vectors are the worst case — the
+    // true neighbors are nearly tied, so ±1/127 quantization noise
+    // swaps borderline ranks (measured 0.74 here); the floor catches a
+    // BROKEN quantization (overlap → ~k/N ≈ 0.02), not rank jitter.
+    val exact = Similarity.sim_topk(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val i8 = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = (exact & i8).size.toDouble / exact.size
+    info(s"int8 top-k overlap with float top-k: $overlap")
+    assert(overlap >= 0.6, s"overlap=$overlap")
+  }
+
   test("cosine_sim expression: self-similarity is 1") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions
