@@ -451,6 +451,82 @@ object Relational {
       .agg(sum($"l_quantity"))
       .orderBy($"l_returnflag")
 
+  // ------------------------------------------------- bucketed co-location
+
+  private val bucketMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, String, String)]()
+
+  /** lineitem + orders written ONCE bucketed (8 buckets, sorted) by
+    * their order key — the one-off layout job a 100 TB deployment runs
+    * at ingest so every later order-key join is co-located. Registered
+    * in the session catalog as external tables under java.io.tmpdir;
+    * memoized per (session, corpus). Returns (lineitemTable, ordersTable). */
+  private[operators] def bucketedTables(s: SparkSession,
+      dir: String): (String, String) = {
+    val (lt, ot, _) = bucketMemo.computeIfAbsent((s, dir), { _ =>
+      val id = (dir.hashCode & 0x7fffffff).toHexString
+      val base = java.nio.file.Files.createTempDirectory("graft-bucketed")
+        .toString
+      val lt = s"graft_lineitem_b_$id"
+      val ot = s"graft_orders_b_$id"
+      t(s, dir, "lineitem").write.mode("overwrite")
+        .option("path", s"$base/$lt")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+      t(s, dir, "orders").write.mode("overwrite")
+        .option("path", s"$base/$ot")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+      (lt, ot, base)
+    })
+    (lt, ot)
+  }
+
+  /** Builds (and memoizes) the bucketed layout ahead of time, returning
+    * the build seconds — the bench calls this in warmup so the declared
+    * key times the CO-LOCATED JOIN the layout exists to make cheap,
+    * with the one-off write reported as its own field (the IVF-index
+    * convention). */
+  def warmBucketedTables(s: SparkSession, dir: String): Double = {
+    val t0 = System.nanoTime()
+    bucketedTables(s, dir)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Drops this session's bucketed tables and deletes their directories
+    * (same hygiene as Similarity.evictMemo — without it every session
+    * leaks two table copies under tmpdir). */
+  def evictBucketMemo(s: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    bucketMemo.keySet.asScala.filter(_._1 eq s).toList.foreach { k =>
+      Option(bucketMemo.remove(k)).foreach { case (lt, ot, base) =>
+        s.sql(s"DROP TABLE IF EXISTS $lt")
+        s.sql(s"DROP TABLE IF EXISTS $ot")
+        val root = java.nio.file.Paths.get(base)
+        if (java.nio.file.Files.exists(root))
+          java.nio.file.Files.walk(root).iterator().asScala.toList
+            .reverseIterator.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
+  /** B-extra: bucketed co-located join — the layout-driven scale
+    * technique the flat-file joins can't use. Both sides read
+    * pre-bucketed on the join key, so the join plans with ZERO shuffle
+    * exchanges beneath it (plan-asserted in PlanQualitySpec with
+    * broadcast disabled): at 100 TB this is the difference between
+    * re-shuffling two fact tables per query and reading them joined in
+    * place. The aggregate after the join is the only exchange in the
+    * plan. */
+  val q27_bucket_join: Q = (s, dir) => {
+    val (lt, ot) = bucketedTables(s, dir)
+    val l = s.table(lt)
+    val o = s.table(ot)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        moneySum($"l_extendedprice").as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -491,6 +567,7 @@ object Relational {
     "q23_asof" -> q23_asof,
     "q24_percentile" -> q24_percentile,
     "q25_pivot" -> q25_pivot,
+    "q27_bucket_join" -> q27_bucket_join,
   )
 
   /** DuckDB-compatible oracle SQL. Keys mirror `queries`; column aliases
@@ -498,6 +575,11 @@ object Relational {
     * name before hashing). q19_approx intentionally has no oracle.
     */
   val oracles: Map[String, String] = Map(
+    "q27_bucket_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q01_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,

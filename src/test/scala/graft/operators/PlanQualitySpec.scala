@@ -70,6 +70,26 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("q27 bucketed join plans zero shuffle exchanges under the join") {
+    // broadcast off: with it, exchange-freedom would be trivially true
+    // and prove nothing about the bucketed layout
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (lt, ot) = Relational.bucketedTables(spark, sf0001)
+      val l = spark.table(lt)
+      val o = spark.table(ot)
+      val joined = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select(l("l_orderkey"), o("o_orderpriority"))
+      joined.collect() // let AQE finalize
+      // AdaptiveSparkPlanExec is a leaf node — match the printed final
+      // plan, not the tree (same convention as the other tests here)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("no query in the declared surface plans a CartesianProduct") {
     // the one plan shape that cannot survive a 100x scale-up
     graft.SparkEntry.queries.foreach { case (name, q) =>
