@@ -67,7 +67,7 @@ object Streaming {
   private val sinkTableNames = Seq(
     "stream_hour_counts_tbl", "stream_sliding_tbl", "stream_sessions_tbl",
     "stream_state_sessions_tbl", "stream_append_tbl", "stream_dedup_tbl",
-    "stream_dedup_bounded_tbl", "stream_decontam_tbl")
+    "stream_dedup_bounded_tbl", "stream_decontam_tbl", "stream_joined_tbl")
 
   /** Memory-sink tables hold their full result in the driver for the
     * session's life; a long multi-query session (the bench) must drop
@@ -230,6 +230,37 @@ object Streaming {
       .orderBy(col("doc_id"), col("bench_id"))
   }
 
+  /** Stream–stream interval join — the attribution shape (each view
+    * joined to the same user's purchases within the following hour),
+    * and the last Structured Streaming join class the surface needed:
+    * BOTH sides unbounded, both watermarked, with the time-range
+    * predicate that lets Spark bound each side's state (view state
+    * expires 1 h + watermark past its event time). Append mode: an
+    * inner interval join emits each match exactly once.
+    *
+    * Scale shape: one shuffle per side on user_id; state per user is
+    * bounded by the interval × arrival rate, exactly the plan a
+    * continuous 1000-executor attribution job runs. */
+  val stream_joined: Q = (s, dir) => {
+    val views = eventsStream(s, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val buys = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", "2 hours")
+    val joined = views.join(buys,
+      col("v_user") === col("b_user") &&
+        col("buy_ts") > col("view_ts") &&
+        col("buy_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+    runToTable(s, joined, "stream_joined_tbl", "append")
+      .select(col("v_user").as("user_id"),
+        col("view_ts").cast("timestamp_ntz").as("view_ts"),
+        col("buy_ts").cast("timestamp_ntz").as("buy_ts"))
+      .orderBy(col("user_id"), col("view_ts"), col("buy_ts"))
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_hour_counts" -> stream_hour_counts,
     "stream_sliding" -> stream_sliding,
@@ -239,6 +270,7 @@ object Streaming {
     "stream_dedup" -> stream_dedup,
     "stream_dedup_bounded" -> stream_dedup_bounded,
     "stream_decontam" -> stream_decontam,
+    "stream_joined" -> stream_joined,
   )
 
   private val sessionIslands =
@@ -267,6 +299,13 @@ object Streaming {
         |         GROUP BY 1, 2)
         |SELECT doc_id, bench_id, shared FROM hits
         |WHERE shared >= 3 ORDER BY doc_id, bench_id""".stripMargin,
+    "stream_joined" ->
+      """SELECT a.user_id, a.ts AS view_ts, b.ts AS buy_ts
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+        |ORDER BY a.user_id, view_ts, buy_ts""".stripMargin,
     "stream_hour_counts" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h, event_type,
         |  COUNT(*) AS cnt

@@ -226,6 +226,25 @@ class StreamingSpec extends SparkTestBase {
     Streaming.dropSinkTables(spark)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val streamed = Streaming.stream_joined(spark, sf0001).collect()
+    assert(streamed.nonEmpty, "interval join must be non-vacuous at sf0.001")
+    val e = Tables.load(spark, sf0001, "events")
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+    val b = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("buy_ts"))
+    val batch = v.join(b, col("user_id") === col("b_user") &&
+        col("buy_ts") > col("view_ts") &&
+        col("buy_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("view_ts").cast("timestamp_ntz"),
+        col("buy_ts").cast("timestamp_ntz"))
+      .collect()
+    assert(streamed.map(_.toString).sorted.sameElements(
+      batch.map(_.toString).sorted))
+    Streaming.dropSinkTables(spark)
+  }
+
   test("stateful session count equals session-window session count") {
     val byState = Streaming.stream_state_sessions(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
