@@ -199,7 +199,7 @@ object TextOps {
     * output rows ≈ corpus_words / step (linear). The final orderBy
     * exists only for the deterministic driver dump; a production write
     * stays partition-local without it. */
-  private[operators] def chunkWords(d: DataFrame, windowWords: Int,
+  private[operators] def chunkWordsRaw(d: DataFrame, windowWords: Int,
       overlapWords: Int): DataFrame = {
     require(overlapWords >= 0 && overlapWords < windowWords,
       s"need 0 <= overlap < window, got $overlapWords/$windowWords")
@@ -214,8 +214,12 @@ object TextOps {
           .cast("long").as("n_chunk_words"),
         array_join(slice(col("wds"), col("start"), lit(windowWords)), " ")
           .as("chunk"))
-      .orderBy(col("doc_id"), col("chunk_id"))
   }
+
+  private[operators] def chunkWords(d: DataFrame, windowWords: Int,
+      overlapWords: Int): DataFrame =
+    chunkWordsRaw(d, windowWords, overlapWords)
+      .orderBy(col("doc_id"), col("chunk_id"))
 
   /** Declared chunking query: window/overlap from
     * `spark.graft.chunk.{words,overlap}` (defaults 64/16 → step 48). */
@@ -225,6 +229,36 @@ object TextOps {
     val o = s.conf.getOption("spark.graft.chunk.overlap").map(_.toInt)
       .getOrElse(16)
     chunkWords(docs(s, dir), w, o)
+  }
+
+  /** Chunk-level exact dedup — the RAG-granularity dedup pass:
+    * identical sliding-window chunks (pipeline_chunk's geometry)
+    * collapse to one survivor, the lexicographically smallest
+    * (doc_id, chunk_id), carrying the duplicate count. Duplicate
+    * documents make their every chunk a duplicate, so an index built
+    * on the survivors embeds each passage once.
+    *
+    * Scale shape (100 TB): one group-by on the chunk text (the same
+    * shuffle discipline as dedup_exact's full-text grouping; a
+    * production variant groups on a 128-bit chunk hash to shuffle
+    * 16-byte keys instead of strings — same plan shape); min(struct)
+    * gives the survivor with map-side partial aggregation, no window. */
+  private[operators] def chunkDedup(d: DataFrame, windowWords: Int,
+      overlapWords: Int): DataFrame =
+    chunkWordsRaw(d, windowWords, overlapWords)
+      .groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("k"),
+        count(lit(1)).as("cnt"))
+      .select(col("k.doc_id").as("doc_id"), col("k.chunk_id").as("chunk_id"),
+        col("cnt"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val pipeline_chunk_dedup: Q = (s, dir) => {
+    val w = s.conf.getOption("spark.graft.chunk.words").map(_.toInt)
+      .getOrElse(64)
+    val o = s.conf.getOption("spark.graft.chunk.overlap").map(_.toInt)
+      .getOrElse(16)
+    chunkDedup(docs(s, dir), w, o)
   }
 
   /** Within-document repetition scoring — the boilerplate/template
@@ -364,6 +398,7 @@ object TextOps {
     "pipeline_pack" -> pipeline_pack,
     "text_repetition" -> text_repetition,
     "pipeline_redact" -> pipeline_redact,
+    "pipeline_chunk_dedup" -> pipeline_chunk_dedup,
   )
 
   /** pipeline_clean rides Dedup's session-lifetime survivor memo,
@@ -434,6 +469,17 @@ object TextOps {
          |WHERE surv.doc_id = surv.keep_id AND q.qual >= 0.05
          |ORDER BY q.doc_id""".stripMargin
     },
+    "pipeline_chunk_dedup" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS wds
+        |           FROM documents),
+        |c AS (SELECT doc_id, CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+        |             array_to_string(wds[start:start+63], ' ') AS chunk
+        |      FROM w, UNNEST(range(1, len(wds) + 1, 48)) AS t(start)),
+        |g AS (SELECT chunk, MIN({'doc_id': doc_id, 'chunk_id': chunk_id}) AS k,
+        |             COUNT(*) AS cnt
+        |      FROM c GROUP BY chunk)
+        |SELECT k.doc_id AS doc_id, k.chunk_id AS chunk_id, cnt
+        |FROM g ORDER BY doc_id, chunk_id""".stripMargin,
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS wds
         |           FROM documents),

@@ -219,6 +219,17 @@ class TextOpsSpec extends SparkTestBase {
     assert(m(3L).getString(4) == "short 123456 and 1.2.3 stay, a@b stays too")
   }
 
+  test("chunk dedup keeps the smallest (doc, chunk) per distinct chunk") {
+    import spark.implicits._
+    // docs 5 and 2 are identical single-chunk texts; doc 9 is unique;
+    // doc 7 repeats doc 9's text so "x y" has two homes too
+    val df = Seq((5L, "a b c"), (2L, "a b c"), (9L, "x y"), (7L, "x y"))
+      .toDF("doc_id", "text")
+    val rows = TextOps.chunkDedup(df, 64, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((2L, 0L, 2L), (7L, 0L, 2L)), rows)
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     val df = TextOps.text_fingerprint(spark, sf0001)
     df.collect() // materialize so AQE finalizes the physical plan
