@@ -455,6 +455,14 @@ object Relational {
 
   private val bucketMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (String, String, String)]()
+  private val bucketSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root).iterator().asScala.toList
+        .reverseIterator.foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
 
   /** lineitem + orders written ONCE bucketed (8 buckets, sorted) by
     * their order key — the one-off layout job a 100 TB deployment runs
@@ -464,18 +472,31 @@ object Relational {
   private[operators] def bucketedTables(s: SparkSession,
       dir: String): (String, String) = {
     val (lt, ot, _) = bucketMemo.computeIfAbsent((s, dir), { _ =>
-      val id = (dir.hashCode & 0x7fffffff).toHexString
+      // Uniquifier = sanitized path + per-JVM counter: hashCode alone
+      // can collide across corpus dirs (or sessions sharing a catalog),
+      // silently serving one corpus's layout to another's query.
+      val id = dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(40) +
+        "_" + bucketSeq.getAndIncrement()
       val base = java.nio.file.Files.createTempDirectory("graft-bucketed")
-        .toString
       val lt = s"graft_lineitem_b_$id"
       val ot = s"graft_orders_b_$id"
-      t(s, dir, "lineitem").write.mode("overwrite")
-        .option("path", s"$base/$lt")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
-      t(s, dir, "orders").write.mode("overwrite")
-        .option("path", s"$base/$ot")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
-      (lt, ot, base)
+      try {
+        t(s, dir, "lineitem").write.mode("overwrite")
+          .option("path", s"$base/$lt")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+        t(s, dir, "orders").write.mode("overwrite")
+          .option("path", s"$base/$ot")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+      } catch {
+        case e: Throwable =>
+          // failed build must not leak the temp dir or half-registered
+          // tables; the memo entry is only recorded on success
+          s.sql(s"DROP TABLE IF EXISTS $lt")
+          s.sql(s"DROP TABLE IF EXISTS $ot")
+          deleteRecursively(base)
+          throw e
+      }
+      (lt, ot, base.toString)
     })
     (lt, ot)
   }
@@ -500,10 +521,7 @@ object Relational {
       Option(bucketMemo.remove(k)).foreach { case (lt, ot, base) =>
         s.sql(s"DROP TABLE IF EXISTS $lt")
         s.sql(s"DROP TABLE IF EXISTS $ot")
-        val root = java.nio.file.Paths.get(base)
-        if (java.nio.file.Files.exists(root))
-          java.nio.file.Files.walk(root).iterator().asScala.toList
-            .reverseIterator.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        deleteRecursively(java.nio.file.Paths.get(base))
       }
     }
   }

@@ -360,11 +360,14 @@ object Similarity {
         |QUALIFY rnk <= 10
         |ORDER BY q_id, rnk""".stripMargin,
     "sim_topk_int8" ->
-      """WITH q8 AS (SELECT vec_id,
-        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0
-        |    / CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE))
-        |    AS INTEGER)) AS v
-        |  FROM embeddings)
+      """WITH mx AS (SELECT vec_id, embedding,
+        |  CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE) AS m
+        |  FROM embeddings),
+        |q8 AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CASE WHEN m > 0
+        |    THEN CAST(round(CAST(x AS DOUBLE) * 127.0 / m) AS INTEGER)
+        |    ELSE 0 END) AS v
+        |  FROM mx)
         |SELECT q.vec_id AS q_id,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
         |    ORDER BY list_dot_product(q.v, c.v) DESC, c.vec_id) AS INTEGER) AS rnk,

@@ -35,10 +35,17 @@ object Streaming {
     * source without failing. Resolve the layout through the Hadoop
     * FileSystem and aim the source accordingly. */
   private def streamTable(s: SparkSession, dir: String, table: String,
-      schema: StructType): DataFrame = {
+      schema: StructType, oneBatch: Boolean = false): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val rdr = s.readStream.schema(schema)
+    var rdr = s.readStream.schema(schema)
+    // oneBatch: replay the whole source in ONE data micro-batch (the
+    // file source otherwise chunks at maxFilesPerTrigger=1000). For the
+    // stream-stream join this is a correctness guard, not just speed:
+    // watermarks only advance BETWEEN batches, so a single-batch replay
+    // can never drop late rows however disordered the file listing is —
+    // the batch-oracle equivalence holds unconditionally.
+    if (oneBatch) rdr = rdr.option("maxFilesPerTrigger", Int.MaxValue.toString)
     if (fs.getFileStatus(path).isDirectory)
       rdr.option("pathGlobFilter", "*.parquet").parquet(path.toString)
     else
@@ -47,12 +54,29 @@ object Streaming {
 
   /** events replayed as a file stream; ts nanos → TimestampType (µs —
     * lossless: the generator emits µs-precision values). */
-  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+  private def eventsStream(s: SparkSession, dir: String,
+      oneBatch: Boolean = false): DataFrame = {
     require(s.conf.get(graft.Tables.NanosAsLongKey, "false") == "true",
       s"streaming the events table requires ${graft.Tables.NanosAsLongKey}" +
         "=true at session construction (Tables.withNanosAsLong)")
-    streamTable(s, dir, "events", eventsSchema)
+    streamTable(s, dir, "events", eventsSchema, oneBatch)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Runs `f` with the session's shuffle-partition count (= stateful
+    * operators' state-partition count, fixed at first checkpoint)
+    * temporarily set to `n`, restoring the old value after. A
+    * continuous job sizes state partitions to its state volume — 4
+    * state stores per partition pay per-batch maintenance whether or
+    * not they hold rows, so a state that fits in 8 partitions must not
+    * inherit the relational default of 32. Conf mutation is visible
+    * session-wide while `f` runs; the declared queries execute
+    * sequentially (Bench/Verify), so this is safe there. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, old)
   }
 
   /** Runs a streaming frame to completion into a memory sink. */
@@ -61,6 +85,10 @@ object Streaming {
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+      q.recentProgress.foreach(p => System.err.println(
+        s"[stream-debug] $name batch=${p.batchId} rows=${p.numInputRows} " +
+          s"ms=${p.batchDuration} ${p.durationMs}"))
     s.table(name)
   }
 
@@ -241,12 +269,12 @@ object Streaming {
     * Scale shape: one shuffle per side on user_id; state per user is
     * bounded by the interval × arrival rate, exactly the plan a
     * continuous 1000-executor attribution job runs. */
-  val stream_joined: Q = (s, dir) => {
-    val views = eventsStream(s, dir)
+  val stream_joined: Q = (s, dir) => withShufflePartitions(s, 8) {
+    val views = eventsStream(s, dir, oneBatch = true)
       .filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
       .withWatermark("view_ts", "1 hour")
-    val buys = eventsStream(s, dir)
+    val buys = eventsStream(s, dir, oneBatch = true)
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("b_user"), col("ts").as("buy_ts"))
       .withWatermark("buy_ts", "2 hours")

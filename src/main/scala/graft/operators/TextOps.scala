@@ -428,8 +428,8 @@ object TextOps {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |               - n_tokens AS start
         |      FROM t)
-        |SELECT doc_id, shard, start // 2048 AS pack_id,
-        |       start % 2048 AS offset, n_tokens
+        |SELECT doc_id, shard, CAST(start // 2048 AS BIGINT) AS pack_id,
+        |       CAST(start % 2048 AS BIGINT) AS offset, n_tokens
         |FROM c ORDER BY doc_id""".stripMargin,
     "pipeline_decontam" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS wds

@@ -1073,6 +1073,8 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
   * cost). */
 private final class SpillReader(f: File) {
   private val in = new FileInputStream(f)
+  private val fileLen = f.length()
+  private var consumed = 0L // bytes advanced past (read or skipped)
   private val buf = new Array[Byte](1 << 20)
   private var pos = 0
   private var lim = 0
@@ -1087,6 +1089,7 @@ private final class SpillReader(f: File) {
         val k = in.read(buf, lim, buf.length - lim)
         if (k < 0) throw new java.io.EOFException("FITS write spill truncated")
         lim += k
+        consumed += k
       }
     }
   }
@@ -1106,6 +1109,7 @@ private final class SpillReader(f: File) {
         pos = 0
         lim = in.read(buf)
         if (lim < 0) throw new java.io.EOFException("FITS write spill truncated")
+        consumed += lim
       }
       val take = math.min(remaining, (lim - pos).toLong).toInt
       out.write(buf, pos, take)
@@ -1115,6 +1119,12 @@ private final class SpillReader(f: File) {
   }
 
   def skip(n0: Long): Unit = {
+    // FileInputStream.skip happily lseeks past EOF, so a truncated
+    // spill would only surface as a corrupt-output EOF much later —
+    // bound every skip against the spill length to keep the fail-fast
+    // behavior of the readFully-based skip this replaced.
+    if (consumed - (lim - pos) + n0 > fileLen)
+      throw new java.io.EOFException("FITS write spill truncated")
     val buffered = (lim - pos).toLong
     if (n0 <= buffered) pos += n0.toInt
     else {
@@ -1123,10 +1133,10 @@ private final class SpillReader(f: File) {
       lim = 0
       while (rest > 0) {
         val k = in.skip(rest)
-        if (k > 0) rest -= k
+        if (k > 0) { rest -= k; consumed += k }
         else if (in.read() < 0) // skip() can refuse near EOF; probe a byte
           throw new java.io.EOFException("FITS write spill truncated")
-        else rest -= 1
+        else { rest -= 1; consumed += 1 }
       }
     }
   }

@@ -98,6 +98,12 @@ def main() -> int:
         if ratio > allowance:
             slow.append(name)
 
+    # A key present in the base summary but absent from the canary run
+    # entirely (dropped from the registry, truncated summary) would
+    # otherwise never be compared and never listed -- a silently
+    # vanished key must FAIL the gate, not evade it.
+    vanished = sorted(set(base["queries"]) - set(canary["queries"]))
+
     result = {
         "canary_sf": canary.get("sf"),
         "base_sf": base.get("sf"),
@@ -109,15 +115,16 @@ def main() -> int:
         "queries_vacuous": vacuous,
         "queries_output_anomalous": anomalous,
         "queries_uncompared": uncompared,
+        "queries_missing_from_canary": vanished,
         "ok": (not canary.get("failed") and not slow and not vacuous
-               and not anomalous),
+               and not anomalous and not vanished),
         "queries": ratios,
     }
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print(f"canary: {len(ratios)} compared, failed={result['failed']}, "
           f"over-ratio={slow}, vacuous={vacuous}, anomalous={anomalous}, "
-          f"uncompared={uncompared}, ok={result['ok']}")
+          f"uncompared={uncompared}, missing={vanished}, ok={result['ok']}")
     return 0 if result["ok"] else 1
 
 
