@@ -177,15 +177,22 @@ object Bench {
     if (failed.nonEmpty) sys.exit(1)
   }
 
-  /** Scans a generated 64 MB single-E-column FITS file (the reference's
-    * scaling-ladder shape) and reports MB/s; "" on any failure so the
-    * bench line always prints. Best of 3 timed passes: the probe
-    * measures connector capability, and a single shot mostly measures
-    * whatever else the machine happened to be running (the r1→r3
-    * "141→53→22.9" mystery was exactly that). */
+  /** Scans a generated 256 MB single-E-column FITS file (the
+    * reference's scaling-ladder shape) and reports MB/s; "" on any
+    * failure so the bench line always prints. Best of 3 timed passes:
+    * the probe measures connector capability, and a single shot mostly
+    * measures whatever else the machine happened to be running (the
+    * r1→r3 "141→53→22.9" mystery was exactly that).
+    *
+    * 256 MB, not 64: at 64 MB a full scan finishes in ~0.08 s, which
+    * is the same order as local-mode fixed per-job overhead — the r8→r9
+    * "829→599" scan regression was entirely ±30 ms of host scheduling
+    * noise on an overhead-dominated probe (bisect: scan code
+    * byte-identical across the rounds; the same jar scans 256 MB at
+    * ~1.4 GB/s). At 256 MB the timed region is ~80% decode. */
   private def fitsThroughput(spark: SparkSession): String =
     try {
-      val rows = 16L << 20 // 64 MB of float32
+      val rows = 64L << 20 // 256 MB of float32
       val file = s"target/fits-bench-$rows.fits"
       if (!new java.io.File(file).exists())
         examples.FitsBench.generate(file, rows)
@@ -197,7 +204,8 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.min
       val mbs = rows * 4.0 / (1 << 20) / best
-      f""","fits_scan_mb_s":$mbs%.1f,"fits_baseline_mb_s_task":16"""
+      f""","fits_scan_mb_s":$mbs%.1f,"fits_scan_probe_mb":256""" +
+        ""","fits_baseline_mb_s_task":16"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] fits scan probe failed: ${e.getMessage}")
