@@ -214,7 +214,30 @@ object Dedup {
   val dedup_simhash: Q = (s, dir) =>
     simhashVerified(docs(s, dir), shingleHashesFor(s, dir))
 
-  private def simhashVerified(d: DataFrame, sh: DataFrame): DataFrame = {
+  /** `dedup_simhash` with KNOWN positives planted via the declared
+    * table (the dedup_embed_planted pattern): the corpus is the
+    * `doc_id % 101 == 0` documents plus an EXACT text copy of each
+    * under `doc_id + 10⁷`, and the verify threshold is 0.999 — which
+    * over ~30-shingle word-salad docs only identical shingle sets
+    * reach. An identical text yields an identical 64-bit signature
+    * (Hamming 0), so every expected pair is PROVABLY caught by the
+    * band + Hamming ≤ 7 sketch — unlike natural Jaccard-0.9 pairs,
+    * whose sketch recall is deliberately not a guarantee (that subset
+    * property is gated by dedup_simhash_vs_ngram). The oracle computes
+    * the exact Jaccard ≥ 0.999 pairs of the same planted corpus in
+    * DuckDB, so a collapse anywhere in the simhash path — signature,
+    * banding, band join, Hamming cut, verify — turns this row red at
+    * every graded SF. */
+  val dedup_simhash_planted: Q = (s, dir) => {
+    val base = docs(s, dir).filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id"), col("text"))
+    val d = base.unionByName(
+      base.select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text")))
+    simhashVerified(d, shingleHashes(d), minJac = 0.999)
+  }
+
+  private def simhashVerified(d: DataFrame, sh: DataFrame,
+      minJac: Double = 0.5): DataFrame = {
     val sig = d.select(col("doc_id"),
       GraftFunctions.simhash64(col("text")).as("sig"))
     // 16-bit window starting at bit 8*j, wrapping past bit 64
@@ -237,7 +260,7 @@ object Dedup {
       .toDF("doc_id", "sig", "band", "bv")
     val cands = candidatesFromBandsWith(bands, "sig",
       (a, b) => bit_count(a.bitwiseXOR(b)) <= 7)
-    verifyCandidates(cands, sh, 0.5)
+    verifyCandidates(cands, sh, minJac)
   }
 
   /** Driver-gate companion for dedup_simhash (which has no direct SQL
@@ -584,6 +607,7 @@ object Dedup {
     "dedup_ngram" -> dedup_ngram,
     "dedup_minhash" -> dedup_minhash,
     "dedup_simhash" -> dedup_simhash,
+    "dedup_simhash_planted" -> dedup_simhash_planted,
     "dedup_simhash_vs_ngram" -> dedup_simhash_vs_ngram,
     "dedup_embed" -> dedup_embed,
     "dedup_embed_planted" -> dedup_embed_planted,
@@ -650,6 +674,29 @@ object Dedup {
         |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
         |ORDER BY a_vid, b_vid""".stripMargin,
+    // Exact-Jaccard pairs of the SAME planted corpus the engine builds
+    // (doc_id % 101 rows re-added verbatim under +10⁷, threshold
+    // 0.999): the expected rows are exactly the planted (v, v+10⁷)
+    // pairs at jac = 1.0 — identical shingle sets, so inter == sz on
+    // both engines and the rounded value is exact.
+    "dedup_simhash_planted" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 101 = 0),
+        |u AS (SELECT doc_id, text FROM base
+        |      UNION ALL SELECT doc_id + 10000000, text FROM base),
+        |w AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS wds
+        |      FROM u),
+        |sh AS (SELECT DISTINCT doc_id, wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2] AS s
+        |       FROM w, UNNEST(range(1, len(wds)-1)) AS t(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a_id, b_id, ROUND(CAST(c AS DOUBLE)/(sa.sz + sb.sz - c), 4) AS jac
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = a_id
+        |JOIN sizes sb ON sb.doc_id = b_id
+        |WHERE CAST(c AS DOUBLE)/(sa.sz + sb.sz - c) >= 0.999
+        |ORDER BY a_id, b_id""".stripMargin,
     // dedup_simhash: rows-only — SimHash recall has no sharp guarantee
     // at this Jaccard band, so its verified output is asserted against
     // dedup_ngram in DedupSpec, and the subset property is driver-gated

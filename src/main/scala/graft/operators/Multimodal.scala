@@ -129,11 +129,18 @@ object Multimodal {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Synthesizes opaque media payloads from the documents table (text
-    * bytes as payload with a fake "jpeg" kind) and runs the full
-    * decode→feature pipeline. Rows-only check: the stubbed codec has no
-    * SQL oracle; the FITS-backed real path is asserted in
-    * MultimodalSpec. */
+  /** Synthesizes opaque media payloads from the documents table (the
+    * UTF-8 text bytes, which the corpus keeps pure-ASCII) and runs the
+    * full decode→feature pipeline through the REAL `fits16` decoder —
+    * each byte pair is one big-endian int16 pixel, exactly what a FITS
+    * image HDU stores. The declared columns are the integer-exact
+    * features (count, min, max, and the pixel sum recovered from
+    * mean·n — the sum is < 2⁵³ so the round-trip is exact), which a
+    * DuckDB oracle reproduces from `ord()` over the same characters:
+    * a non-vacuous driver row over the whole mapPartitions pipeline
+    * (r9 verdict ask #8). The float features (mean/std) and the
+    * stubbed compressed-codec path stay spec-asserted — float feature
+    * rounding is not bit-stable across engines, integers are. */
   val mm_features: Q = (s, dir) => {
     import s.implicits._
     val media = Tables.load(s, dir, "documents")
@@ -141,16 +148,31 @@ object Multimodal {
       .as[(Long, String)]
       .map { case (id, text) =>
         val payload = text.getBytes("UTF-8")
-        MediaRow(id, "jpeg-stub", payload, payload.length, 1, 8)
+        MediaRow(id, "fits16", payload, payload.length / 2, 1, 16)
       }
     extractFeatures(media)
       .toDF()
-      .select(col("media_id"), col("n_px"),
-        round(col("px_mean"), 4).as("px_mean"),
-        round(col("px_std"), 4).as("px_std"))
+      .select(col("media_id"), col("n_px").cast("long").as("n_px"),
+        col("px_min").cast("long").as("px_min"),
+        col("px_max").cast("long").as("px_max"),
+        round(col("px_mean") * col("n_px")).cast("long").as("px_sum"))
       .orderBy(col("media_id"))
   }
 
   val queries: Map[String, Q] = Map("mm_features" -> mm_features)
-  val oracles: Map[String, String] = Map.empty
+
+  /** Exact integer features over the same byte-pair pixels, via 1-based
+    * character indexing (valid because the corpus is pure ASCII — the
+    * engine decodes bytes, the oracle characters). SUM over INT32 is
+    * HUGEINT in DuckDB: cast, or the driver's type-aware hash diverges
+    * on identical values. */
+  val oracles: Map[String, String] = Map(
+    "mm_features" ->
+      """WITH px AS (
+        |  SELECT doc_id, 256 * ord(text[2*i-1]) + ord(text[2*i]) AS v
+        |  FROM documents, UNNEST(range(1, len(text) // 2 + 1)) AS t(i))
+        |SELECT doc_id AS media_id, COUNT(*) AS n_px,
+        |  CAST(MIN(v) AS BIGINT) AS px_min, CAST(MAX(v) AS BIGINT) AS px_max,
+        |  CAST(SUM(v) AS BIGINT) AS px_sum
+        |FROM px GROUP BY 1 ORDER BY media_id""".stripMargin)
 }

@@ -37,6 +37,16 @@ class DedupSpec extends SparkTestBase {
       s"recall ${sh.size}/${exact.size}")
   }
 
+  test("simhash_planted recovers exactly the planted identical-copy pairs") {
+    val got = Dedup.dedup_simhash_planted(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = spark.read.parquet(s"$sf001/documents.parquet")
+      .filter(col("doc_id") % 101 === 0)
+      .collect().map(_.getLong(0)).sorted
+      .map(id => (id, id + 10000000L, 1.0))
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("embedding near-dup at 0.95 is empty on this corpus (true negative)") {
     assert(Dedup.dedup_embed(spark, sf001).count() == 0L)
   }

@@ -75,11 +75,27 @@ class MultimodalSpec extends SparkTestBase {
     assert(a == b)
   }
 
-  test("stubbed codec path is deterministic and batch-shaped") {
+  test("mm_features is deterministic, integer-exact, batch-shaped") {
     val df = Multimodal.mm_features(spark, sf0001)
     val a = df.collect()
     val b = Multimodal.mm_features(spark, sf0001).collect()
     assert(a.toSeq == b.toSeq)
     assert(a.nonEmpty)
+    // integer-exact contract: px_sum recovered from mean*n must equal
+    // a direct big-endian int16 sum over the same text bytes
+    val doc = graft.Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").orderBy("doc_id").first()
+    val bytes = doc.getString(1).getBytes("UTF-8")
+    val expected = (0 until bytes.length / 2).map(i =>
+      (((bytes(2 * i) & 0xff) << 8) | (bytes(2 * i + 1) & 0xff)).toLong).sum
+    val row = a.find(_.getLong(0) == doc.getLong(0)).get
+    assert(row.getLong(4) == expected)
+  }
+
+  test("stubbed codec path (compressed kinds) is deterministic") {
+    val r = Multimodal.MediaRow(7L, "jpeg-stub", Array[Byte](1, 2, 3), 3, 1, 8)
+    val a = Multimodal.decode(r).toSeq
+    assert(a == Multimodal.decode(r).toSeq)
+    assert(a.nonEmpty && a.forall(v => v >= 0 && v <= 0xffff))
   }
 }
