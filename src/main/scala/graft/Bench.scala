@@ -223,12 +223,15 @@ object Bench {
       // always rewritten: a cached corpus from a previous jar (or a
       // partial prior write) would silently bench stale bytes after
       // writer-format changes
-      // 500k docs ≈ 90 MB of text: big enough that per-task fixed costs
-      // (descriptor-window setup, task dispatch) amortize and the probe
-      // reads steady-state decode bandwidth, not startup — at 200k docs
-      // the same path measured 30% lower purely from overhead fraction
+      // 2M docs ≈ 440 MB of text: sized for bandwidth, not latency.
+      // At 500k (~110 MB) the whole write job ran in ~0.2 s against a
+      // ~0.07 s no-op-sink floor (NoopBench), so a third of the
+      // "writer" time was task dispatch + row iteration and the MB/s
+      // figure swung 2x run-to-run. At 440 MB the fixed costs are
+      // <15% and the probe reads steady-state writer bandwidth —
+      // same sizing rationale as the 256 MB scan probe.
       val dir = "target/fits-bench-varlen"
-      val docs = spark.range(500000).map { i =>
+      val docs = spark.range(2000000).map { i =>
         val r = new scala.util.Random(i)
         val words = if (i % 997 == 0) 800 else 20 + (i % 40).toInt
         (i, Seq.fill(words)(s"w${r.nextInt(5000)}").mkString(" "))
@@ -248,7 +251,7 @@ object Bench {
             docs.write.format("fits").mode("overwrite").save(dir)
             (System.nanoTime() - t0) / 1e9
           }.min
-        finally docs.unpersist() // a failed write must not pin ~100 MB
+        finally docs.unpersist() // a failed write must not pin ~440 MB
       val df = spark.read.format("fits").option("hdu", 1).load(dir)
       val bytes = df.agg(sum(length(col("text")))).collect().head.getLong(0)
       val best = (1 to 3).map { _ =>
@@ -257,7 +260,8 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.min
       val mb = bytes.toDouble / (1 << 20)
-      f""","fits_varlen_mb_s":${mb / best}%.1f,"fits_write_mb_s":${mb / writeSec}%.1f"""
+      f""","fits_varlen_mb_s":${mb / best}%.1f,"fits_write_mb_s":${mb / writeSec}%.1f""" +
+        f""","fits_varlen_probe_mb":$mb%.0f"""
     } catch {
       case e: Throwable =>
         // the summary line must still print, but a vanished probe field

@@ -21,7 +21,7 @@ object WriteBench {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, length, sum}
     val dir = "target/fits-write-bench"
-    val docs = spark.range(500000).map { i =>
+    val docs = spark.range(2000000).map { i =>
       val r = new scala.util.Random(i)
       val words = if (i % 997 == 0) 800 else 20 + (i % 40).toInt
       (i, Seq.fill(words)(s"w${r.nextInt(5000)}").mkString(" "))
@@ -30,7 +30,7 @@ object WriteBench {
     docs.count()
     val bytes = docs.agg(sum(length(col("text")))).collect().head.getLong(0)
     val mb = bytes.toDouble / (1 << 20)
-    println(f"[writebench] corpus: $mb%.1f MB text, 500k rows, 4 tasks")
+    println(f"[writebench] corpus: $mb%.1f MB text, 2M rows, 4 tasks")
     val times = (1 to reps).map { r =>
       val t0 = System.nanoTime()
       docs.write.format("fits").mode("overwrite").save(dir)

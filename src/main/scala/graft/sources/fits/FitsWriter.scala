@@ -342,8 +342,7 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
         s"element code '${imgElem.code}' is already integer")
 
   private val tmp: File = File.createTempFile("fits-write-spill", ".bin")
-  private val spill = new DataOutputStream(
-    new BufferedOutputStream(new FileOutputStream(tmp), 1 << 20))
+  private val spill = new ByteSink(new FileOutputStream(tmp))
 
   // integer-null round-trip: a null writes the type's MinValue and the
   // column gains a TNULLn card at commit, so it reads back as SQL NULL.
@@ -929,7 +928,7 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
         card("NAXIS2", nRows.toString), card("PCOUNT", heapTotal.toString),
         card("GCOUNT", "1"),
         card("TFIELDS", fields.length.toString)) ++ colCards
-      def writeData(dout: DataOutputStream): Unit = {
+      def writeData(dout: ByteSink): Unit = {
       // Pass 1 over the spill — the main table. Numerics are already
       // big-endian (DataOutput); strings right-pad with ASCII spaces to
       // their column width; ragged arrays emit a (count, offset)
@@ -1004,12 +1003,10 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
       }
       if (!checksum) {
         // The Hadoop FSDataOutputStream fronts a checksumming
-        // FSOutputSummer whose per-write() cost dominates when
-        // DataOutputStream issues descriptor ints a byte at a time; a
-        // 1 MiB buffer turns the per-row trickle into block writes
-        // (~1.5x writer throughput on the varlen probe).
-        val bout = new DataOutputStream(
-          new BufferedOutputStream(out, 1 << 20))
+        // FSOutputSummer whose per-write() cost dominates on a per-row
+        // trickle; the ByteSink turns descriptor ints + row payloads
+        // into 1 MiB block writes.
+        val bout = new ByteSink(out)
         bout.write(headerBlock(primaryCards :+ pad("END", 80)))
         bout.write(headerBlock(btCards :+ pad("END", 80)))
         writeData(bout)
@@ -1020,8 +1017,7 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
         // local write+read; the upload stays a single stream)
         val dataTmp = File.createTempFile("graft-fits-data", ".tmp")
         try {
-          val dOut = new DataOutputStream(new BufferedOutputStream(
-            new FileOutputStream(dataTmp), 1 << 20))
+          val dOut = new ByteSink(new FileOutputStream(dataTmp))
           try writeData(dOut) finally dOut.close()
           val dataSum = sumFile(dataTmp)
           out.write(headerWithChecksum(primaryCards, 0L))
@@ -1059,6 +1055,49 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
     inFlight = None
   }
   override def close(): Unit = ()
+}
+
+/** Unsynchronized buffered big-endian sink — the write-side twin of
+  * [[SpillReader]]. DataOutputStream-over-BufferedOutputStream costs a
+  * synchronized method call per BYTE for primitive writes (writeInt =
+  * four single-byte calls), and the spill + commit paths issue one
+  * length/descriptor int per row — JFR showed the two stream layers as
+  * the top table-write frames. Primitives encode straight into the
+  * buffer here; extends OutputStream so UTF8String.writeTo and
+  * SpillReader.copyTo hand byte ranges over without an adapter. */
+private final class ByteSink(out: java.io.OutputStream, cap: Int = 1 << 20)
+    extends java.io.OutputStream {
+  private val buf = new Array[Byte](cap)
+  private var pos = 0
+  @inline private def need(n: Int): Unit = if (cap - pos < n) flushBuf()
+  private def flushBuf(): Unit =
+    if (pos > 0) { out.write(buf, 0, pos); pos = 0 }
+  override def write(b: Int): Unit = { need(1); buf(pos) = b.toByte; pos += 1 }
+  override def write(b: Array[Byte]): Unit = write(b, 0, b.length)
+  override def write(b: Array[Byte], off: Int, len: Int): Unit =
+    if (len >= cap) { flushBuf(); out.write(b, off, len) }
+    else { need(len); System.arraycopy(b, off, buf, pos, len); pos += len }
+  def writeByte(v: Int): Unit = { need(1); buf(pos) = v.toByte; pos += 1 }
+  def writeShort(v: Int): Unit = {
+    need(2); buf(pos) = (v >> 8).toByte; buf(pos + 1) = v.toByte; pos += 2
+  }
+  def writeInt(v: Int): Unit = {
+    need(4)
+    buf(pos) = (v >> 24).toByte; buf(pos + 1) = (v >> 16).toByte
+    buf(pos + 2) = (v >> 8).toByte; buf(pos + 3) = v.toByte
+    pos += 4
+  }
+  def writeLong(v: Long): Unit = {
+    need(8)
+    var i = 0
+    while (i < 8) { buf(pos + i) = (v >> (56 - 8 * i)).toByte; i += 1 }
+    pos += 8
+  }
+  def writeFloat(v: Float): Unit = writeInt(java.lang.Float.floatToIntBits(v))
+  def writeDouble(v: Double): Unit =
+    writeLong(java.lang.Double.doubleToLongBits(v))
+  override def flush(): Unit = { flushBuf(); out.flush() }
+  override def close(): Unit = { flushBuf(); out.close() }
 }
 
 /** Sequential reader over the local spill with exactly one buffer
