@@ -19,29 +19,46 @@ object Tables {
     if (name == "events") loadEvents(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Session conf required to read TIMESTAMP(NANOS) parquet (`events`).
-    * Set it at session construction (see [[withNanosAsLong]]) — setting
-    * it as a side effect of one read would silently change how every
-    * later parquet read in the session interprets nanos columns. */
+  /** Session conf required to read TIMESTAMP(NANOS) parquet (one
+    * historical layout of `events`). Set it at session construction
+    * (see [[withNanosAsLong]]) — setting it as a side effect of one
+    * read would silently change how every later parquet read in the
+    * session interprets nanos columns. Harmless when the data is µs. */
   val NanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
 
-  /** Builder helper: every session that loads `events` needs this. */
+  /** Builder helper: sessions that may load nanos-layout `events` need
+    * this; it has no effect on µs-layout files. */
   def withNanosAsLong(b: SparkSession.Builder): SparkSession.Builder =
     b.config(NanosAsLongKey, "true")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as a raw long (session conf set at
-    * construction) and convert to micro-precision TimestampType (floor
-    * division — matches DuckDB's ns→µs truncation). Everything
-    * downstream sees a normal timestamp.
+  /** `events.ts` has shipped in two parquet layouts: TIMESTAMP(NANOS)
+    * (loads as a raw long under [[NanosAsLongKey]] — Spark's reader has
+    * no native nanos type) and TIMESTAMP(MICROS) (loads natively as a
+    * timestamp). A loader hard-coded to one unit silently mis-times the
+    * other 1000×, so branch on the type the file ACTUALLY loads as —
+    * at 100 TB a lake has mixed-provenance parquet and the resolution
+    * must come from each file's footer, never from convention:
+    *   - LongType          → nanos-as-long; floor-divide to µs
+    *                         (matches DuckDB's ns→µs truncation)
+    *   - TimestampNTZ      → µs wall-clock; cast to session-TZ
+    *                         TimestampType (UTC sessions: value-equal)
+    *   - TimestampType     → already what downstream expects
+    * Everything downstream sees micro-precision TimestampType either way.
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get(NanosAsLongKey, "false") == "true",
-      s"reading the events table requires $NanosAsLongKey=true at " +
-        "session construction (Tables.withNanosAsLong)")
     import org.apache.spark.sql.functions._
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.types._
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalArgumentException(
+        s"events.ts loaded as unsupported type $other — expected a " +
+          "timestamp (µs layout) or long (nanos-as-long layout)")
+    }
   }
 
   /** Registers every table as a temp view so both the DataFrame API and

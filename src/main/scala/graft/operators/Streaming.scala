@@ -21,8 +21,8 @@ object Streaming {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  private def eventsSchema(tsType: DataType) = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -52,15 +52,32 @@ object Streaming {
       rdr.option("pathGlobFilter", s"$table.parquet").parquet(dir)
   }
 
-  /** events replayed as a file stream; ts nanos → TimestampType (µs —
-    * lossless: the generator emits µs-precision values). */
+  /** events replayed as a file stream, `ts` normalized to TimestampType.
+    *
+    * The file source takes a DECLARED schema — it never looks at the
+    * parquet footer's logical type, so a schema hard-coded to one
+    * timestamp layout silently misreads the other (a LongType
+    * declaration over µs TIMESTAMP files reads the raw int64 µs values
+    * as "nanos" without any error — event time compressed 1000×).
+    * Resolve the unit ONCE, driver-side, with a batch footer probe of
+    * the same path, declare the stream schema to match, and normalize
+    * exactly as [[graft.Tables]] does for batch:
+    *   LongType → nanos-as-long, floor-divide to µs;
+    *   TimestampNTZ → cast to session-TZ TimestampType;
+    *   TimestampType → pass through.
+    * The probe is one metadata read per query start — nothing per-batch. */
   private def eventsStream(s: SparkSession, dir: String,
       oneBatch: Boolean = false): DataFrame = {
-    require(s.conf.get(graft.Tables.NanosAsLongKey, "false") == "true",
-      s"streaming the events table requires ${graft.Tables.NanosAsLongKey}" +
-        "=true at session construction (Tables.withNanosAsLong)")
-    streamTable(s, dir, "events", eventsSchema, oneBatch)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val tsType = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val raw = streamTable(s, dir, "events", eventsSchema(tsType), oneBatch)
+    tsType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalArgumentException(
+        s"events.ts loaded as unsupported type $other — expected a " +
+          "timestamp (µs layout) or long (nanos-as-long layout)")
+    }
   }
 
   /** Runs `f` with the session's shuffle-partition count (= stateful
