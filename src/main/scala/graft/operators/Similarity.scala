@@ -71,7 +71,15 @@ object Similarity {
     * `spark.graft.sim.lshBands` (divisor of 64) tunes the recall ↔
     * candidate-volume trade without code changes: more bands = narrower
     * bands = higher recall, more of the corpus ranked. */
-  val sim_lsh_topk: Q = (s, dir) => {
+  val sim_lsh_topk: Q = (s, dir) =>
+    lshRank(s, dir, _.filter(col("vec_id") < NQueries))
+
+  /** LSH pipeline with a caller-chosen query set (`pickQueries` maps
+    * the signed corpus (vec_id, embedding, sig) to the query frame,
+    * with vec_id already the q_id). The planted key re-enters here with
+    * id-shifted duplicates; the production key with the first NQueries. */
+  private def lshRank(s: SparkSession, dir: String,
+      pickQueries: DataFrame => DataFrame): DataFrame = {
     val nBands = s.conf.getOption("spark.graft.sim.lshBands")
       .map(_.toInt).getOrElse(16)
     require(nBands >= 1 && nBands <= 64 && 64 % nBands == 0,
@@ -90,7 +98,7 @@ object Similarity {
         .toDF(idCol, embCol, "band", "bv")
     }
     val corpus = bands(sigs, "neighbor_id", "emb")
-    val queries = bands(sigs.filter(col("vec_id") < NQueries), "q_id", "q_emb")
+    val queries = bands(pickQueries(sigs), "q_id", "q_emb")
     val cands = corpus.join(broadcast(queries), Seq("band", "bv"))
       .filter(col("neighbor_id") =!= col("q_id"))
       .select(col("q_id"), col("q_emb"), col("neighbor_id"), col("emb"))
@@ -189,15 +197,21 @@ object Similarity {
     * is read from the persisted bucket-partitioned index, so the probe
     * filter prunes the scan to 2/k of the data (plan-asserted in
     * SimilaritySpec). */
-  val sim_ivf_topk: Q = (s, dir) => {
+  val sim_ivf_topk: Q = (s, dir) =>
+    ivfRank(s, dir, embs(s, dir).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+
+  /** IVF probe with a caller-chosen query frame (q_id, q_emb) — shared
+    * by the production key and the planted gate. */
+  private def ivfRank(s: SparkSession, dir: String,
+      queryDf: DataFrame): DataFrame = {
     val k = 16
     val nProbe = 2
     val model = ivfModel(s, dir, k)
     val bucketed = s.read.parquet(ivfIndexPath(s, dir, k))
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
     // queries → their nProbe nearest centroids (driver-side: k×q tiny)
-    val queryRows = embs(s, dir).filter(col("vec_id") < NQueries)
-      .select(col("vec_id"), col("embedding")).collect()
+    val queryRows = queryDf.collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val probes = queryRows.flatMap { case (qid, qv) =>
       centroids.zipWithIndex
@@ -208,8 +222,6 @@ object Similarity {
     val probeDf = s.createDataFrame(
       s.sparkContext.parallelize(probes.toSeq.map(p => (p._1, p._2)), 1))
       .toDF("q_id", "bucket")
-    val queryDf = embs(s, dir).filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     // static IN-filter on the partition column → partition pruning at
     // the file scan; the probe join then pairs each query with ITS two
     // buckets inside the pruned remainder
@@ -338,6 +350,45 @@ object Similarity {
   val sim_ivf_recall: Q = (s, dir) =>
     recallGate(s, dir, sim_ivf_topk(s, dir), IvfRecallFloorHits)
 
+  // ------------------------------------------------- planted ANN gates
+
+  /** Planted queries are EXACT COPIES of a deterministic corpus subset,
+    * id-shifted so the self-exclusion filter keeps the source vector as
+    * a candidate. An identical vector shares every LSH band with its
+    * source (same sign signature) and lands in the query's own top-1
+    * IVF probe bucket (same nearest centroid), and its cosine is the
+    * strict maximum (Cauchy–Schwarz; random corpora have no colinear
+    * pairs) — so BOTH ANN paths must return the source at rank 1, with
+    * no approximation slack. Zero-norm vectors are excluded (their
+    * cosine is NaN by contract). */
+  private val PlantedIdOffset = 1000000000L
+  private def plantedQueryPred: Column =
+    col("vec_id") % 97 === 3 &&
+      array_max(transform(col("embedding"), x => abs(x))) > 0f
+
+  /** Keeps only rank-1 rows where the ANN returned the planted source. */
+  private def plantedGate(ann: DataFrame): DataFrame =
+    ann.filter(col("rnk") === 1 &&
+        col("neighbor_id") === col("q_id") - PlantedIdOffset)
+      .select(col("q_id"))
+      .orderBy(col("q_id"))
+
+  /** Driver-oracled LSH retrieval gate (r11 ask #4): the oracle is the
+    * full planted query-id list, so a broken banding/bucketing path —
+    * which would lose the guaranteed rank-1 source — turns the row red.
+    * Complements sim_lsh_recall, which floors recall on ORGANIC queries
+    * where the method is allowed to be approximate. */
+  val sim_lsh_planted: Q = (s, dir) =>
+    plantedGate(lshRank(s, dir, _.filter(plantedQueryPred)
+      .withColumn("vec_id", col("vec_id") + PlantedIdOffset)))
+
+  /** IVF twin of [[sim_lsh_planted]]: a mis-pruned index or broken
+    * probe-bucket routing loses the planted source and goes red. */
+  val sim_ivf_planted: Q = (s, dir) =>
+    plantedGate(ivfRank(s, dir, embs(s, dir).filter(plantedQueryPred)
+      .select((col("vec_id") + PlantedIdOffset).as("q_id"),
+        col("embedding").as("q_emb"))))
+
   val queries: Map[String, Q] = Map(
     "sim_topk" -> sim_topk,
     "sim_topk_int8" -> sim_topk_int8,
@@ -345,6 +396,8 @@ object Similarity {
     "sim_ivf_topk" -> sim_ivf_topk, // rows-only: approximate by design
     "sim_lsh_recall" -> sim_lsh_recall,
     "sim_ivf_recall" -> sim_ivf_recall,
+    "sim_lsh_planted" -> sim_lsh_planted,
+    "sim_ivf_planted" -> sim_ivf_planted,
     "sim_approx_join" -> sim_approx_join, // rows-only: approximate
   )
 
@@ -385,5 +438,17 @@ object Similarity {
     "sim_ivf_recall" ->
       """SELECT vec_id AS q_id FROM embeddings
         |WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
+    // Planted gates: expected output is the full planted query-id list
+    // (same subset + zero-norm exclusion as plantedQueryPred).
+    "sim_lsh_planted" ->
+      """SELECT vec_id + 1000000000 AS q_id FROM embeddings
+        |WHERE vec_id % 97 = 3
+        |  AND list_max(list_transform(embedding, x -> abs(x))) > 0
+        |ORDER BY q_id""".stripMargin,
+    "sim_ivf_planted" ->
+      """SELECT vec_id + 1000000000 AS q_id FROM embeddings
+        |WHERE vec_id % 97 = 3
+        |  AND list_max(list_transform(embedding, x -> abs(x))) > 0
+        |ORDER BY q_id""".stripMargin,
   )
 }

@@ -65,6 +65,39 @@ object TextOps {
       col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Fixed sentences the lang-id heuristic must classify correctly —
+    * stopword-bearing text per supported language (zh via the CJK-ratio
+    * shortcut). Engine-side only; the oracle never sees the text. */
+  private val plantedLangText: Seq[(String, String)] = Seq(
+    "en" -> "The quick brown fox jumps over the lazy dog and it is fast",
+    "de" -> "Der Hund ist nicht mit der Katze und das Haus ist gross",
+    "fr" -> "Le chat est dans la maison et les enfants sont pour la plage",
+    "es" -> "Los ninos y las casas son grandes es una ciudad mas bonita",
+    "zh" -> "这是一个中文句子用于测试语言识别功能")
+
+  /** Driver-oracled lang-id gate (r11 ask #4): the organic `text_langid`
+    * key can only be rows-only (the synthetic corpus carries random
+    * `lang` labels on English word-salad), so this key PLANTS the
+    * signal — each doc_id is assigned a language by doc_id % 5 and the
+    * matching fixed sentence, lang_id runs over the planted text, and
+    * only correctly-classified rows are emitted. The oracle is the full
+    * (doc_id, language) assignment, so ANY misclassification drops a
+    * row and turns the driver's hash red. Per-row, no shuffle — the
+    * same 100 TB shape as the organic key. */
+  val text_langid_planted: Q = (s, dir) => {
+    val slot = (col("doc_id") % 5).cast("int")
+    val textBySlot = element_at(
+      array(plantedLangText.map(p => lit(p._2)): _*), slot + 1)
+    val expectedBySlot = element_at(
+      array(plantedLangText.map(p => lit(p._1)): _*), slot + 1)
+    docs(s, dir)
+      .select(col("doc_id"), textBySlot.as("planted_text"),
+        expectedBySlot.as("lang"))
+      .filter(GraftFunctions.lang_id(col("planted_text")) === col("lang"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprints: whole-text rolling hash, winnowing-style
     * min-k-gram fingerprint, and 64-bit SimHash. */
   val text_fingerprint: Q = (s, dir) =>
@@ -390,6 +423,7 @@ object TextOps {
     "text_tokens" -> text_tokens,
     "text_quality" -> text_quality,
     "text_langid" -> text_langid,
+    "text_langid_planted" -> text_langid_planted,
     "text_fingerprint" -> text_fingerprint,
     "text_bigrams" -> text_bigrams,
     "pipeline_clean" -> pipeline_clean,
@@ -409,8 +443,16 @@ object TextOps {
   private val stopsSql = stops.map(s => s"'$s'").mkString(", ")
 
   /** lang-id and the custom fingerprints are not SQL-expressible in
-    * DuckDB → rows-only checks for those. */
+    * DuckDB → rows-only checks for those (the planted lang-id gate IS
+    * oracled: its oracle asserts the full planted assignment, not the
+    * heuristic itself). */
   val oracles: Map[String, String] = Map(
+    "text_langid_planted" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INTEGER)
+        |    WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr'
+        |    WHEN 3 THEN 'es' ELSE 'zh' END AS lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "pipeline_chunk" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS wds
         |           FROM documents)

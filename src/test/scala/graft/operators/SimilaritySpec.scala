@@ -133,4 +133,21 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(_.getDouble(0))
     assert(sims.forall(s => math.abs(s - 1.0) < 1e-9))
   }
+
+  test("planted gates: both ANN paths retrieve every planted duplicate") {
+    import org.apache.spark.sql.functions._
+    // engine-side mirror of the driver oracle: the full planted set
+    val expected = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .filter(col("vec_id") % 97 === 3 &&
+        array_max(transform(col("embedding"), x => abs(x))) > 0f)
+      .select((col("vec_id") + 1000000000L).as("q_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(expected.nonEmpty)
+    val lsh = Similarity.sim_lsh_planted(spark, sf001)
+      .collect().map(_.getLong(0)).toSeq
+    val ivf = Similarity.sim_ivf_planted(spark, sf001)
+      .collect().map(_.getLong(0)).toSeq
+    assert(lsh == expected, s"lsh=$lsh expected=$expected")
+    assert(ivf == expected, s"ivf=$ivf expected=$expected")
+  }
 }
