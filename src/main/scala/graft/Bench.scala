@@ -47,6 +47,17 @@ object Bench {
     def loadAvg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
+    // Degraded-run detection (r11 ask #5: the driver snapshotted a 206
+    // MB/s scan probe from a co-loaded machine as the round's number and
+    // the next reader had to re-derive that it was noise). Two signals,
+    // either marks the artifact: the machine was already busy BEFORE the
+    // bench did anything (pre-run load > 1/4 of the cores), or total
+    // load during the run exceeded what this process alone can generate
+    // (> 1.25× cores — the bench saturates at most every core). The
+    // numbers are recorded alongside the flag so a reader can judge.
+    val machineCpus = Runtime.getRuntime.availableProcessors
+    val loadPre = loadAvg
+    var loadMax = loadPre
 
     // SPARK_GRAFT_REPS > 1 → per-query best-of-N (the canary runs use 2:
     // a single cold pass conflates JIT/page-cache warmup with the plan,
@@ -115,8 +126,10 @@ object Bench {
       val (dt, rows) =
         if (runs.exists(_._2 < 0)) (-1.0, -1L)
         else (runs.map(_._1).min, runs.head._2)
+      val load = loadAvg
+      loadMax = math.max(loadMax, load)
       val diag = f"""{"rdds":$nRdds,"storage_mb":$storageMb,""" +
-        f""""heap_mb":$heapMb,"gc_ms":$gcMs,"load":$loadAvg%.1f}"""
+        f""""heap_mb":$heapMb,"gc_ms":$gcMs,"load":$load%.1f}"""
       (name, dt, rows, diag)
     }
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
@@ -137,6 +150,9 @@ object Bench {
     // baseline (BASELINE.md row 1) — the connector is the engine's
     // core, so its number belongs in the bench artifact.
     val fits = fitsThroughput(spark) + varLenThroughput(spark)
+    // the probes are the most co-load-sensitive part of the run — sample
+    // once more after them so degradation during the probes is caught
+    loadMax = math.max(loadMax, loadAvg)
     // Diag map goes to stderr: the driver keeps only the tail of stdout,
     // and a summary line bloated with per-query diagnostics outgrew that
     // window for six rounds straight ("parsed": null in every BENCH_r*).
@@ -148,8 +164,11 @@ object Bench {
     // and the full line is ~3.1 KB — r8's summary arrived with its head
     // truncated and parsed as null for the eighth round running. The
     // file is immune to that window AND to sbt log framing.
+    val degraded = loadPre > machineCpus * 0.25 || loadMax > machineCpus * 1.25
+    val loadFields =
+      f""""load_pre":$loadPre%.1f,"load_max":$loadMax%.1f,"machine_cpus":$machineCpus,"degraded":$degraded"""
     val full =
-      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rowsJson,"sf":"$sfDir","failed":$failedJson,"sim_ivf_build_s":$ivfBuildSec%.3f,"bucket_build_s":$bucketBuildSec%.3f$fits}"""
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rowsJson,"sf":"$sfDir","failed":$failedJson,$loadFields,"sim_ivf_build_s":$ivfBuildSec%.3f,"bucket_build_s":$bucketBuildSec%.3f$fits}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SUMMARY.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -163,7 +182,7 @@ object Bench {
     val qsCompact = results.map { case (k, v, _, _) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val tailFields =
-      f""""sf":"$sfDir","failed":$failedJson,"sim_ivf_build_s":$ivfBuildSec%.3f,"bucket_build_s":$bucketBuildSec%.3f$fits,"detail":"BENCH_SUMMARY.json"}"""
+      f""""sf":"$sfDir","failed":$failedJson,$loadFields,"sim_ivf_build_s":$ivfBuildSec%.3f,"bucket_build_s":$bucketBuildSec%.3f$fits,"detail":"BENCH_SUMMARY.json"}"""
     val head = s"""{"metric":"total","value":${ms(total)},"unit":"sec","""
     val compact = head + s""""queries":$qsCompact,""" + tailFields
     val summary =
