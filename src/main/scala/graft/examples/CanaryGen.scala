@@ -31,9 +31,11 @@ import graft.Tables
   *     output-growth allowance covers it, but its ratio_max² cap means
   *     crossmatch saturates the gate near reps ≈ ratio_max²/(pairs per
   *     position); past that, give replicas disjoint declination bands.
-  *   - `events.ts` stays a raw nanos long (read WITHOUT Tables.load's
-  *     µs conversion) so the canary dir round-trips through
-  *     Tables.loadEvents exactly like the originals.
+  *   - `events.ts` is copied in its source layout (read with a bare
+  *     spark.read, no unit normalization) so the canary dir
+  *     round-trips through the unit-adaptive Tables.loadEvents exactly
+  *     like the originals — nanos-long sources replicate as longs, µs
+  *     TIMESTAMP sources as TimestampNTZ (Spark writes MICROS back).
   *
   * Usage: runMain graft.examples.CanaryGen <srcSfDir> <outDir> [reps]
   */

@@ -362,8 +362,14 @@ object Similarity {
     * no approximation slack. Zero-norm vectors are excluded (their
     * cosine is NaN by contract). */
   private val PlantedIdOffset = 1000000000L
+
+  /** Planted queries are a BOUNDED audit set (vec_id < 10000 — covers
+    * every graded corpus, whose ids are dense from 0): an audit's query
+    * count must not scale with the corpus, or the candidate volume
+    * grows quadratically under replication (queries × corpus) and the
+    * 10×/100× canaries flag the audit itself rather than the engine. */
   private def plantedQueryPred: Column =
-    col("vec_id") % 97 === 3 &&
+    col("vec_id") % 97 === 3 && col("vec_id") < 10000L &&
       array_max(transform(col("embedding"), x => abs(x))) > 0f
 
   /** Keeps only rank-1 rows where the ANN returned the planted source. */
@@ -442,12 +448,12 @@ object Similarity {
     // (same subset + zero-norm exclusion as plantedQueryPred).
     "sim_lsh_planted" ->
       """SELECT vec_id + 1000000000 AS q_id FROM embeddings
-        |WHERE vec_id % 97 = 3
+        |WHERE vec_id % 97 = 3 AND vec_id < 10000
         |  AND list_max(list_transform(embedding, x -> abs(x))) > 0
         |ORDER BY q_id""".stripMargin,
     "sim_ivf_planted" ->
       """SELECT vec_id + 1000000000 AS q_id FROM embeddings
-        |WHERE vec_id % 97 = 3
+        |WHERE vec_id % 97 = 3 AND vec_id < 10000
         |  AND list_max(list_transform(embedding, x -> abs(x))) > 0
         |ORDER BY q_id""".stripMargin,
   )
