@@ -297,6 +297,29 @@ object Similarity {
       .orderBy(col("a_vid"), col("b_vid"))
   }
 
+  /** Driver-oracled gate for the custom ApproxCosineJoin plan node (the
+    * one remaining custom-operator key with no driver-red-able check):
+    * the right side is the bounded planted subset id-shifted, so every
+    * planted source must pair with its copy at cosine ≈ 1 — identical
+    * sign signatures share every band, so the pair is a GUARANTEED
+    * candidate at any band geometry the node's stats sizing picks. Only
+    * the self-pairs are kept (the organic ≥ 0.4 matches the declared
+    * key reports stay corpus-dependent), so the expected output is
+    * exactly the planted id list and a lost row anywhere in the node —
+    * logical plan, strategy, banded-shuffle exec — turns it red. */
+  val sim_approx_planted: Q = (s, dir) => {
+    val e = embs(s, dir)
+    val left = e.select(col("vec_id").as("a_vid"), col("embedding").as("ea"))
+    val planted = e.filter(plantedQueryPred)
+      .select((col("vec_id") + PlantedIdOffset).as("b_vid"),
+        col("embedding").as("eb"))
+    graft.plans.ApproxCosineJoin.join(left, planted, "ea", "eb", 0.4)
+      .filter(col("b_vid") === col("a_vid") + PlantedIdOffset &&
+        col("sim") > 0.99)
+      .select(col("a_vid").as("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** (q_id, hits): per-query overlap of an ANN top-K result with the
     * exact top-K — the recall audit every ANN deployment runs after an
     * index build. Queries missing from the ANN output entirely still
@@ -405,6 +428,7 @@ object Similarity {
     "sim_lsh_planted" -> sim_lsh_planted,
     "sim_ivf_planted" -> sim_ivf_planted,
     "sim_approx_join" -> sim_approx_join, // rows-only: approximate
+    "sim_approx_planted" -> sim_approx_planted,
   )
 
   val oracles: Map[String, String] = Map(
@@ -456,5 +480,10 @@ object Similarity {
         |WHERE vec_id % 97 = 3 AND vec_id < 10000
         |  AND list_max(list_transform(embedding, x -> abs(x))) > 0
         |ORDER BY q_id""".stripMargin,
+    "sim_approx_planted" ->
+      """SELECT vec_id FROM embeddings
+        |WHERE vec_id % 97 = 3 AND vec_id < 10000
+        |  AND list_max(list_transform(embedding, x -> abs(x))) > 0
+        |ORDER BY vec_id""".stripMargin,
   )
 }

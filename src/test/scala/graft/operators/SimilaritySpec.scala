@@ -149,5 +149,9 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSeq
     assert(lsh == expected, s"lsh=$lsh expected=$expected")
     assert(ivf == expected, s"ivf=$ivf expected=$expected")
+    // the custom ApproxCosineJoin node must find every planted self-pair
+    val approx = Similarity.sim_approx_planted(spark, sf001)
+      .collect().map(_.getLong(0) + 1000000000L).toSeq
+    assert(approx == expected, s"approx=$approx expected=$expected")
   }
 }
