@@ -99,13 +99,27 @@ object TextOps {
   }
 
   /** Document fingerprints: whole-text rolling hash, winnowing-style
-    * min-k-gram fingerprint, and 64-bit SimHash. */
+    * min-k-gram fingerprint, and 64-bit SimHash.
+    *
+    * Driver-oracled (r12): all three hashes are pure mod-2^64 integer
+    * recurrences over UTF-16 code units, which DuckDB can replay
+    * exactly with HUGEINT arithmetic (see the oracle below) — so this
+    * key is hash-compared value-for-value, not rows-only. The ASCII
+    * guard (`length = octet_length`) pins the one semantic the two
+    * engines could disagree on: Java hashes UTF-16 units while the
+    * oracle walks codepoints — identical on ASCII, divergent past the
+    * BMP. Today's corpus is all-ASCII so the filter drops nothing; if
+    * a future TESTDATA regen adds non-ASCII docs, both sides skip
+    * them the same way instead of silently diverging (the r11 events
+    * lesson). */
   val text_fingerprint: Q = (s, dir) =>
-    docs(s, dir).select(
-      col("doc_id"),
-      GraftFunctions.rolling_hash(col("text")).as("full_hash"),
-      GraftFunctions.doc_fingerprint(col("text")).as("fingerprint"),
-      GraftFunctions.simhash64(col("text")).as("simhash"))
+    docs(s, dir)
+      .filter(expr("length(text) = octet_length(text)"))
+      .select(
+        col("doc_id"),
+        GraftFunctions.rolling_hash(col("text")).as("full_hash"),
+        GraftFunctions.doc_fingerprint(col("text")).as("fingerprint"),
+        GraftFunctions.simhash64(col("text")).as("simhash"))
       .orderBy(col("doc_id"))
 
   /** Corpus-level top-50 bigram frequencies, hash-first in two passes:
@@ -442,11 +456,115 @@ object TextOps {
 
   private val stopsSql = stops.map(s => s"'$s'").mkString(", ")
 
-  /** lang-id and the custom fingerprints are not SQL-expressible in
-    * DuckDB → rows-only checks for those (the planted lang-id gate IS
-    * oracled: its oracle asserts the full planted assignment, not the
-    * heuristic itself). */
+  /** Exact DuckDB replay of TextAlgo.{rollingHash,docFingerprint,
+    * simHash64} — see the scaladoc on [[oracles]] for the arithmetic.
+    * Magic numbers: 18446744073709551616 = 2^64, 9223372036854775808 =
+    * 2^63, 8589934592 = 2^33 (the fmix64 shift as a divide on the
+    * unsigned residue), 4294967296 = 2^32, and the two fmix64
+    * multipliers 0xff51afd7ed558ccd / 0xc4ceb9fe1a85ec53 as unsigned
+    * decimals. Empty-token and all-space docs fall out of `toks`, so
+    * the SimHash side is a LEFT JOIN with COALESCE 0 (= the engine's
+    * all-zero majority vote). */
+  private val textFingerprintOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, text FROM documents WHERE length(text) = strlen(text)
+      |),
+      |a AS (
+      |  SELECT doc_id, length(text) AS n,
+      |    list_transform(range(1, length(text)+1),
+      |      i -> unicode(substr(text, CAST(i AS INTEGER), 1))::HUGEINT) AS cs
+      |  FROM d
+      |),
+      |b AS (
+      |  SELECT doc_id, n,
+      |    list_reduce(list_prepend(1125899906842597::HUGEINT, cs),
+      |      (h, c) -> (31*h + c) % 18446744073709551616::HUGEINT) AS sr,
+      |    CASE WHEN n >= 16 THEN
+      |      list_transform(range(1, n - 14),
+      |        i -> list_reduce(list_prepend(0::HUGEINT, cs[i:i+15]),
+      |               (h, c) -> (31*h + c) % 18446744073709551616::HUGEINT))
+      |    END AS wins
+      |  FROM a
+      |),
+      |fps AS (
+      |  SELECT doc_id,
+      |    CAST(sr - CASE WHEN sr >= 9223372036854775808::HUGEINT
+      |        THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS full_hash,
+      |    CASE WHEN n < 16 THEN
+      |      CAST(sr - CASE WHEN sr >= 9223372036854775808::HUGEINT
+      |          THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)
+      |    ELSE
+      |      list_min(list_transform(wins,
+      |        w -> CAST(w - CASE WHEN w >= 9223372036854775808::HUGEINT
+      |            THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)))
+      |    END AS fingerprint
+      |  FROM b
+      |),
+      |toks AS (
+      |  SELECT doc_id, t AS tok
+      |  FROM d, UNNEST(string_split(text, ' ')) AS u(t) WHERE t <> ''
+      |),
+      |th AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(1125899906842597::HUGEINT,
+      |        list_transform(range(1, length(tok)+1),
+      |          i -> unicode(substr(tok, CAST(i AS INTEGER), 1))::HUGEINT)),
+      |      (h, c) -> (31*h + c) % 18446744073709551616::HUGEINT) AS u
+      |  FROM toks
+      |),
+      |m1 AS (SELECT doc_id, xor(u, u // 8589934592::HUGEINT) AS x FROM th),
+      |m2 AS (SELECT doc_id,
+      |         ((((x // 4294967296::HUGEINT) * 18397679294719823053::HUGEINT) % 4294967296::HUGEINT)
+      |            * 4294967296::HUGEINT
+      |          + ((x % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT))
+      |         % 18446744073709551616::HUGEINT AS x
+      |       FROM m1),
+      |m3 AS (SELECT doc_id, xor(x, x // 8589934592::HUGEINT) AS x FROM m2),
+      |m4 AS (SELECT doc_id,
+      |         ((((x // 4294967296::HUGEINT) * 14181476777654086739::HUGEINT) % 4294967296::HUGEINT)
+      |            * 4294967296::HUGEINT
+      |          + ((x % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT))
+      |         % 18446744073709551616::HUGEINT AS x
+      |       FROM m3),
+      |fm AS (SELECT doc_id, xor(x, x // 8589934592::HUGEINT) AS u FROM m4),
+      |bits AS (
+      |  SELECT doc_id, CAST(b AS INTEGER) AS b,
+      |    SUM(CASE WHEN (u // (2::HUGEINT ^ b)::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM fm, UNNEST(range(0, 64)) AS r(b)
+      |  GROUP BY doc_id, b
+      |),
+      |sig AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN vote > 0 THEN (2::HUGEINT ^ b)::HUGEINT ELSE 0::HUGEINT END) AS u
+      |  FROM bits GROUP BY doc_id
+      |),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CAST(u - CASE WHEN u >= 9223372036854775808::HUGEINT
+      |        THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS simhash
+      |  FROM sig
+      |)
+      |SELECT f.doc_id, f.full_hash, f.fingerprint,
+      |       COALESCE(s.simhash, 0) AS simhash
+      |FROM fps f LEFT JOIN sh s USING (doc_id)
+      |ORDER BY f.doc_id""".stripMargin
+
+  /** lang-id is not SQL-expressible in DuckDB → rows-only (the planted
+    * lang-id gate IS oracled: its oracle asserts the full planted
+    * assignment, not the heuristic itself). The fingerprint key IS
+    * oracled (r12): DuckDB replays the three hash recurrences exactly
+    * in HUGEINT mod-2^64 arithmetic — `list_reduce` for the rolling
+    * hash, windowed `list_transform`+`list_min` for the winnowing
+    * fingerprint, and split 32×64-bit multiplies + `xor` for fmix64 in
+    * the SimHash path (a HUGEINT is a signed int128, so a raw 64×64
+    * product would overflow; `hi*c mod 2^32 · 2^32 + lo*c` stays under
+    * 2^97). Signed/unsigned bridging: the oracle tracks every hash as
+    * an unsigned residue in [0, 2^64) and converts to Java's signed
+    * Long (`u − 2^64` when u ≥ 2^63) only where the engine compares or
+    * emits — the winnowing min is taken over SIGNED values, matching
+    * `if (h < min)` on Long. */
   val oracles: Map[String, String] = Map(
+    "text_fingerprint" -> textFingerprintOracle,
     "text_langid_planted" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 5 AS INTEGER)
