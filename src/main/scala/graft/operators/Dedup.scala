@@ -212,7 +212,13 @@ object Dedup {
     * scalar bit_count filter before the (expensive) shingle verify.
     */
   val dedup_simhash: Q = (s, dir) =>
-    simhashVerified(docs(s, dir), shingleHashesFor(s, dir))
+    // ASCII guard matches the DuckDB oracle's (see simhashOracle):
+    // Java hashes UTF-16 units, the oracle walks codepoints — identical
+    // on ASCII, divergent past the BMP. All-ASCII today (drops nothing);
+    // a non-ASCII TESTDATA regen skips rows identically on both sides.
+    simhashVerified(
+      docs(s, dir).filter(expr("length(text) = octet_length(text)")),
+      shingleHashesFor(s, dir))
 
   /** `dedup_simhash` with KNOWN positives planted via the declared
     * table (the dedup_embed_planted pattern): the corpus is the
@@ -638,7 +644,63 @@ object Dedup {
       |WHERE CAST(c AS DOUBLE)/(sa.sz + sb.sz - c) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Exact DuckDB replay of the ENTIRE dedup_simhash path (r12): the
+    * per-doc SimHash64 via TextOps.simhashSigCtes, the 8 wrapped
+    * 16-bit bands (j ≤ 6 are plain bit windows; band 7 wraps the low
+    * byte above the high byte: `u div 2^56 + (u mod 256)·256`), the
+    * DefaultMaxBucket hot-bucket guard as a QUALIFY window filter, the
+    * band-bucket self-join with the Hamming ≤ 7 cut (DuckDB's
+    * `bit_count`/`xor` operate on the same two's-complement pattern as
+    * Java), and the exact 3-word-shingle Jaccard ≥ 0.5 verify from
+    * [[jaccardOracle]] restricted to the surviving candidates. Every
+    * stage of the sketch is deterministic, so this is a value oracle,
+    * not a recall floor — any divergence in signature, banding, guard,
+    * Hamming cut, or verify turns the driver's hash red. */
+  private[operators] val simhashOracle: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, text FROM documents WHERE length(text) = strlen(text)
+      |),
+      |${TextOps.simhashSigCtes},
+      |sig AS (
+      |  SELECT dd.doc_id, COALESCE(s.u, 0::HUGEINT) AS u,
+      |    CAST(COALESCE(s.u, 0::HUGEINT)
+      |      - CASE WHEN COALESCE(s.u, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+      |        THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS sg
+      |  FROM d dd LEFT JOIN sigu s USING (doc_id)
+      |),
+      |bands AS (
+      |  SELECT doc_id, sg, CAST(b AS INTEGER) AS band,
+      |    CAST(CASE WHEN b <= 6 THEN (u // (2::HUGEINT ^ (8*b))::HUGEINT) % 65536
+      |         ELSE (u // 72057594037927936::HUGEINT) + (u % 256::HUGEINT) * 256
+      |         END AS BIGINT) AS bv
+      |  FROM sig, UNNEST(range(0, 8)) AS r(b)
+      |),
+      |kept AS (
+      |  SELECT * FROM bands QUALIFY COUNT(*) OVER (PARTITION BY band, bv) <= 1000000
+      |),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      |  FROM kept x JOIN kept y ON x.band = y.band AND x.bv = y.bv
+      |    AND x.doc_id < y.doc_id
+      |  WHERE bit_count(xor(x.sg, y.sg)) <= 7
+      |),
+      |w AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS wds FROM d),
+      |sh AS (SELECT DISTINCT doc_id, wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2] AS s
+      |       FROM w, UNNEST(range(1, len(wds)-1)) AS t(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS c
+      |          FROM cand c JOIN sh a ON a.doc_id = c.a_id
+      |                      JOIN sh b ON b.doc_id = c.b_id AND a.s = b.s
+      |          GROUP BY 1, 2)
+      |SELECT i.a_id, i.b_id, ROUND(CAST(c AS DOUBLE)/(sa.sz + sb.sz - c), 4) AS jac
+      |FROM inter i
+      |JOIN sizes sa ON sa.doc_id = i.a_id
+      |JOIN sizes sb ON sb.doc_id = i.b_id
+      |WHERE CAST(c AS DOUBLE)/(sa.sz + sb.sz - c) >= 0.5
+      |ORDER BY i.a_id, i.b_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_simhash" -> simhashOracle,
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS cnt
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
@@ -697,10 +759,10 @@ object Dedup {
         |JOIN sizes sb ON sb.doc_id = b_id
         |WHERE CAST(c AS DOUBLE)/(sa.sz + sb.sz - c) >= 0.999
         |ORDER BY a_id, b_id""".stripMargin,
-    // dedup_simhash: rows-only — SimHash recall has no sharp guarantee
-    // at this Jaccard band, so its verified output is asserted against
-    // dedup_ngram in DedupSpec, and the subset property is driver-gated
-    // through dedup_simhash_vs_ngram below.
+    // dedup_simhash is exactly oracled above (simhashOracle) — the
+    // sketch has no sharp recall guarantee vs EXACT Jaccard, but every
+    // stage of the sketch itself is deterministic and DuckDB-replayable.
+    // The subset property vs the exact path stays separately gated here:
     "dedup_simhash_vs_ngram" ->
       """SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id,
         |  CAST(NULL AS DOUBLE) AS jac

@@ -456,51 +456,18 @@ object TextOps {
 
   private val stopsSql = stops.map(s => s"'$s'").mkString(", ")
 
-  /** Exact DuckDB replay of TextAlgo.{rollingHash,docFingerprint,
-    * simHash64} — see the scaladoc on [[oracles]] for the arithmetic.
-    * Magic numbers: 18446744073709551616 = 2^64, 9223372036854775808 =
-    * 2^63, 8589934592 = 2^33 (the fmix64 shift as a divide on the
-    * unsigned residue), 4294967296 = 2^32, and the two fmix64
-    * multipliers 0xff51afd7ed558ccd / 0xc4ceb9fe1a85ec53 as unsigned
-    * decimals. Empty-token and all-space docs fall out of `toks`, so
-    * the SimHash side is a LEFT JOIN with COALESCE 0 (= the engine's
-    * all-zero majority vote). */
-  private val textFingerprintOracle: String =
-    """WITH d AS (
-      |  SELECT doc_id, text FROM documents WHERE length(text) = strlen(text)
-      |),
-      |a AS (
-      |  SELECT doc_id, length(text) AS n,
-      |    list_transform(range(1, length(text)+1),
-      |      i -> unicode(substr(text, CAST(i AS INTEGER), 1))::HUGEINT) AS cs
-      |  FROM d
-      |),
-      |b AS (
-      |  SELECT doc_id, n,
-      |    list_reduce(list_prepend(1125899906842597::HUGEINT, cs),
-      |      (h, c) -> (31*h + c) % 18446744073709551616::HUGEINT) AS sr,
-      |    CASE WHEN n >= 16 THEN
-      |      list_transform(range(1, n - 14),
-      |        i -> list_reduce(list_prepend(0::HUGEINT, cs[i:i+15]),
-      |               (h, c) -> (31*h + c) % 18446744073709551616::HUGEINT))
-      |    END AS wins
-      |  FROM a
-      |),
-      |fps AS (
-      |  SELECT doc_id,
-      |    CAST(sr - CASE WHEN sr >= 9223372036854775808::HUGEINT
-      |        THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS full_hash,
-      |    CASE WHEN n < 16 THEN
-      |      CAST(sr - CASE WHEN sr >= 9223372036854775808::HUGEINT
-      |          THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)
-      |    ELSE
-      |      list_min(list_transform(wins,
-      |        w -> CAST(w - CASE WHEN w >= 9223372036854775808::HUGEINT
-      |            THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)))
-      |    END AS fingerprint
-      |  FROM b
-      |),
-      |toks AS (
+  /** Shared DuckDB CTE chain: whitespace tokens → seeded rolling hash
+    * → fmix64 → per-bit majority vote → unsigned SimHash residue per
+    * doc as `sigu(doc_id, u)`. Assumes a CTE `d(doc_id, text)` is in
+    * scope; docs whose every token is empty fall out (callers LEFT
+    * JOIN and treat absence as signature 0, the engine's all-zero
+    * majority vote). Reused by Dedup's simhash oracle. Magic numbers:
+    * 18446744073709551616 = 2^64, 9223372036854775808 = 2^63,
+    * 8589934592 = 2^33 (the fmix64 shift as a divide on the unsigned
+    * residue), 4294967296 = 2^32, and the two fmix64 multipliers
+    * 0xff51afd7ed558ccd / 0xc4ceb9fe1a85ec53 as unsigned decimals. */
+  private[operators] val simhashSigCtes: String =
+    """toks AS (
       |  SELECT doc_id, t AS tok
       |  FROM d, UNNEST(string_split(text, ' ')) AS u(t) WHERE t <> ''
       |),
@@ -533,16 +500,56 @@ object TextOps {
       |  FROM fm, UNNEST(range(0, 64)) AS r(b)
       |  GROUP BY doc_id, b
       |),
-      |sig AS (
+      |sigu AS (
       |  SELECT doc_id,
       |    SUM(CASE WHEN vote > 0 THEN (2::HUGEINT ^ b)::HUGEINT ELSE 0::HUGEINT END) AS u
       |  FROM bits GROUP BY doc_id
+      |)""".stripMargin
+
+  /** Exact DuckDB replay of TextAlgo.{rollingHash,docFingerprint,
+    * simHash64} — see the scaladoc on [[oracles]] for the arithmetic;
+    * the SimHash leg is the shared [[simhashSigCtes]] chain. */
+  private val textFingerprintOracle: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, text FROM documents WHERE length(text) = strlen(text)
+      |),
+      |$simhashSigCtes,
+      |a AS (
+      |  SELECT doc_id, length(text) AS n,
+      |    list_transform(range(1, length(text)+1),
+      |      i -> unicode(substr(text, CAST(i AS INTEGER), 1))::HUGEINT) AS cs
+      |  FROM d
+      |),
+      |b AS (
+      |  SELECT doc_id, n,
+      |    list_reduce(list_prepend(1125899906842597::HUGEINT, cs),
+      |      (h, c) -> (31*h + c) % 18446744073709551616::HUGEINT) AS sr,
+      |    CASE WHEN n >= 16 THEN
+      |      list_transform(range(1, n - 14),
+      |        i -> list_reduce(list_prepend(0::HUGEINT, cs[i:i+15]),
+      |               (h, c) -> (31*h + c) % 18446744073709551616::HUGEINT))
+      |    END AS wins
+      |  FROM a
+      |),
+      |fps AS (
+      |  SELECT doc_id,
+      |    CAST(sr - CASE WHEN sr >= 9223372036854775808::HUGEINT
+      |        THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS full_hash,
+      |    CASE WHEN n < 16 THEN
+      |      CAST(sr - CASE WHEN sr >= 9223372036854775808::HUGEINT
+      |          THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)
+      |    ELSE
+      |      list_min(list_transform(wins,
+      |        w -> CAST(w - CASE WHEN w >= 9223372036854775808::HUGEINT
+      |            THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)))
+      |    END AS fingerprint
+      |  FROM b
       |),
       |sh AS (
       |  SELECT doc_id,
       |    CAST(u - CASE WHEN u >= 9223372036854775808::HUGEINT
       |        THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS simhash
-      |  FROM sig
+      |  FROM sigu
       |)
       |SELECT f.doc_id, f.full_hash, f.fingerprint,
       |       COALESCE(s.simhash, 0) AS simhash
