@@ -6,20 +6,20 @@ import java.nio.file.{Files, Paths}
 object Verify {
   /** One declared query exactly as the driver harness runs it: resolved
     * through the SparkEntry.queries map and materialized to
-    * `outDir/<name>` parquet. Returns the failed name, None on success.
-    * Factored out of main so specs can drive the SAME end-to-end path
-    * on engine-side fixtures (e.g. the planted-positive embedding
-    * corpus for `dedup_embed`, whose driver oracle is vacuously 0==0 at
-    * the graded SFs). */
+    * `outDir/<name>` parquet. Returns (failed name, error message), None
+    * on success. Factored out of main so specs can drive the SAME
+    * end-to-end path on engine-side fixtures (e.g. the planted-positive
+    * embedding corpus for `dedup_embed`, whose driver oracle is
+    * vacuously 0==0 at the graded SFs). */
   def runOne(spark: SparkSession, name: String, sfDir: String,
-      outDir: String): Option[String] =
+      outDir: String): Option[(String, String)] =
     try {
       SparkEntry.queries(name)(spark, sfDir).coalesce(1).write
         .mode("overwrite").parquet(s"$outDir/$name")
       None
     } catch { case e: Throwable =>
       System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      Some(name)
+      Some(name -> s"${e.getClass.getSimpleName}: ${e.getMessage}")
     }
 
   def main(args: Array[String]): Unit = {
@@ -57,9 +57,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Always written (empty object when clean): a crashed query would
+    // otherwise appear in the dump only as a MISSING directory, and a
+    // reader of the artifacts alone undercounts the damage (the r10/r11
+    // lesson — four crashed keys were invisible in the correctness
+    // JSON). With this manifest the per-key error text travels with the
+    // dump the driver reads.
+    val errJson = failed
+      .map { case (k, msg) => s"${q(k)}: ${q(msg)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
     if (failed.nonEmpty) {
-      System.err.println(s"[verify] FAILED queries: ${failed.mkString(", ")}")
+      System.err.println(
+        s"[verify] FAILED queries: ${failed.map(_._1).mkString(", ")}")
       sys.exit(1)
     }
   }

@@ -47,8 +47,10 @@ class VerifyPathSpec extends SparkTestBase {
 
   test("a failing query surfaces through runOne instead of throwing") {
     val out = java.nio.file.Files.createTempDirectory("verify-bad").toString
-    // nonexistent sf dir → the query fails; runOne reports, not throws
-    assert(Verify.runOne(spark, "dedup_exact", "/nonexistent-sf", out)
-      == Some("dedup_exact"))
+    // nonexistent sf dir → the query fails; runOne reports name + error
+    // message (the message feeds the errors.json manifest), not throws
+    val failed = Verify.runOne(spark, "dedup_exact", "/nonexistent-sf", out)
+    assert(failed.map(_._1) == Some("dedup_exact"))
+    assert(failed.exists(_._2.nonEmpty), "error message should be captured")
   }
 }
