@@ -186,6 +186,30 @@ object TextAlgo {
 
   /** Distinct variant of [[wordNgramHashes]], sorted-distinct (set
     * semantics for Jaccard). */
+  /** Distinct whitespace tokens of `s` with their in-document counts,
+    * sorted by token (deterministic output order). One pass over the
+    * text — the per-document TF side of corpus-weighted term scoring
+    * ([[graft.operators.TextOps.text_rarity]]) without shuffling every
+    * token occurrence. Tokenization matches [[wordNgramHashes]]
+    * (`Character.isWhitespace` runs, empties skipped). */
+  def tokenTf(s: String): Array[(String, Int)] = {
+    val counts = new scala.collection.mutable.HashMap[String, Int]()
+    var start = 0
+    val n = s.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || Character.isWhitespace(s.charAt(i))) {
+        if (i > start) {
+          val t = s.substring(start, i)
+          counts.update(t, counts.getOrElse(t, 0) + 1)
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    counts.toArray.sortBy(_._1)
+  }
+
   def wordShingleHashes(s: String, k: Int): Array[Long] = {
     val out = wordNgramHashes(s, k)
     val m = out.length

@@ -132,6 +132,35 @@ case class LangId(child: Expression) extends UnaryExpression {
   override def prettyName: String = "lang_id"
 }
 
+/** Distinct whitespace tokens with their in-document counts →
+  * array<struct<term string, tf int>> in one pass — the TF side of
+  * corpus-weighted term scoring (TextOps.text_rarity). Computing TF
+  * in-row means only DISTINCT (doc, term) pairs ever leave the scan,
+  * instead of shuffling every token occurrence. */
+case class TokenTf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TokenTf.OutType
+  override protected def nullSafeEval(input: Any): Any =
+    TokenTf.eval(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenTf.eval($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "token_tf"
+}
+
+object TokenTf {
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, StructField, StructType}
+  val OutType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", IntegerType, nullable = false))), containsNull = false)
+  /** Static entry point shared by the interpreted path and codegen. */
+  def eval(s: String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextAlgo.tokenTf(s).map { case (t, n) =>
+        org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString(t), n)
+      })
+}
+
 /** Column-API + SQL registration for the graft functions. */
 object GraftFunctions {
   def rolling_hash(c: Column): Column = col(RollingHash(expression(c)))
@@ -144,6 +173,7 @@ object GraftFunctions {
     col(WordNgramHashes(expression(c), k))
   def word_ngram_filter(c: Column, k: Int, keepSorted: Array[Long]): Column =
     col(WordNgramFiltered(expression(c), k, keepSorted))
+  def token_tf(c: Column): Column = col(TokenTf(expression(c)))
 
   private def col(e: Expression): Column = Bridge.column(e)
   private def expression(c: Column): Expression = Bridge.expression(c)
@@ -170,6 +200,7 @@ object GraftFunctions {
         WordShingleHashes(es(0), intArg(es(1), "k"))),
       "word_ngram_hashes" -> ((es: Seq[Expression]) =>
         WordNgramHashes(es(0), intArg(es(1), "k"))),
+      "token_tf" -> ((es: Seq[Expression]) => TokenTf(es.head)),
       "cosine_sim" -> ((es: Seq[Expression]) => CosineSim(es(0), es(1))),
       "sim_signature" -> ((es: Seq[Expression]) =>
         SimSignature(es(0), intArg(es(1), "nBits"))),

@@ -122,6 +122,51 @@ object TextOps {
         GraftFunctions.simhash64(col("text")).as("simhash"))
       .orderBy(col("doc_id"))
 
+  /** Corpus-weighted term rarity per document (the tf-idf-shaped
+    * keyword/quality signal an LLM-data pipeline runs to spot documents
+    * carried by rare vocabulary): for each document, the count of its
+    * near-hapax terms (document frequency ≤ 2 in the corpus) and its
+    * single rarest term with a rarity score.
+    *
+    * Score = `tf · (N+1)/(df+1)` — idf as a RATIONAL rarity ratio, not
+    * `log`: rank-equivalent (log is monotone) but every arithmetic step
+    * is an exactly-rounded IEEE op on integer-valued inputs, so Spark
+    * and DuckDB produce bit-identical doubles and the driver can hash-
+    * compare values; a `log`-based score would differ in the last ulp
+    * between libm implementations. No float SUMs either — the per-doc
+    * reductions are an integer count and a MAX (order-independent), so
+    * distributed reduction order cannot change the answer.
+    *
+    * Plan shape at 100 TB: TF is computed IN-ROW by the native
+    * [[GraftFunctions.token_tf]] expression (only distinct (doc, term)
+    * pairs leave the scan — no shuffle of raw token occurrences), DF is
+    * one hash aggregation on term, the DF join is a plain shuffled hash
+    * join on term (no broadcast of an unbounded vocabulary), and the
+    * per-doc argmax is `min(struct(-score, term))` inside a hash
+    * aggregate — comparisons only, no Window funnel, no collect_list.
+    * Tie-break on equal score: lexicographically smallest term (binary
+    * order — identical in Spark and DuckDB under the ASCII guard). */
+  val text_rarity: Q = (s, dir) => {
+    val d = docs(s, dir).filter(expr("length(text) = octet_length(text)"))
+    val n = d.count() // metadata-only count job (parquet row counts)
+    val tf = d
+      .select(col("doc_id"),
+        explode(GraftFunctions.token_tf(col("text"))).as("t"))
+      .select(col("doc_id"), col("t.term").as("term"), col("t.tf").as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("term"))
+      .withColumn("score",
+        col("tf") * lit((n + 1).toDouble) / (col("df") + lit(1)))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("df") <= 2, 1).otherwise(0)).as("n_rare"),
+        min(struct((-col("score")).as("ns"), col("term").as("term"))).as("top"))
+      .select(col("doc_id"), col("n_rare"),
+        col("top.term").as("top_term"),
+        round(-col("top.ns"), 4).as("top_score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus-level top-50 bigram frequencies, hash-first in two passes:
     * pass 1 counts 64-bit bigram hashes (the native one-pass
     * word_ngram_hashes expression — no per-bigram string allocation,
@@ -439,6 +484,7 @@ object TextOps {
     "text_langid" -> text_langid,
     "text_langid_planted" -> text_langid_planted,
     "text_fingerprint" -> text_fingerprint,
+    "text_rarity" -> text_rarity,
     "text_bigrams" -> text_bigrams,
     "pipeline_clean" -> pipeline_clean,
     "pipeline_decontam" -> pipeline_decontam,
@@ -570,8 +616,45 @@ object TextOps {
     * Long (`u − 2^64` when u ≥ 2^63) only where the engine compares or
     * emits — the winnowing min is taken over SIGNED values, matching
     * `if (h < min)` on Long. */
+  /** Exact replay of text_rarity: same rational score on the same
+    * integer inputs (bit-identical doubles — see the operator's
+    * scaladoc), argmax via ROW_NUMBER (score DESC, term) ≡ the engine's
+    * min(struct(-score, term)), and the near-hapax count cast to BIGINT
+    * (DuckDB SUM(CASE) is HUGEINT — the pipeline_pack lesson). */
+  private val textRarityOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, text FROM documents WHERE length(text) = strlen(text)
+      |),
+      |tok AS (
+      |  SELECT doc_id, t AS term
+      |  FROM d, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) u(t)
+      |  WHERE t <> ''
+      |),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |s AS (
+      |  SELECT t.doc_id, t.term, t.tf, f.df,
+      |    t.tf * ((SELECT COUNT(*) FROM d) + 1.0) / (f.df + 1) AS score
+      |  FROM tf t JOIN df f USING (term)
+      |),
+      |r AS (
+      |  SELECT doc_id, term, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+      |  FROM s
+      |),
+      |rare AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+      |  FROM s GROUP BY doc_id
+      |)
+      |SELECT r.doc_id, rare.n_rare, r.term AS top_term,
+      |       ROUND(r.score, 4) AS top_score
+      |FROM r JOIN rare USING (doc_id)
+      |WHERE rn = 1 ORDER BY r.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_fingerprint" -> textFingerprintOracle,
+    "text_rarity" -> textRarityOracle,
     "text_langid_planted" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 5 AS INTEGER)

@@ -239,4 +239,40 @@ class TextOpsSpec extends SparkTestBase {
     assert(plan.linesIterator.exists(l =>
       l.contains("*(") && l.contains("rolling_hash")), plan)
   }
+
+  test("token_tf: one-pass distinct-term counts, whitespace runs, codegen") {
+    assert(TextAlgo.tokenTf("a a b").toSeq == Seq("a" -> 2, "b" -> 1))
+    assert(TextAlgo.tokenTf("  a\t\ta   a\nb ").toSeq == Seq("a" -> 3, "b" -> 1))
+    assert(TextAlgo.tokenTf("").isEmpty)
+    assert(TextAlgo.tokenTf("   ").isEmpty)
+    // as a Catalyst expression (exercises the codegen static-call path)
+    import spark.implicits._
+    val rows = Seq("x y x").toDF("text")
+      .select(explode(GraftFunctions.token_tf(col("text"))).as("t"))
+      .select(col("t.term"), col("t.tf")).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(rows == Seq(("x", 2), ("y", 1)))
+  }
+
+  test("text_rarity: rational idf, argmax tie-break, near-hapax count") {
+    import spark.implicits._
+    // N=3; df: a=3, b=1, c=1, d=1. Scores with (N+1)/(df+1):
+    //   doc 0 "a a b": a = 2*4/4 = 2.0, b = 1*4/2 = 2.0  (TIE at 2.0)
+    //   doc 1 "a c"  : a = 1.0,          c = 2.0
+    //   doc 2 "a d"  : a = 1.0,          d = 2.0
+    // tie at doc 0 breaks to the lexicographically smaller term 'a'.
+    val dir = java.nio.file.Files.createTempDirectory("rarity").toString
+    Seq((0L, "a a b"), (1L, "a c"), (2L, "a d")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val q = TextOps.text_rarity(spark, dir)
+    val out = q.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, "a", 2.0), (1L, 1L, "c", 2.0), (2L, 1L, "d", 2.0)))
+    // per-doc argmax is an aggregate (comparisons in a hash agg), never
+    // a row_number Window funnel
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
 }
