@@ -284,6 +284,67 @@ object Similarity {
     rankTopK(scored)
   }
 
+  /** Embedding-space outlier detection per cluster label — the curation
+    * pass a training pipeline runs to drop vectors that sit far from
+    * their own cluster's centroid (mislabeled / noisy points): for each
+    * label, the 5 vectors with the LOWEST cosine similarity to the
+    * label's centroid.
+    *
+    * Determinism discipline (what makes this exactly DuckDB-oracled
+    * despite being a float-geometry operator): embeddings are int8-
+    * quantized first ([[quantizeInt8]], bit-identical across engines),
+    * so the centroid direction is an element-wise INTEGER sum vector
+    * (order-independent), and every dot product is exact 64-bit integer
+    * math. cos(q, Σv) = cos(q, mean v) because cosine is scale-
+    * invariant — the sum vector stands in for the centroid with no
+    * division. Doubles appear only in the final
+    * `dqs / (sqrt(dqq)·sqrt(dss))`, where each input is the SAME exact
+    * integer in both engines and every op (convert, sqrt, ·, /) is
+    * exactly-rounded IEEE — bit-identical result, no accumulation-order
+    * anywhere. Zero-norm vectors (all-zero quantization) are excluded
+    * on both sides.
+    *
+    * Scale shape (100 TB): quantization is map-only; the per-label sums
+    * go through posexplode + hash agg, which partial-aggregates map-
+    * side so the exchange carries only tasks × labels × dims partial
+    * sums, never vectors; the tiny (labels × dims) centroid frame
+    * broadcasts back; scoring is in-row; the bottom-k per label is the
+    * [[VectorFunctions.topk_agg]] heap — no Window funnel, no
+    * collect_list of the corpus. The corpus itself never shuffles. */
+  val embed_outliers: Q = (s, dir) => {
+    val e = embs(s, dir)
+    val q8 = e.select(col("vec_id"), col("label"),
+      quantizeInt8(col("embedding")).as("v"))
+    val sums = q8
+      .select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col")).as("sv"))
+    val cent = sums.groupBy(col("label"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("sv")))),
+          p => p.getField("sv")).as("sumvec"),
+        sum(col("sv") * col("sv")).as("dss"))
+    val scored = q8.join(broadcast(cent), Seq("label"))
+      .withColumn("dqs",
+        aggregate(zip_with(col("v"), col("sumvec"),
+          (a, b) => a.cast("long") * b), lit(0L), (acc, x) => acc + x))
+      .withColumn("dqq",
+        aggregate(transform(col("v"), a => a.cast("long") * a),
+          lit(0L), (acc, x) => acc + x))
+      .filter(col("dqq") > 0 && col("dss") > 0)
+      .select(col("label"), col("vec_id"),
+        (col("dqs").cast("double") /
+          (sqrt(col("dqq").cast("double")) * sqrt(col("dss").cast("double"))))
+          .as("cos"))
+    scored.groupBy(col("label"))
+      .agg(VectorFunctions.topk_agg(-col("cos"), col("vec_id"), 5).as("tk"))
+      .select(col("label"), posexplode(col("tk")))
+      .select(col("label"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.neighbor_id").as("vec_id"),
+        round(-col("col.sim"), 4).as("cos_sim"))
+      .orderBy(col("label"), col("rnk"))
+  }
+
   /** The custom ApproxCosineJoin operator (logical node + strategy +
     * physical banded-shuffle plan, graft.plans) run as a self-join over
     * embeddings. Deterministic but approximate → rows-only check. */
@@ -421,6 +482,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "sim_topk" -> sim_topk,
     "sim_topk_int8" -> sim_topk_int8,
+    "embed_outliers" -> embed_outliers,
     "sim_lsh_topk" -> sim_lsh_topk, // rows-only: approximate by design
     "sim_ivf_topk" -> sim_ivf_topk, // rows-only: approximate by design
     "sim_lsh_recall" -> sim_lsh_recall,
@@ -459,6 +521,39 @@ object Similarity {
         |WHERE q.vec_id < 5
         |QUALIFY rnk <= 10
         |ORDER BY q_id, rnk""".stripMargin,
+    // Exact replay of embed_outliers: same int8 quantization, HUGEINT
+    // element sums and dot products (exact — same integers as the
+    // engine's Longs), and the one double expression with identical
+    // structure dqs / (sqrt(dqq) * sqrt(dss)).
+    "embed_outliers" ->
+      """WITH mx AS (SELECT vec_id, label, embedding,
+        |  CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE) AS m
+        |  FROM embeddings),
+        |q8 AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CASE WHEN m > 0
+        |    THEN CAST(round(CAST(x AS DOUBLE) * 127.0 / m) AS INTEGER)
+        |    ELSE 0 END) AS v
+        |  FROM mx),
+        |el AS (SELECT vec_id, label, o.pos,
+        |         CAST(v[CAST(o.pos AS INTEGER)] AS HUGEINT) AS x
+        |       FROM q8, UNNEST(range(1, len(v)+1)) AS o(pos)),
+        |s AS (SELECT label, pos, SUM(x) AS sv FROM el GROUP BY 1, 2),
+        |nrm AS (SELECT label, SUM(sv * sv) AS dss FROM s GROUP BY 1),
+        |dots AS (SELECT el.vec_id, el.label,
+        |           SUM(el.x * s.sv) AS dqs, SUM(el.x * el.x) AS dqq
+        |         FROM el JOIN s ON s.label = el.label AND s.pos = el.pos
+        |         GROUP BY 1, 2),
+        |sc AS (SELECT d.vec_id, d.label,
+        |         CAST(d.dqs AS DOUBLE) /
+        |           (sqrt(CAST(d.dqq AS DOUBLE)) * sqrt(CAST(n.dss AS DOUBLE))) AS cos
+        |       FROM dots d JOIN nrm n USING (label)
+        |       WHERE d.dqq > 0 AND n.dss > 0),
+        |r AS (SELECT label, vec_id, cos,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY label
+        |          ORDER BY cos ASC, vec_id) AS INTEGER) AS rnk
+        |      FROM sc)
+        |SELECT label, rnk, vec_id, ROUND(cos, 4) AS cos_sim
+        |FROM r WHERE rnk <= 5 ORDER BY label, rnk""".stripMargin,
     // The recall keys' expected output is the FULL query-id list: the
     // engine side drops any query whose ANN∩exact overlap falls below
     // the declared floor, so a recall collapse turns the row red.

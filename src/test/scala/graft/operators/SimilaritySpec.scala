@@ -154,4 +154,29 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(_.getLong(0) + 1000000000L).toSeq
     assert(approx == expected, s"approx=$approx expected=$expected")
   }
+
+  test("embed_outliers: a planted anti-centroid vector is the rank-1 outlier") {
+    import spark.implicits._
+    // label 0: nine vectors near +e1, one (id 99) pointing the opposite
+    // way — it must surface as the worst cosine-to-centroid. label 1 is
+    // a second cluster to prove the grouping is per-label.
+    val near = (0L until 9L).map(i =>
+      (i, Array(1f, 0.01f * i, 0f, 0f), 0))
+    val anti = Seq((99L, Array(-1f, 0f, 0f, 0f), 0))
+    val other = (100L until 105L).map(i =>
+      (i, Array(0f, 0f, 1f, 0.01f * (i - 100)), 1))
+    val dir = java.nio.file.Files.createTempDirectory("outliers").toString
+    (near ++ anti ++ other).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.embed_outliers(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val lab0 = out.filter(_._1 == 0)
+    assert(lab0.head == ((0, 1, 99L, lab0.head._4)), s"got ${lab0.toSeq}")
+    assert(lab0.head._4 < 0, "anti-centroid cosine should be negative")
+    // 5 per label, ranks 1..5, label 1 untouched by label 0's outlier
+    assert(out.count(_._1 == 0) == 5 && out.count(_._1 == 1) == 5)
+    assert(out.filter(_._1 == 1).map(_._2).toSeq == Seq(1, 2, 3, 4, 5))
+    assert(!out.filter(_._1 == 1).exists(_._3 == 99L))
+  }
 }
