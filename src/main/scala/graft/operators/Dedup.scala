@@ -401,6 +401,18 @@ object Dedup {
       .select(col("doc_id"), col("label").as("keep_id"))
       .orderBy(col("doc_id"))
 
+  /** Near-dup component-size histogram — the dedup observability report
+    * a pipeline publishes ("how many duplicate clusters of size k does
+    * the corpus hold"). Rides the memoized survivor labeling, so it
+    * costs two tiny hash aggregations on top of work dedup_survivors /
+    * pipeline_clean already paid for; integer counts only, exactly
+    * oracled through the same recursive-CTE closure. */
+  val dedup_cluster_sizes: Q = (s, dir) =>
+    survivorLabels(s, dir)
+      .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+
   private val survivorsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
@@ -618,6 +630,7 @@ object Dedup {
     "dedup_embed" -> dedup_embed,
     "dedup_embed_planted" -> dedup_embed_planted,
     "dedup_survivors" -> dedup_survivors,
+    "dedup_cluster_sizes" -> dedup_cluster_sizes,
   )
 
   /** Keys whose timing is backed by the session-lifetime memos above
@@ -626,7 +639,7 @@ object Dedup {
     * metadata, not a hardcoded list that drifts on a rename. */
   val memoBacked: Set[String] = Set(
     "dedup_ngram", "dedup_minhash", "dedup_simhash",
-    "dedup_simhash_vs_ngram", "dedup_survivors")
+    "dedup_simhash_vs_ngram", "dedup_survivors", "dedup_cluster_sizes")
 
   private[operators] val jaccardOracle =
     """WITH w AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS wds
@@ -779,6 +792,21 @@ object Dedup {
          |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
          |SELECT id AS doc_id, MIN(r) AS keep_id FROM reach
          |GROUP BY id ORDER BY doc_id""".stripMargin
+    },
+    "dedup_cluster_sizes" -> {
+      val pairsSql = jaccardOracle
+        .replace("ORDER BY a_id, b_id", "")
+      s"""WITH RECURSIVE pr AS ($pairsSql),
+         |edges AS (SELECT a_id AS s, b_id AS d FROM pr
+         |          UNION ALL SELECT b_id, a_id FROM pr),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+         |lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+         |cs AS (SELECT label, COUNT(*) AS cluster_size FROM lab GROUP BY label)
+         |SELECT cluster_size, COUNT(*) AS n_clusters
+         |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin
     },
   )
 }

@@ -545,6 +545,35 @@ object Relational {
       .orderBy($"o_orderpriority")
   }
 
+  /** B-extra: batch gap-sessionization over the events stream's data —
+    * the lag+cumsum formulation of what `session_window` computes in
+    * Structured Streaming (Streaming.stream_sessions), for the backfill
+    * / reprocessing side of a lambda pipeline. A new session starts
+    * when a user's inter-event gap reaches 30 minutes (`>= 1800 s`,
+    * matching session_window's `[start, last+gap)` exclusivity).
+    *
+    * Determinism: event time compared in exact integer MICROSECONDS
+    * (`unix_micros` ≡ DuckDB `epoch_us` — no sub-second truncation, no
+    * float), total per-user order pinned by (ts, event_id). Scale: both
+    * window frames share one partitioning on user_id — a single
+    * shuffle, no global ordering anywhere; the final session rollup is
+    * a hash agg on (user_id, session_id). */
+  val q28_sessionize: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "events")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapUs = unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w)
+    e.withColumn("new_s",
+        when(gapUs >= 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id",
+        sum($"new_s").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) + 1)
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts").cast("timestamp_ntz").as("session_start"),
+        max($"ts").cast("timestamp_ntz").as("session_end"))
+      .orderBy($"user_id", $"session_id")
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -586,6 +615,7 @@ object Relational {
     "q24_percentile" -> q24_percentile,
     "q25_pivot" -> q25_pivot,
     "q27_bucket_join" -> q27_bucket_join,
+    "q28_sessionize" -> q28_sessionize,
   )
 
   /** DuckDB-compatible oracle SQL. Keys mirror `queries`; column aliases
@@ -598,6 +628,24 @@ object Relational {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // windowed SUM(CASE) is HUGEINT in DuckDB → cast (pipeline_pack
+    // lesson); gaps compared in exact integer microseconds both sides
+    "q28_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(CASE WHEN gap_us >= 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      + 1 AS BIGINT) AS session_id
+        |  FROM o)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |       MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q01_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,

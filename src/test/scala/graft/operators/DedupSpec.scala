@@ -152,4 +152,14 @@ class DedupSpec extends SparkTestBase {
     assert(agree(mh(285L), mh(301L)) > 0.85)
     assert(agree(mh(285L), mh(0L)) < 0.3)
   }
+
+  test("cluster-size histogram partitions the corpus exactly") {
+    val hist = Dedup.dedup_cluster_sizes(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nDocs = Dedup.dedup_survivors(spark, sf001).count()
+    // sum(size * clusters) must equal the document count, and multi-doc
+    // clusters must exist on this corpus (it carries planted near-dups)
+    assert(hist.map { case (sz, n) => sz * n }.sum == nDocs)
+    assert(hist.exists(_._1 > 1))
+  }
 }

@@ -104,4 +104,22 @@ class RelationalSpec extends SparkTestBase {
       assert(!purchases.exists(p => p._1 == user && !p._2.after(viewTs)), r)
     }
   }
+
+  test("q28 sessionize: gap >= 30 min splits, < 30 min merges, per user") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // user 1: events at 0, 29, 59 min (gaps 29, 30) → sessions {0,29}, {59}
+    // user 2: one event → one singleton session
+    val dir = java.nio.file.Files.createTempDirectory("sess").toString
+    Seq(
+      (10L, ts(0), 1L, "view", 0.0, "{}"),
+      (11L, ts(29), 1L, "view", 0.0, "{}"),
+      (12L, ts(59), 1L, "view", 0.0, "{}"),
+      (20L, ts(5), 2L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Relational.q28_sessionize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)), out.toSeq)
+  }
 }
