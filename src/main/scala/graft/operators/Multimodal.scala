@@ -159,7 +159,47 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
-  val queries: Map[String, Q] = Map("mm_features" -> mm_features)
+  /** The resize/downsample stage of the media pipeline, driver-gated:
+    * decode → average-pool by 4 → per-media block statistics, all in
+    * one shuffle-free partition pass (flatMap; media shorter than one
+    * block emit nothing, on both engine and oracle).
+    *
+    * Why the driver can hash-compare FLOAT outputs here: the pool
+    * factor is a power of two, so each block mean is `(sum of ≤4
+    * int16s) / 4` — an exact binary double with ≤2 fractional bits —
+    * and every min/max/sum over such values is exact (partial sums are
+    * exact multiples of 0.25 far below 2^53). No rounding ever happens
+    * in either engine, so accumulation order is irrelevant and the
+    * doubles match bit-for-bit. A factor of 3 would break this; 4 is
+    * the honest determinism boundary, documented here on purpose. */
+  val mm_downsample: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        MediaRow(id, "fits16", payload, payload.length / 2, 1, 16)
+      }
+    media.flatMap { row =>
+      val ds = downsample(decode(row), 4)
+      if (ds.isEmpty) None
+      else {
+        var mn = ds(0); var mx = ds(0); var sm = 0.0
+        ds.foreach { v =>
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          sm += v
+        }
+        Some((row.media_id, ds.length.toLong, mn, mx, sm))
+      }
+    }.toDF("media_id", "n_blocks", "blk_min", "blk_max", "blk_sum")
+      .orderBy(col("media_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "mm_features" -> mm_features,
+    "mm_downsample" -> mm_downsample)
 
   /** Exact integer features over the same byte-pair pixels, via 1-based
     * character indexing (valid because the corpus is pure ASCII — the
@@ -174,5 +214,19 @@ object Multimodal {
         |SELECT doc_id AS media_id, COUNT(*) AS n_px,
         |  CAST(MIN(v) AS BIGINT) AS px_min, CAST(MAX(v) AS BIGINT) AS px_max,
         |  CAST(SUM(v) AS BIGINT) AS px_sum
-        |FROM px GROUP BY 1 ORDER BY media_id""".stripMargin)
+        |FROM px GROUP BY 1 ORDER BY media_id""".stripMargin,
+    // block means are exact doubles (sum of ≤4 int16s / 4) so min/max/
+    // sum match the engine bit-for-bit — see mm_downsample's scaladoc
+    "mm_downsample" ->
+      """WITH px AS (
+        |  SELECT doc_id, i, 256 * ord(text[2*i-1]) + ord(text[2*i]) AS v
+        |  FROM documents, UNNEST(range(1, len(text) // 2 + 1)) AS t(i)),
+        |nb AS (SELECT doc_id, COUNT(*) // 4 AS nblk FROM px GROUP BY 1),
+        |blk AS (
+        |  SELECT p.doc_id, (i - 1) // 4 AS b, AVG(CAST(v AS DOUBLE)) AS m
+        |  FROM px p JOIN nb USING (doc_id)
+        |  WHERE (i - 1) // 4 < nblk GROUP BY 1, 2)
+        |SELECT doc_id AS media_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |  MIN(m) AS blk_min, MAX(m) AS blk_max, SUM(m) AS blk_sum
+        |FROM blk GROUP BY 1 ORDER BY media_id""".stripMargin)
 }

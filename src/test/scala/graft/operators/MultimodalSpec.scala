@@ -98,4 +98,20 @@ class MultimodalSpec extends SparkTestBase {
     assert(a == Multimodal.decode(r).toSeq)
     assert(a.nonEmpty && a.forall(v => v >= 0 && v <= 0xffff))
   }
+
+  test("mm_downsample: factor-4 block means are exact, short media drop") {
+    // "ABCDEFGH" → int16 pixels (0x4142, 0x4344, 0x4546, 0x4748) =
+    // (16706, 17220, 17734, 18248); one block, mean = 69908/4 = 17477.0
+    // exactly (a /4 of an int is an exact binary double — the property
+    // the driver-hash determinism of this key rests on).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mmds").toString
+    Seq((1L, "ABCDEFGH"), (2L, "ABCDEF" /* 3 px < 1 block → dropped */))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Multimodal.mm_downsample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq((1L, 1L, 17477.0, 17477.0, 17477.0)), out.toSeq)
+  }
 }
