@@ -261,6 +261,10 @@ final class FitsColumnarReader(part: FitsInputPartition,
   private var bandZero: Array[Double] = null
   private var bandBlank: Array[Long] = null
   private var bandHasBlank: Array[Boolean] = null
+  // per-tile subtractive-dither offsets of the cached band, indexed by
+  // in-tile pixel position (lines read out of stream order, so the
+  // tile's whole offset run is materialized at band load)
+  private var bandRand: Array[Array[Float]] = null
 
   private def nextComp(m: HduMeta.CompImage,
       fieldKinds: Array[Int]): Boolean = {
@@ -317,6 +321,8 @@ final class FitsColumnarReader(part: FitsInputPartition,
       bandZero = new Array[Double](m.nTileCols)
       bandBlank = new Array[Long](m.nTileCols)
       bandHasBlank = new Array[Boolean](m.nTileCols)
+      if (m.quant.get.dither > 0)
+        bandRand = new Array[Array[Float]](m.nTileCols)
     }
     var tc = 0
     var c0 = 0
@@ -341,6 +347,12 @@ final class FitsColumnarReader(part: FitsInputPartition,
         } else {
           bandHasBlank(tc) = q.blank.isDefined
           bandBlank(tc) = q.blank.getOrElse(0L)
+        }
+        if (q.dither > 0) {
+          // 1-based tile sequence number in row-major table order
+          val tileNum = band * m.nTileCols + tc + 1
+          bandRand(tc) = new graft.sources.fits.core.FitsDither
+            .Stream(tileNum, q.ditherSeed).take(tw * bandH)
         }
       }
       c0 += tw
@@ -375,15 +387,20 @@ final class FitsColumnarReader(part: FitsInputPartition,
       if (anyNull) v.putNull(r)
       else if (m.quant.isDefined) {
         // quantized floats: int32 codes, physical = s·code + z per
-        // tile; ZBLANK codes surface as element NULLs
+        // tile (NO_DITHER) or s·(code − rand + 0.5) + z (SUBTRACTIVE_
+        // DITHER_1/2); ZBLANK codes surface as element NULLs and
+        // DITHER_2's ZeroVal restores exact 0.0
         val base = r * width
         val isFloat = elem == ElemType.E
+        val dither = m.quant.get.dither
         var c0 = 0
         tc = 0
         while (tc < bandTiles.length) {
           val tile = bandTiles(tc)
           val tw = math.min(m.tileWidth, width - c0)
           val srcOff = rowInBand * tw * 4
+          val randBase = rowInBand * tw
+          val rnd = if (dither > 0) bandRand(tc) else null
           val s = bandScale(tc)
           val z = bandZero(tc)
           val hasBlank = bandHasBlank(tc)
@@ -393,8 +410,17 @@ final class FitsColumnarReader(part: FitsInputPartition,
             val code = ElemType.i32(tile, srcOff + j * 4)
             val idx = base + c0 + j
             if (hasBlank && code.toLong == blank) child.putNull(idx)
-            else if (isFloat) child.putFloat(idx, (s * code + z).toFloat)
-            else child.putDouble(idx, s * code + z)
+            else if (dither == 2 &&
+                code == graft.sources.fits.core.FitsDither.ZeroVal) {
+              if (isFloat) child.putFloat(idx, 0f)
+              else child.putDouble(idx, 0.0)
+            } else {
+              val v =
+                if (dither > 0) s * (code - rnd(randBase + j) + 0.5) + z
+                else s * code + z
+              if (isFloat) child.putFloat(idx, v.toFloat)
+              else child.putDouble(idx, v)
+            }
             j += 1
           }
           c0 += tw

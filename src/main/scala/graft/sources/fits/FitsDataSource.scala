@@ -118,6 +118,23 @@ final case class FitsResolution(options: Map[String, String]) {
     require(q > 0, s"quantize must be a positive sigma divisor, got $v")
     q
   }
+  /** Write option (with `quantize`): subtractive dithering per the
+    * tiled-image convention — 1 (SUBTRACTIVE_DITHER_1) adds the
+    * convention's Park–Miller random offset per pixel before rounding
+    * (decorrelates quantization noise from the signal), 2
+    * (SUBTRACTIVE_DITHER_2) additionally stores exact-0.0 pixels
+    * losslessly. The seed is `ditherSeed` (ZDITHER0). */
+  val dither: Int = ci.get("dither").map { v =>
+    val d = v.trim.toInt
+    require(d == 1 || d == 2, s"dither must be 1 or 2, got '$v'")
+    d
+  }.getOrElse(0)
+  val ditherSeed: Int = ci.get("ditherseed").map { v =>
+    val sd = v.trim.toInt
+    require(sd >= 1 && sd <= FitsDither.NRandom,
+      s"ditherSeed must be in 1..10000, got '$v'")
+    sd
+  }.getOrElse(1)
   /** Write option (image modes): emit DATASUM + CHECKSUM cards per the
     * FITS checksum convention (one extra sequential pass over the
     * partition's spill). Verify with [[FitsChecksumReport]]. */

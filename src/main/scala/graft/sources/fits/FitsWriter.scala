@@ -171,6 +171,9 @@ object FitsWriteSupport {
     if (res.quantize.isDefined)
       require(res.imageCompress.isDefined,
         "option 'quantize' applies only with option 'compress'")
+    if (res.dither > 0)
+      require(res.quantize.isDefined,
+        "option 'dither' applies only with option 'quantize'")
   }
 
   /** BITPIX for an image element code. */
@@ -224,13 +227,16 @@ final class FitsStreamingWrite(res: FitsResolution, schema: StructType)
     val sum = res.checksumWrite
     val tile = res.compressTile
     val quant = res.quantize
+    val dith = res.dither
+    val dithSeed = res.ditherSeed
     new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] =
         new FitsDataWriter(pathSpec, s, partitionId, taskId, props,
           nameTag = s"e$epochId", imageMode = img,
           imageCompress = cmp.orNull, checksum = sum,
-          compressTile = tile.orNull, quantize = quant.getOrElse(0.0))
+          compressTile = tile.orNull, quantize = quant.getOrElse(0.0),
+          dither = dith, ditherSeed = dithSeed)
     }
   }
 
@@ -264,7 +270,8 @@ final class FitsBatchWrite(res: FitsResolution, schema: StructType,
       .map(e => (e.getKey, e.getValue)).toArray
     new FitsDataWriterFactory(res.pathSpec, schema, props, res.imageWrite,
       res.imageCompress.orNull, res.checksumWrite,
-      res.compressTile.orNull, res.quantize.getOrElse(0.0))
+      res.compressTile.orNull, res.quantize.getOrElse(0.0),
+      res.dither, res.ditherSeed)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -285,19 +292,22 @@ final case class FitsWriteCommitted(file: String, rows: Long)
 final class FitsDataWriterFactory(dirSpec: String, schema: StructType,
     confProps: Array[(String, String)], imageMode: Boolean = false,
     imageCompress: String = null, checksum: Boolean = false,
-    compressTile: (Int, Int) = null, quantize: Double = 0.0)
+    compressTile: (Int, Int) = null, quantize: Double = 0.0,
+    dither: Int = 0, ditherSeed: Int = 1)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new FitsDataWriter(dirSpec, schema, partitionId, taskId, confProps,
       imageMode = imageMode, imageCompress = imageCompress,
-      checksum = checksum, compressTile = compressTile, quantize = quantize)
+      checksum = checksum, compressTile = compressTile, quantize = quantize,
+      dither = dither, ditherSeed = ditherSeed)
 }
 
 final class FitsDataWriter(dirSpec: String, schema: StructType,
     partitionId: Int, taskId: Long, confProps: Array[(String, String)],
     nameTag: String = "", imageMode: Boolean = false,
     imageCompress: String = null, checksum: Boolean = false,
-    compressTile: (Int, Int) = null, quantize: Double = 0.0)
+    compressTile: (Int, Int) = null, quantize: Double = 0.0,
+    dither: Int = 0, ditherSeed: Int = 1)
     extends DataWriter[InternalRow] {
   import FitsWriteSupport._
 
@@ -606,14 +616,21 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
     FitsWriteCommitted(file.toString, nRows)
   }
 
-  /** NO_DITHER quantization of one float/double tile (fpack's scheme
-    * without the dither): step = tileSigma / q, code = round((v −
-    * mean) / step), stored with the per-tile (step, mean) as
-    * ZSCALE/ZZERO. The step widens when any code would overflow int32
+  /** Quantization of one float/double tile (fpack's scheme): step =
+    * tileSigma / q, code = round((v − mean) / step [+ rand − 0.5]),
+    * stored with the per-tile (step, mean) as ZSCALE/ZZERO. With
+    * `dither` 1/2 the bracketed subtractive-dither offset is the
+    * convention's verified Park–Miller sequence ([[core.FitsDither]]),
+    * which decorrelates the quantization noise from the signal;
+    * DITHER_2 additionally stores exact-0.0 pixels as the lossless
+    * ZeroVal sentinel. Every pixel position consumes one random value
+    * — including ZBLANK and ZeroVal pixels — keeping writer and reader
+    * aligned. The step widens when any code would overflow int32
     * (extreme outliers), and non-finite pixels become the ZBLANK code.
-    * Reconstruction error is ≤ step/2 per pixel by construction. */
+    * Reconstruction error stays ≤ step/2 per pixel (the dither shifts
+    * the rounding point and shifts it back on read). */
   private def quantizeTile(raw: Array[Byte],
-      nPix: Int): (Array[Byte], Double, Double) = {
+      nPix: Int, tileNum: Long): (Array[Byte], Double, Double) = {
     import graft.sources.fits.core.ElemType
     val isF = imgElem.code == 'E'
     val vals = new Array[Double](nPix)
@@ -648,13 +665,23 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
       step = maxAbs / (Int.MaxValue - 2).toDouble
     if (step == 0.0 || java.lang.Double.isNaN(step)) step = 1.0
     val out = java.nio.ByteBuffer.allocate(nPix * 4)
+    val rand =
+      if (dither > 0)
+        new graft.sources.fits.core.FitsDither.Stream(tileNum, ditherSeed)
+      else null
     i = 0
     while (i < nPix) {
       val v = vals(i)
+      val r = if (rand != null) rand.nextOffset().toDouble else 0.0
       out.putInt(
         if (!java.lang.Double.isFinite(v)) FitsWriteSupport.QuantBlank
-        else math.max(-(Int.MaxValue - 1).toLong, math.min(
-          (Int.MaxValue - 1).toLong, math.round((v - mean) / step))).toInt)
+        else if (dither == 2 && v == 0.0)
+          graft.sources.fits.core.FitsDither.ZeroVal
+        else {
+          val t = (v - mean) / step + (if (rand != null) r - 0.5 else 0.0)
+          math.max(-(Int.MaxValue - 1).toLong, math.min(
+            (Int.MaxValue - 1).toLong, math.round(t))).toInt
+        })
       i += 1
     }
     (out.array(), step, mean)
@@ -749,7 +776,7 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
             val tile =
               if (!quantized) raw
               else {
-                val (codes, step, mean) = quantizeTile(raw, tw * bandH)
+                val (codes, step, mean) = quantizeTile(raw, tw * bandH, t + 1L)
                 qScale(t) = step
                 qZero(t) = mean
                 codes
@@ -807,9 +834,18 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
           card("TTYPE3", quoted("ZZERO")), card("TFORM3", quoted("D")))
       val quantCards =
         if (!quantized) Nil
-        else Seq(
-          card("ZQUANTIZ", quoted("NO_DITHER")),
-          card("ZBLANK", FitsWriteSupport.QuantBlank.toString))
+        else {
+          val zq = dither match {
+            case 1 => "SUBTRACTIVE_DITHER_1"
+            case 2 => "SUBTRACTIVE_DITHER_2"
+            case _ => "NO_DITHER"
+          }
+          Seq(
+            card("ZQUANTIZ", quoted(zq)),
+            card("ZBLANK", FitsWriteSupport.QuantBlank.toString)) ++
+            (if (dither > 0) Seq(card("ZDITHER0", ditherSeed.toString))
+             else Nil)
+        }
       val btCards = Seq(
         card("XTENSION", quoted("BINTABLE")), card("BITPIX", "8"),
         card("NAXIS", "2"), card("NAXIS1", rowWidth.toString),

@@ -92,13 +92,17 @@ object HduMeta {
     * columns GZIP_COMPRESSED_DATA / UNCOMPRESSED_DATA (−1 if absent —
     * a zero-length COMPRESSED_DATA descriptor means the tile's payload
     * lives in a fallback column instead). */
-  /** Quantized-float reconstruction parameters (NO_DITHER only —
-    * dithered variants need the cfitsio RNG and degrade): stored tile
-    * codes are int32; physical = scale·code + zero, per-tile when the
-    * ZSCALE/ZZERO table columns exist (offsets ≥ 0), else the header
-    * keywords. A code equal to `blank` (ZBLANK) reads as SQL NULL. */
+  /** Quantized-float reconstruction parameters: stored tile codes are
+    * int32; physical = scale·code + zero (NO_DITHER) or
+    * scale·(code − rand + 0.5) + zero (SUBTRACTIVE_DITHER_1/2, with
+    * the convention's verified Park–Miller sequence — [[FitsDither]]);
+    * per-tile scale/zero when the ZSCALE/ZZERO table columns exist
+    * (offsets ≥ 0), else the header keywords. A code equal to `blank`
+    * (ZBLANK) reads as SQL NULL; under DITHER_2 the ZeroVal sentinel
+    * restores exact 0.0. `dither` is 0/1/2; `ditherSeed` is ZDITHER0. */
   final case class Quant(scaleOff: Int, zeroOff: Int,
-      scale: Double, zero: Double, blankOff: Int, blank: Option[Long])
+      scale: Double, zero: Double, blankOff: Int, blank: Option[Long],
+      dither: Int = 0, ditherSeed: Int = 0)
 
   final case class CompImage(
       elem: ElemType, axes: Vector[Long],
@@ -391,11 +395,13 @@ object FitsStructure {
         (tw.toInt, th.toInt)
       } else return fallback("non-row ZTILE layout on a non-2D image")
     // Quantized (lossy) float tiles: stored int32 codes reconstruct as
-    // physical = ZSCALE·code + ZZERO (FITS 4.0 §10.2) — supported for
-    // ZQUANTIZ = NO_DITHER (or absent), where the map is exactly that.
-    // The SUBTRACTIVE_DITHER modes subtract a generator-seeded random
-    // offset per pixel; without cfitsio's exact RNG sequence any
-    // "support" would decode wrong values, so those degrade honestly.
+    // physical = ZSCALE·code + ZZERO (FITS 4.0 §10.2) for NO_DITHER
+    // (or absent), and ZSCALE·(code − rand + 0.5) + ZZERO for the
+    // SUBTRACTIVE_DITHER modes, whose random sequence is the
+    // convention's published Park–Miller generator — verified against
+    // its golden constant at load ([[FitsDither]]). A dithered file
+    // WITHOUT ZDITHER0 is undecodable by anyone (the seed is the
+    // decode key) and degrades honestly to the raw bintable.
     def fixedCol(name: String, elems: Set[ElemType]): Int =
       bt.columns.collectFirst {
         case BintableColumn(`name`, TForm.Scalar(_, e), off)
@@ -405,10 +411,22 @@ object FitsStructure {
     val zzeroCol = fixedCol("ZZERO", Set(ElemType.D))
     val quantized = h.values.contains("ZSCALE") ||
       h.values.contains("ZZERO") || zscaleCol >= 0 || zzeroCol >= 0
+    var ditherMethod = 0
+    var ditherSeed = 0
     if (quantized) {
       val zq = h.values.get("ZQUANTIZ").map(_.trim.toUpperCase)
-      if (!zq.forall(_ == "NO_DITHER"))
-        return fallback(s"quantization '${zq.get}' needs the cfitsio RNG")
+      ditherMethod = zq match {
+        case None | Some("NO_DITHER") => 0
+        case Some("SUBTRACTIVE_DITHER_1") => 1
+        case Some("SUBTRACTIVE_DITHER_2") => 2
+        case Some(other) => return fallback(s"unsupported ZQUANTIZ '$other'")
+      }
+      if (ditherMethod > 0) {
+        ditherSeed = h.intOr("ZDITHER0", 0)
+        if (ditherSeed < 1 || ditherSeed > FitsDither.NRandom)
+          return fallback(
+            s"ZQUANTIZ '${zq.get}' without a valid ZDITHER0 seed")
+      }
       if (zbitpix != -32 && zbitpix != -64)
         return fallback(s"quantized tiles with ZBITPIX $zbitpix")
       // if the table DECLARES per-tile params, both must be captured as
@@ -479,7 +497,8 @@ object FitsStructure {
         h.doubleOr("ZSCALE", 1.0), h.doubleOr("ZZERO", 0.0),
         fixedCol("ZBLANK", Set(ElemType.J)),
         h.values.get("ZBLANK")
-          .flatMap(v => scala.util.Try(v.trim.toLong).toOption)))
+          .flatMap(v => scala.util.Try(v.trim.toLong).toOption),
+        dither = ditherMethod, ditherSeed = ditherSeed))
     HduMeta.CompImage(elem, axes, cmp, bytepix, blocksize,
       bt.rowBytes, bt.nRows, cd,
       varCol("GZIP_COMPRESSED_DATA"), varCol("UNCOMPRESSED_DATA"),

@@ -693,7 +693,116 @@ class FitsCompressedSpec extends SparkTestBase {
     assert(e1.getMessage.contains("quantize"), e1.getMessage)
   }
 
-  test("dithered quantization still degrades to the raw bintable") {
+  test("dither RNG matches the convention's published sequence") {
+    import graft.sources.fits.core.FitsDither
+    // the golden final-seed (1043618065) require already ran at class
+    // load — touching randValue here would have thrown otherwise; pin
+    // the head of the sequence too (seed=1 Park-Miller: 16807/(2^31-1))
+    assert(FitsDither.randValue.length == 10000)
+    assert(math.abs(FitsDither.randValue(0) - 7.8263693e-6f) < 1e-11)
+    assert(math.abs(FitsDither.randValue(1) - 0.13153778f) < 1e-7)
+    // stream start rule: tile 1, seed 1 → iseed 0, first offset is
+    // randValue[(int)(randValue[0]*500)]
+    val s = new FitsDither.Stream(1, 1)
+    val first = (FitsDither.randValue(0) * 500f).toInt
+    assert(s.nextOffset() == FitsDither.randValue(first))
+    // different tiles start at different points of the sequence
+    val a = new FitsDither.Stream(1, 1).take(8).toSeq
+    val b = new FitsDither.Stream(2, 1).take(8).toSeq
+    assert(a != b)
+    // seed participates the same way tile number does (N+ZDITHER0-2)
+    assert(new FitsDither.Stream(3, 5).take(8).toSeq ==
+      new FitsDither.Stream(5, 3).take(8).toSeq)
+  }
+
+  private def ditherRoundTrip(dir: String, dither: Int, seed: Int,
+      tile2d: Option[String], plantZeros: Boolean): Unit = {
+    import spark.implicits._
+    val width = 32
+    val q = 64.0
+    val rnd = new scala.util.Random(7)
+    val src = (0 until 40).map { r =>
+      (r.toLong, (0 until width).map { c =>
+        if (r == 3 && c == 7) Float.NaN
+        else if (plantZeros && (r + c) % 5 == 0) 0f
+        else (math.sin(r * 0.2 + c * 0.1) * 100 + rnd.nextGaussian()).toFloat
+      }.toArray)
+    }
+    val w = src.toDF("ImgIndex", "Image").coalesce(1).write.format("fits")
+      .option("image", true).option("compress", "RICE_1")
+      .option("quantize", q).option("dither", dither)
+      .option("ditherSeed", seed)
+    tile2d.fold(w)(t => w.option("compressTile", t)).mode("append").save(dir)
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".fits")).head
+    val hdr = new String(java.util.Arrays.copyOfRange(
+      Files.readAllBytes(part.toPath), 2880, 2880 * 2), "US-ASCII")
+    assert(hdr.contains(s"SUBTRACTIVE_DITHER_$dither"), hdr)
+    assert(hdr.contains("ZDITHER0") && hdr.contains(s" $seed"), hdr)
+    val back = spark.read.format("fits").option("hdu", 1).load(dir)
+      .orderBy("ImgIndex").collect()
+    assert(back.length == 40)
+    // reread: dithered decode must be deterministic
+    val back2 = spark.read.format("fits").option("hdu", 1).load(dir)
+      .orderBy("ImgIndex").collect()
+    for (r <- 0 until 40) {
+      val line = back(r).getSeq[Any](0)
+      assert(line == back2(r).getSeq[Any](0), s"nondeterministic line $r")
+      val orig = src(r)._2
+      // whole-line tiles: bound from the line's own sigma; 2D tiles mix
+      // rows, so fall back to a generous absolute bound (the signal's
+      // sigma is ~70, step ≈ 1.1, so 2.0 still catches a wrong or
+      // misaligned dither offset, which shifts values by O(step))
+      val bound = tile2d match {
+        case None =>
+          val finite = orig.filter(v => !v.isNaN)
+          val mean = finite.sum / finite.length
+          val sigma = math.sqrt(
+            finite.map(v => (v - mean) * (v - mean)).sum / finite.length)
+          (if (sigma > 0) sigma / q else 1.0) / 2 + 1e-5
+        case Some(_) => 2.0
+      }
+      for (c <- 0 until width) {
+        val cell = line(c)
+        if (orig(c).isNaN) assert(cell == null, s"NaN at $r/$c must be NULL")
+        else if (dither == 2 && orig(c) == 0f)
+          assert(cell.asInstanceOf[Float] == 0f,
+            s"DITHER_2 zero at $r/$c read back ${cell}")
+        else {
+          val err = math.abs(cell.asInstanceOf[Float] - orig(c))
+          assert(err <= bound, s"line $r col $c: err $err > $bound")
+        }
+      }
+    }
+  }
+
+  test("SUBTRACTIVE_DITHER_1 round-trips within step/2, row and 2D tiles") {
+    ditherRoundTrip(Files.createTempDirectory("fits-d1").toString + "/d1",
+      dither = 1, seed = 42, tile2d = None, plantZeros = false)
+    // 2D tiling exercises the row-major tile numbering on both sides:
+    // a writer/reader disagreement on tile order shifts every tile's
+    // dither stream and blows the error bound
+    ditherRoundTrip(Files.createTempDirectory("fits-d1t").toString + "/d1t",
+      dither = 1, seed = 9999, tile2d = Some("8x4"), plantZeros = false)
+  }
+
+  test("SUBTRACTIVE_DITHER_2 stores exact zeros losslessly") {
+    ditherRoundTrip(Files.createTempDirectory("fits-d2").toString + "/d2",
+      dither = 2, seed = 1, tile2d = None, plantZeros = true)
+    // contract: dither without quantize fails loudly
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Seq((0L, Array(1f, 2f))).toDF("ImgIndex", "Image").write.format("fits")
+        .option("image", true).option("compress", "RICE_1")
+        .option("dither", 1).mode("append").save(
+          Files.createTempDirectory("fits-dbad").toString + "/bad")
+    }
+    assert(e.getMessage.contains("dither"), e.getMessage)
+  }
+
+  test("dithered file WITHOUT a ZDITHER0 seed degrades to the raw bintable") {
+    // the seed is the decode key: absent ZDITHER0, nobody (cfitsio
+    // included) can reconstruct the offsets, so decoding must not guess
     val tile = {
       val bb = ByteBuffer.allocate(16); (0 until 4).foreach(bb.putInt)
       TileCodec.compress("RICE_1", bb.array(), 4, 32)
