@@ -135,6 +135,16 @@ final case class FitsResolution(options: Map[String, String]) {
       s"ditherSeed must be in 1..10000, got '$v'")
     sd
   }.getOrElse(1)
+  /** Write option (with `compress = HCOMPRESS_1`): the H-transform
+    * digitization scale. 0 (default) or 1 is lossless; larger values
+    * divide transform coefficients by `hcompScale` before coding —
+    * lossy, reconstruction error bounded by a small multiple of the
+    * scale. Stored per-tile in the stream (and as ZVAL SCALE). */
+  val hcompScale: Int = ci.get("hcompscale").map { v =>
+    val s = v.trim.toInt
+    require(s >= 0, s"hcompScale must be >= 0, got '$v'")
+    s
+  }.getOrElse(0)
   /** Write option (image modes): emit DATASUM + CHECKSUM cards per the
     * FITS checksum convention (one extra sequential pass over the
     * partition's spill). Verify with [[FitsChecksumReport]]. */

@@ -174,6 +174,9 @@ object FitsWriteSupport {
     if (res.dither > 0)
       require(res.quantize.isDefined,
         "option 'dither' applies only with option 'quantize'")
+    if (res.hcompScale > 0)
+      require(res.imageCompress.contains("HCOMPRESS_1"),
+        "option 'hcompScale' applies only with compress = HCOMPRESS_1")
   }
 
   /** BITPIX for an image element code. */
@@ -229,6 +232,7 @@ final class FitsStreamingWrite(res: FitsResolution, schema: StructType)
     val quant = res.quantize
     val dith = res.dither
     val dithSeed = res.ditherSeed
+    val hsc = res.hcompScale
     new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] =
@@ -236,7 +240,7 @@ final class FitsStreamingWrite(res: FitsResolution, schema: StructType)
           nameTag = s"e$epochId", imageMode = img,
           imageCompress = cmp.orNull, checksum = sum,
           compressTile = tile.orNull, quantize = quant.getOrElse(0.0),
-          dither = dith, ditherSeed = dithSeed)
+          dither = dith, ditherSeed = dithSeed, hcompScale = hsc)
     }
   }
 
@@ -271,7 +275,7 @@ final class FitsBatchWrite(res: FitsResolution, schema: StructType,
     new FitsDataWriterFactory(res.pathSpec, schema, props, res.imageWrite,
       res.imageCompress.orNull, res.checksumWrite,
       res.compressTile.orNull, res.quantize.getOrElse(0.0),
-      res.dither, res.ditherSeed)
+      res.dither, res.ditherSeed, res.hcompScale)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -293,13 +297,13 @@ final class FitsDataWriterFactory(dirSpec: String, schema: StructType,
     confProps: Array[(String, String)], imageMode: Boolean = false,
     imageCompress: String = null, checksum: Boolean = false,
     compressTile: (Int, Int) = null, quantize: Double = 0.0,
-    dither: Int = 0, ditherSeed: Int = 1)
+    dither: Int = 0, ditherSeed: Int = 1, hcompScale: Int = 0)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new FitsDataWriter(dirSpec, schema, partitionId, taskId, confProps,
       imageMode = imageMode, imageCompress = imageCompress,
       checksum = checksum, compressTile = compressTile, quantize = quantize,
-      dither = dither, ditherSeed = ditherSeed)
+      dither = dither, ditherSeed = ditherSeed, hcompScale = hcompScale)
 }
 
 final class FitsDataWriter(dirSpec: String, schema: StructType,
@@ -307,7 +311,7 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
     nameTag: String = "", imageMode: Boolean = false,
     imageCompress: String = null, checksum: Boolean = false,
     compressTile: (Int, Int) = null, quantize: Double = 0.0,
-    dither: Int = 0, ditherSeed: Int = 1)
+    dither: Int = 0, ditherSeed: Int = 1, hcompScale: Int = 0)
     extends DataWriter[InternalRow] {
   import FitsWriteSupport._
 
@@ -339,11 +343,12 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
   private var imgLine = -1
   // tile compression (ZIMAGE write): codec resolved here so a bad
   // codec/type combination fails at writer construction, not mid-commit
-  if (imageMode && imageCompress == "RICE_1" && imgElem != null &&
+  if (imageMode && (imageCompress == "RICE_1" ||
+    imageCompress == "HCOMPRESS_1") && imgElem != null &&
     "BIJ".indexOf(imgElem.code) < 0 && quantize <= 0)
     throw new IllegalArgumentException(
-      s"RICE_1 compresses integer pixels only (byte/short/int lines); " +
-        s"element code '${imgElem.code}' — use GZIP_1/GZIP_2, or " +
+      s"$imageCompress compresses integer pixels only (byte/short/int " +
+        s"lines); element code '${imgElem.code}' — use GZIP_1/GZIP_2, or " +
         "option(\"quantize\", q) for lossy float compression")
   if (imageMode && quantize > 0 && imgElem != null &&
     "ED".indexOf(imgElem.code) < 0)
@@ -737,7 +742,12 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
     require(nRows <= Int.MaxValue, s"too many lines in one partition: $nRows")
     val tileW = if (compressTile == null) line
       else math.min(math.max(1, compressTile._1), math.max(1, line))
-    val tileH = if (compressTile == null) 1 else math.max(1, compressTile._2)
+    // HCOMPRESS is a 2-D transform: 1-line tiles would degenerate to a
+    // 1-D Haar chain, so default to fpack's whole-line × 16-row tiles
+    val tileH =
+      if (compressTile != null) math.max(1, compressTile._2)
+      else if (imageCompress == "HCOMPRESS_1") 16
+      else 1
     val nTileCols = if (line == 0) 1 else (line + tileW - 1) / tileW
     val bands = ((nRows + tileH - 1) / tileH).toInt
     val nTiles = bands * nTileCols
@@ -781,7 +791,8 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
                 qZero(t) = mean
                 codes
               }
-            val comp = TileCodec.compress(imageCompress, tile, bytepix, 32)
+            val comp = TileCodec.compress2D(imageCompress, tile, bytepix,
+              32, tw, bandH, hcompScale)
             heapOut.write(comp)
             lens(t) = comp.length
             heapSize += comp.length
@@ -863,7 +874,11 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
         quantCards ++ imageBlankCards ++ Seq(
         card("ZNAME1", quoted("BLOCKSIZE")), card("ZVAL1", "32"),
         card("ZNAME2", quoted("BYTEPIX")),
-        card("ZVAL2", bytepix.toString))
+        card("ZVAL2", bytepix.toString)) ++
+        (if (imageCompress == "HCOMPRESS_1") Seq(
+          card("ZNAME3", quoted("SCALE")), card("ZVAL3", hcompScale.toString),
+          card("ZNAME4", quoted("SMOOTH")), card("ZVAL4", "0"))
+         else Nil)
       out.write(
         if (checksum) headerWithChecksum(btCards, dataSum)
         else headerBlock(btCards :+ pad("END", 80)))

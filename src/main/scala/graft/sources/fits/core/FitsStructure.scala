@@ -447,6 +447,8 @@ object FitsStructure {
     }
     if (cmp == "RICE_1" && !quantized && !Set(8, 16, 32)(zbitpix))
       return fallback(s"RICE_1 with ZBITPIX $zbitpix")
+    if (cmp == "HCOMPRESS_1" && !quantized && !Set(8, 16, 32)(zbitpix))
+      return fallback(s"HCOMPRESS_1 with ZBITPIX $zbitpix")
     // ZNAMEn/ZVALn compression parameter pairs
     val zvals = Iterator.from(1)
       .map(i => (h.values.get(s"ZNAME$i"), h.values.get(s"ZVAL$i")))
@@ -455,6 +457,13 @@ object FitsStructure {
     def intParam(k: String, dflt: Int): Int =
       zvals.get(k).flatMap(v =>
         scala.util.Try(v.toDouble.toInt).toOption).getOrElse(dflt)
+    // HCOMPRESS smoothed reconstruction is out of envelope: decoding a
+    // SMOOTH file without the interpolation step would yield different
+    // pixels than its writer intended — degrade instead of differ.
+    // (The SCALE parameter needs no check here: each tile's stream
+    // carries its own scale and the decoder honors it.)
+    if (cmp == "HCOMPRESS_1" && intParam("SMOOTH", 0) != 0)
+      return fallback("HCOMPRESS_1 with SMOOTH != 0")
     // quantized tiles store int32 CODES whatever the original float
     // width; plain tiles store the element itself
     val storedWidth = if (quantized) 4 else raw.width

@@ -1,0 +1,713 @@
+package graft.sources.fits.core
+
+/** HCOMPRESS_1 tile codec — the H-transform image compression scheme
+  * registered in the FITS Tiled Image Compression convention (Pence,
+  * Seaman & White 2013 §5; algorithm published in White 1992, "High
+  * Performance Compression of Astronomical Images").
+  *
+  * Pipeline: a reversible integer 2-D H-transform (Haar-like; the
+  * per-level rounding keeps low-order bits recoverable from the
+  * diagonal coefficient's parity, so `scale ≤ 1` is bit-exact
+  * lossless), optional linear digitization by `scale`, then bitplane
+  * coding — each bitplane of the |coefficient| field becomes a quadtree
+  * whose 4-bit nodes are entropy-coded with the convention's fixed
+  * Huffman table, with a raw-bitmap escape when quadtree coding would
+  * expand. Coefficient signs follow the bitstream, one bit per nonzero
+  * coefficient.
+  *
+  * Stream layout (integers big-endian): magic `0xDD 0x99`; nx, ny,
+  * scale as 4-byte ints; the DC coefficient as an 8-byte long; one byte
+  * of bitplane count per quadrant class (low/mixed/high); the quadtree
+  * bitstream for the four coefficient quadrants, a zero EOF nybble, a
+  * byte-boundary pad; then the packed sign bits.
+  *
+  * The reference does not read tile-compressed HDUs at all (its reader
+  * targets plain IMAGE/BINTABLE HDUs only —
+  * reference/src/main/scala/com/astrolabsoftware/sparkfits/FitsLib.scala:1);
+  * this codec is beyond-reference surface alongside RICE_1/GZIP_1/2.
+  * Interop caveat, stated honestly: lossless round-trips, the lossy
+  * error bound, and the escape paths are spec-gated in HCompressSpec,
+  * but this container ships no cfitsio/fpack binary, so decoding of
+  * FOREIGN streams rests on the published format description alone.
+  * Smoothed reconstruction (`ZVALn SMOOTH != 0`) is out of envelope —
+  * [[FitsStructure]] degrades such files to the raw bintable rather
+  * than decode them to different pixel values than their writer would.
+  */
+object HCompress {
+
+  final case class Decoded(pixels: Array[Int], nx: Int, ny: Int, scale: Int)
+
+  /** The convention's fixed Huffman code for quadtree nybbles: single-
+    * bit nybbles (1,2,4,8) get 3-bit codes, the all-ones and empty
+    * nybbles the longest. `Code(v)` read MSB-first re-derives `v` via
+    * [[inputHuffman]] — the two tables are mutually consistent by the
+    * prefix-tree construction. */
+  private val Code = Array(
+    0x3e, 0x00, 0x01, 0x08, 0x02, 0x09, 0x1a, 0x1b,
+    0x03, 0x1c, 0x0a, 0x1d, 0x0b, 0x1e, 0x3f, 0x0c)
+  private val NCode = Array(6, 3, 3, 4, 3, 4, 5, 5, 3, 5, 4, 5, 4, 5, 6, 4)
+
+  private def bitsOf(v: Int): Int = 32 - Integer.numberOfLeadingZeros(v)
+  private def log2Ceil(n: Int): Int = if (n <= 1) 0 else bitsOf(n - 1)
+
+  // ---------------------------------------------------------------- encode
+
+  /** Compress an nx(rows) × ny(cols) row-major image. `scale ≤ 1` is
+    * lossless; `scale > 1` divides transform coefficients by `scale`
+    * (max reconstruction error ~ scale/2 per coefficient). */
+  def encode(pix: Array[Int], nx: Int, ny: Int, scale: Int): Array[Byte] = {
+    require(nx > 0 && ny > 0 && pix.length == nx * ny,
+      s"HCOMPRESS encode: ${pix.length} pixels for $nx x $ny")
+    val a = pix.clone()
+    htrans(a, nx, ny)
+    val s = math.max(scale, 0)
+    if (s > 1) digitize(a, s)
+    val nel = nx * ny
+    val out = new java.io.ByteArrayOutputStream(nel / 2 + 64)
+    out.write(0xDD); out.write(0x99)
+    writeInt(out, nx); writeInt(out, ny); writeInt(out, s)
+    writeLong(out, a(0).toLong)
+    a(0) = 0
+    // sign bits (one per nonzero coefficient, MSB-first), |coefficients|
+    val sign = new Array[Byte]((nel + 7) / 8)
+    var nsBits = 0
+    var i = 0
+    while (i < nel) {
+      val v = a(i)
+      if (v != 0) {
+        if (v < 0) {
+          sign(nsBits >> 3) = (sign(nsBits >> 3) | (0x80 >>> (nsBits & 7))).toByte
+          a(i) = -v
+        }
+        nsBits += 1
+      }
+      i += 1
+    }
+    // bitplane count per quadrant class: 0 = low-order (top-left),
+    // 1 = the two mixed quadrants, 2 = diagonal
+    val nx2 = (nx + 1) / 2
+    val ny2 = (ny + 1) / 2
+    val vmax = new Array[Int](3)
+    i = 0
+    var r = 0
+    var c = 0
+    while (i < nel) {
+      val q = (if (c >= ny2) 1 else 0) + (if (r >= nx2) 1 else 0)
+      if (a(i) > vmax(q)) vmax(q) = a(i)
+      i += 1
+      c += 1
+      if (c >= ny) { c = 0; r += 1 }
+    }
+    out.write(bitsOf(vmax(0))); out.write(bitsOf(vmax(1)))
+    out.write(bitsOf(vmax(2)))
+    val w = new BitWriter(out)
+    qtreeEncode(w, a, 0, ny, nx2, ny2, bitsOf(vmax(0)))
+    qtreeEncode(w, a, ny2, ny, nx2, ny / 2, bitsOf(vmax(1)))
+    qtreeEncode(w, a, ny * nx2, ny, nx / 2, ny2, bitsOf(vmax(1)))
+    qtreeEncode(w, a, ny * nx2 + ny2, ny, nx / 2, ny / 2, bitsOf(vmax(2)))
+    w.writeNybble(0) // EOF sentinel
+    w.flush()
+    out.write(sign, 0, (nsBits + 7) / 8)
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------- decode
+
+  def decode(comp: Array[Byte]): Decoded = {
+    require(comp.length >= 25, s"HCOMPRESS stream of ${comp.length} bytes")
+    require((comp(0) & 0xFF) == 0xDD && (comp(1) & 0xFF) == 0x99,
+      "not an HCOMPRESS_1 stream (bad magic)")
+    val nx = readInt(comp, 2)
+    val ny = readInt(comp, 6)
+    val scale = readInt(comp, 10)
+    val sum = readLong(comp, 14)
+    require(nx > 0 && ny > 0 && nx.toLong * ny <= (Int.MaxValue >> 3),
+      s"HCOMPRESS tile dims $nx x $ny out of range")
+    require(sum >= Int.MinValue && sum <= Int.MaxValue,
+      s"HCOMPRESS DC coefficient $sum overflows int")
+    val nb0 = comp(22) & 0xFF
+    val nb1 = comp(23) & 0xFF
+    val nb2 = comp(24) & 0xFF
+    require(nb0 <= 32 && nb1 <= 32 && nb2 <= 32,
+      s"HCOMPRESS bitplane counts $nb0/$nb1/$nb2")
+    val nel = nx * ny
+    val a = new Array[Int](nel)
+    val rd = new BitReader(comp, 25)
+    val nx2 = (nx + 1) / 2
+    val ny2 = (ny + 1) / 2
+    qtreeDecode(rd, a, 0, ny, nx2, ny2, nb0)
+    qtreeDecode(rd, a, ny2, ny, nx2, ny / 2, nb1)
+    qtreeDecode(rd, a, ny * nx2, ny, nx / 2, ny2, nb1)
+    qtreeDecode(rd, a, ny * nx2 + ny2, ny, nx / 2, ny / 2, nb2)
+    require(rd.readNybble() == 0, "HCOMPRESS: missing EOF nybble")
+    rd.alignByte()
+    var i = 0
+    while (i < nel) {
+      if (a(i) != 0 && rd.readBit() == 1) a(i) = -a(i)
+      i += 1
+    }
+    a(0) = sum.toInt
+    if (scale > 1) {
+      var j = 0
+      while (j < nel) { a(j) *= scale; j += 1 }
+    }
+    hinv(a, nx, ny)
+    Decoded(a, nx, ny, scale)
+  }
+
+  // ------------------------------------------------------------ H-transform
+
+  /** Forward H-transform, in place. Per level: 2×2 blocks become the
+    * (sum, row-diff, col-diff, diagonal) coefficients with low bits
+    * rounded away (recoverable from the diagonal's parity — see
+    * [[hinv]]), then a shuffle groups same-order coefficients so the
+    * next level transforms the sums. Odd edges transform as pairs or
+    * pass through, scaled to match. */
+  private def htrans(a: Array[Int], nx: Int, ny: Int): Unit = {
+    val log2n = log2Ceil(math.max(nx, ny))
+    val tmp = new Array[Int]((math.max(nx, ny) + 1) / 2)
+    var shift = 0
+    var mask = -2
+    var mask2 = -4
+    var prnd = 1
+    var prnd2 = 2
+    var nrnd2 = 1
+    var nxtop = nx
+    var nytop = ny
+    var k = 0
+    while (k < log2n) {
+      val oddx = nxtop & 1
+      val oddy = nytop & 1
+      var i = 0
+      while (i < nxtop - oddx) {
+        var s00 = i * ny
+        var s10 = s00 + ny
+        var j = 0
+        while (j < nytop - oddy) {
+          val a00 = a(s00); val a01 = a(s00 + 1)
+          val a10 = a(s10); val a11 = a(s10 + 1)
+          val h0 = (a11 + a10 + a01 + a00) >> shift
+          val hx = (a11 + a10 - a01 - a00) >> shift
+          val hy = (a11 - a10 + a01 - a00) >> shift
+          val hc = (a11 - a10 - a01 + a00) >> shift
+          a(s10 + 1) = hc
+          a(s10) = (if (hx >= 0) hx + prnd else hx) & mask
+          a(s00 + 1) = (if (hy >= 0) hy + prnd else hy) & mask
+          a(s00) = (if (h0 >= 0) h0 + prnd2 else h0 + nrnd2) & mask2
+          s00 += 2; s10 += 2; j += 2
+        }
+        if (oddy == 1) {
+          val h0 = (a(s10) + a(s00)) << (1 - shift)
+          val hx = (a(s10) - a(s00)) << (1 - shift)
+          a(s10) = (if (hx >= 0) hx + prnd else hx) & mask
+          a(s00) = (if (h0 >= 0) h0 + prnd2 else h0 + nrnd2) & mask2
+        }
+        i += 2
+      }
+      if (oddx == 1) {
+        var s00 = (nxtop - 1) * ny
+        var j = 0
+        while (j < nytop - oddy) {
+          val h0 = (a(s00 + 1) + a(s00)) << (1 - shift)
+          val hy = (a(s00 + 1) - a(s00)) << (1 - shift)
+          a(s00 + 1) = (if (hy >= 0) hy + prnd else hy) & mask
+          a(s00) = (if (h0 >= 0) h0 + prnd2 else h0 + nrnd2) & mask2
+          s00 += 2; j += 2
+        }
+        if (oddy == 1) {
+          val s00 = (nxtop - 1) * ny + (nytop - 1)
+          val h0 = a(s00) << (2 - shift)
+          a(s00) = (if (h0 >= 0) h0 + prnd2 else h0 + nrnd2) & mask2
+        }
+      }
+      var rr = 0
+      while (rr < nxtop) { shuffle(a, rr * ny, nytop, 1, tmp); rr += 1 }
+      var cc = 0
+      while (cc < nytop) { shuffle(a, cc, nxtop, ny, tmp); cc += 1 }
+      nxtop = (nxtop + 1) >> 1
+      nytop = (nytop + 1) >> 1
+      shift = 1
+      mask = mask2
+      prnd = prnd2
+      mask2 <<= 1
+      prnd2 <<= 1
+      nrnd2 = prnd2 - 1
+      k += 1
+    }
+  }
+
+  /** Inverse H-transform, in place. Coarsest level first: unshuffle to
+    * re-interleave, recover the rounded-away low bits of h0/hx/hy from
+    * the diagonal coefficient's parity (all four coefficients of a
+    * block share parity, and their sum is ≡ 0 mod 4), then invert the
+    * block sums. The final level divides by 4 (the forward's level 0
+    * kept full sums). */
+  private def hinv(a: Array[Int], nx: Int, ny: Int): Unit = {
+    val log2n = log2Ceil(math.max(nx, ny))
+    if (log2n == 0) return
+    val tmp = new Array[Int]((math.max(nx, ny) + 1) / 2)
+    var shift = 1
+    var bit0 = 1 << (log2n - 1)
+    var bit1 = bit0 << 1
+    var mask0 = -bit0
+    var mask1 = mask0 << 1
+    var prnd0 = bit0 >> 1
+    var prnd1 = bit0 // = bit1 >> 1, which prnd0 << 1 gets wrong at bit0 = 1
+    var nrnd0 = prnd0 - 1
+    var nrnd1 = prnd1 - 1
+    var nxtop = 1
+    var nytop = 1
+    var nxf = nx
+    var nyf = ny
+    var c = 1 << log2n
+    var k = log2n - 1
+    while (k >= 0) {
+      c >>= 1
+      nxtop <<= 1
+      nytop <<= 1
+      if (nxf <= c) nxtop -= 1 else nxf -= c
+      if (nyf <= c) nytop -= 1 else nyf -= c
+      if (k == 0) { nrnd0 = 0; shift = 2 }
+      var rr = 0
+      while (rr < nxtop) { unshuffle(a, rr * ny, nytop, 1, tmp); rr += 1 }
+      var cc = 0
+      while (cc < nytop) { unshuffle(a, cc, nxtop, ny, tmp); cc += 1 }
+      val oddx = nxtop & 1
+      val oddy = nytop & 1
+      var i = 0
+      while (i < nxtop - oddx) {
+        var s00 = ny * i
+        var s10 = s00 + ny
+        var j = 0
+        while (j < nytop - oddy) {
+          var h0 = a(s00)
+          var hx = a(s10)
+          var hy = a(s00 + 1)
+          var hc = a(s10 + 1)
+          hx = (if (hx >= 0) hx + prnd1 else hx + nrnd1) & mask1
+          hy = (if (hy >= 0) hy + prnd1 else hy + nrnd1) & mask1
+          hc = (if (hc >= 0) hc + prnd0 else hc + nrnd0) & mask0
+          val lowbit0 = hc & bit0
+          hx = if (hx >= 0) hx - lowbit0 else hx + lowbit0
+          hy = if (hy >= 0) hy - lowbit0 else hy + lowbit0
+          val lowbit1 = (hc ^ hx ^ hy) & bit1
+          h0 =
+            if (h0 >= 0) h0 + lowbit0 - lowbit1
+            else h0 + (if (lowbit0 == 0) lowbit1 else lowbit0 - lowbit1)
+          a(s10 + 1) = (h0 + hx + hy + hc) >> shift
+          a(s10) = (h0 + hx - hy - hc) >> shift
+          a(s00 + 1) = (h0 - hx + hy - hc) >> shift
+          a(s00) = (h0 - hx - hy + hc) >> shift
+          s00 += 2; s10 += 2; j += 2
+        }
+        if (oddy == 1) {
+          var h0 = a(s00)
+          var hx = a(s10)
+          hx = (if (hx >= 0) hx + prnd1 else hx + nrnd1) & mask1
+          val lowbit1 = hx & bit1
+          h0 = if (h0 >= 0) h0 - lowbit1 else h0 + lowbit1
+          a(s10) = (h0 + hx) >> shift
+          a(s00) = (h0 - hx) >> shift
+        }
+        i += 2
+      }
+      if (oddx == 1) {
+        var s00 = ny * (nxtop - 1)
+        var j = 0
+        while (j < nytop - oddy) {
+          var h0 = a(s00)
+          var hy = a(s00 + 1)
+          hy = (if (hy >= 0) hy + prnd1 else hy + nrnd1) & mask1
+          val lowbit1 = hy & bit1
+          h0 = if (h0 >= 0) h0 - lowbit1 else h0 + lowbit1
+          a(s00 + 1) = (h0 + hy) >> shift
+          a(s00) = (h0 - hy) >> shift
+          s00 += 2; j += 2
+        }
+        if (oddy == 1) {
+          val s00 = ny * (nxtop - 1) + (nytop - 1)
+          a(s00) = a(s00) >> shift
+        }
+      }
+      bit1 = bit0
+      bit0 >>= 1
+      mask1 = mask0
+      mask0 >>= 1
+      prnd1 = prnd0
+      prnd0 >>= 1
+      nrnd1 = nrnd0
+      nrnd0 = prnd0 - 1
+      k -= 1
+    }
+  }
+
+  /** Group even-index elements (next level's sums) into the first half,
+    * odd-index (this level's differences) into the second. */
+  private def shuffle(a: Array[Int], off: Int, n: Int, stride: Int,
+      tmp: Array[Int]): Unit = {
+    var nt = 0
+    var i = 1
+    while (i < n) { tmp(nt) = a(off + i * stride); nt += 1; i += 2 }
+    i = 2
+    var p = 1
+    while (i < n) { a(off + p * stride) = a(off + i * stride); p += 1; i += 2 }
+    var t = 0
+    while (t < nt) { a(off + p * stride) = tmp(t); p += 1; t += 1 }
+  }
+
+  private def unshuffle(a: Array[Int], off: Int, n: Int, stride: Int,
+      tmp: Array[Int]): Unit = {
+    val nhalf = (n + 1) >> 1
+    var nt = 0
+    var i = nhalf
+    while (i < n) { tmp(nt) = a(off + i * stride); nt += 1; i += 1 }
+    i = nhalf - 1
+    while (i >= 1) { a(off + 2 * i * stride) = a(off + i * stride); i -= 1 }
+    var t = 0
+    while (t < nt) { a(off + (2 * t + 1) * stride) = tmp(t); t += 1 }
+  }
+
+  private def digitize(a: Array[Int], scale: Int): Unit = {
+    val d = (scale + 1) / 2 - 1
+    var i = 0
+    while (i < a.length) {
+      val v = a(i)
+      a(i) = (if (v > 0) v + d else v - d) / scale
+      i += 1
+    }
+  }
+
+  // -------------------------------------------------------- quadtree coding
+
+  /** Encode the bitplanes of one coefficient quadrant, highest plane
+    * first. Per plane: extract the bits into a compact nybble grid,
+    * Huffman-code the nonzero nybbles finest-level-first into a
+    * buffer while reducing (a reduction nybble marks which children
+    * are nonzero), then emit the buffer REVERSED — so the decoder sees
+    * coarsest-first, each code MSB-first. If the Huffman stream would
+    * outgrow the raw bitmap, escape to a direct nybble dump. */
+  private def qtreeEncode(w: BitWriter, a: Array[Int], off: Int, stride: Int,
+      nqx: Int, nqy: Int, nbitplanes: Int): Unit = {
+    if (nqx <= 0 || nqy <= 0) {
+      // empty quadrant of a 1-wide/1-tall image: planes may still be
+      // declared (the count is shared with a nonempty sibling) — emit
+      // the minimal coded form of an all-zero plane
+      var bit = nbitplanes - 1
+      while (bit >= 0) {
+        w.writeNybble(0xF)
+        w.writeBits(Code(0), NCode(0))
+        bit -= 1
+      }
+      return
+    }
+    val log2n = log2Ceil(math.max(nqx, nqy))
+    val nx0 = (nqx + 1) >> 1
+    val ny0 = (nqy + 1) >> 1
+    val bmax = (nx0 * ny0 + 1) / 2
+    val scratch = new Array[Byte](nx0 * ny0)
+    val buffer = new Array[Byte](bmax)
+    var bit = nbitplanes - 1
+    while (bit >= 0) {
+      qtreeOnebit(a, off, stride, nqx, nqy, bit, scratch)
+      var nx = nx0
+      var ny = ny0
+      var b = 0
+      var acc = 0
+      var bits = 0
+      var expanded = false
+      // bufcopy: append Huffman codes for nonzero nybbles, LSB-first
+      def addLevel(n: Int): Unit = {
+        var i = 0
+        while (i < n && !expanded) {
+          val v = scratch(i) & 0xFF
+          if (v != 0) {
+            acc |= Code(v) << bits
+            bits += NCode(v)
+            if (bits >= 8) {
+              buffer(b) = (acc & 0xFF).toByte
+              b += 1
+              if (b >= bmax) expanded = true
+              acc >>>= 8
+              bits -= 8
+            }
+          }
+          i += 1
+        }
+      }
+      addLevel(nx * ny)
+      var k = 1
+      while (!expanded && k < log2n) {
+        qtreeReduce(scratch, nx, ny)
+        nx = (nx + 1) >> 1
+        ny = (ny + 1) >> 1
+        addLevel(nx * ny)
+        k += 1
+      }
+      if (expanded) {
+        // escape: direct bitmap (warning nybble 0, then the raw grid)
+        w.writeNybble(0)
+        qtreeOnebit(a, off, stride, nqx, nqy, bit, scratch)
+        var i = 0
+        while (i < nx0 * ny0) { w.writeNybble(scratch(i) & 0xFF); i += 1 }
+      } else {
+        w.writeNybble(0xF)
+        if (bits > 0) w.writeBits(acc & ((1 << bits) - 1), bits)
+        else if (b == 0) w.writeBits(Code(0), NCode(0))
+        var i = b - 1
+        while (i >= 0) { w.writeBits(buffer(i) & 0xFF, 8); i -= 1 }
+      }
+      bit -= 1
+    }
+  }
+
+  private def qtreeDecode(r: BitReader, a: Array[Int], off: Int, stride: Int,
+      nqx: Int, nqy: Int, nbitplanes: Int): Unit = {
+    if (nqx <= 0 || nqy <= 0) {
+      var bit = nbitplanes - 1
+      while (bit >= 0) {
+        require(r.readNybble() == 0xF,
+          "HCOMPRESS: bad format code in empty quadrant")
+        inputHuffman(r)
+        bit -= 1
+      }
+      return
+    }
+    val log2n = log2Ceil(math.max(nqx, nqy))
+    val nx0 = (nqx + 1) >> 1
+    val ny0 = (nqy + 1) >> 1
+    val scratch = new Array[Byte](nx0 * ny0)
+    var bit = nbitplanes - 1
+    while (bit >= 0) {
+      val fmt = r.readNybble()
+      if (fmt == 0) {
+        var i = 0
+        while (i < nx0 * ny0) { scratch(i) = r.readNybble().toByte; i += 1 }
+      } else if (fmt != 0xF) {
+        throw new IllegalArgumentException(
+          s"HCOMPRESS: bad bitplane format code $fmt")
+      } else {
+        scratch(0) = inputHuffman(r).toByte
+        // replay the encoder's dimension chain n(k-1) = (n(k)+1)/2
+        var nx = 1
+        var ny = 1
+        var nfx = nqx
+        var nfy = nqy
+        var cc = 1 << log2n
+        var k = 1
+        while (k < log2n) {
+          cc >>= 1
+          nx <<= 1
+          ny <<= 1
+          if (nfx <= cc) nx -= 1 else nfx -= cc
+          if (nfy <= cc) ny -= 1 else nfy -= cc
+          qtreeExpand(r, scratch, nx, ny)
+          k += 1
+        }
+      }
+      qtreeBitins(scratch, nqx, nqy, a, off, stride, bit)
+      bit -= 1
+    }
+  }
+
+  /** Extract bit `bit` of each coefficient into a compact nybble grid:
+    * one nybble per 2×2 block, bit 3 = top-left … bit 0 = bottom-right
+    * (missing edge children stay 0). */
+  private def qtreeOnebit(a: Array[Int], off: Int, stride: Int, nqx: Int,
+      nqy: Int, bit: Int, out: Array[Byte]): Unit = {
+    val ny2 = (nqy + 1) >> 1
+    var i = 0
+    while (i < nqx) {
+      val s0 = off + i * stride
+      val s1 = if (i + 1 < nqx) s0 + stride else -1
+      var j = 0
+      while (j < nqy) {
+        var v = ((a(s0 + j) >>> bit) & 1) << 3
+        if (j + 1 < nqy) v |= ((a(s0 + j + 1) >>> bit) & 1) << 2
+        if (s1 >= 0) {
+          v |= ((a(s1 + j) >>> bit) & 1) << 1
+          if (j + 1 < nqy) v |= (a(s1 + j + 1) >>> bit) & 1
+        }
+        out((i >> 1) * ny2 + (j >> 1)) = v.toByte
+        j += 2
+      }
+      i += 2
+    }
+  }
+
+  /** One quadtree reduction, in place: parent nybble = which of its
+    * four children are nonzero. */
+  private def qtreeReduce(b: Array[Byte], nx: Int, ny: Int): Unit = {
+    val ny2 = (ny + 1) >> 1
+    var i = 0
+    while (i < nx) {
+      val s0 = i * ny
+      val s1 = if (i + 1 < nx) s0 + ny else -1
+      var j = 0
+      while (j < ny) {
+        var v = if (b(s0 + j) != 0) 8 else 0
+        if (j + 1 < ny && b(s0 + j + 1) != 0) v |= 4
+        if (s1 >= 0) {
+          if (b(s1 + j) != 0) v |= 2
+          if (j + 1 < ny && b(s1 + j + 1) != 0) v |= 1
+        }
+        b((i >> 1) * ny2 + (j >> 1)) = v.toByte
+        j += 2
+      }
+      i += 2
+    }
+  }
+
+  /** One quadtree expansion, in place: spread each parent nybble to its
+    * children as 0/1 marks, then replace every mark with its own nybble
+    * read from the stream — in REVERSE scan order, mirroring the
+    * encoder's byte reversal. */
+  private def qtreeExpand(r: BitReader, b: Array[Byte], nx: Int,
+      ny: Int): Unit = {
+    qtreeCopy(b, nx, ny)
+    var i = nx * ny - 1
+    while (i >= 0) {
+      if (b(i) != 0) b(i) = inputHuffman(r).toByte
+      i -= 1
+    }
+  }
+
+  /** Expand the compact (nx+1)/2 × (ny+1)/2 parent grid to nx × ny
+    * child marks, in place (backwards, children of a parent written
+    * before any earlier parent is read). */
+  private def qtreeCopy(b: Array[Byte], nx: Int, ny: Int): Unit = {
+    val nx2 = (nx + 1) >> 1
+    val ny2 = (ny + 1) >> 1
+    var i = nx2 - 1
+    while (i >= 0) {
+      var j = ny2 - 1
+      while (j >= 0) {
+        val v = b(i * ny2 + j) & 0xFF
+        val s00 = 2 * i * ny + 2 * j
+        if (2 * i + 1 < nx) {
+          if (2 * j + 1 < ny) b(s00 + ny + 1) = (v & 1).toByte
+          b(s00 + ny) = ((v >> 1) & 1).toByte
+        }
+        if (2 * j + 1 < ny) b(s00 + 1) = ((v >> 2) & 1).toByte
+        b(s00) = ((v >> 3) & 1).toByte
+        j -= 1
+      }
+      i -= 1
+    }
+  }
+
+  /** OR bit `bit` back into the coefficient quadrant from the compact
+    * nybble grid (inverse of [[qtreeOnebit]]). */
+  private def qtreeBitins(s: Array[Byte], nqx: Int, nqy: Int, a: Array[Int],
+      off: Int, stride: Int, bit: Int): Unit = {
+    val ny2 = (nqy + 1) >> 1
+    var i = 0
+    while (i < nqx) {
+      val s0 = off + i * stride
+      val s1 = if (i + 1 < nqx) s0 + stride else -1
+      var j = 0
+      while (j < nqy) {
+        val v = s((i >> 1) * ny2 + (j >> 1)) & 0xFF
+        a(s0 + j) |= ((v >> 3) & 1) << bit
+        if (j + 1 < nqy) a(s0 + j + 1) |= ((v >> 2) & 1) << bit
+        if (s1 >= 0) {
+          a(s1 + j) |= ((v >> 1) & 1) << bit
+          if (j + 1 < nqy) a(s1 + j + 1) |= (v & 1) << bit
+        }
+        j += 2
+      }
+      i += 2
+    }
+  }
+
+  /** Walk the fixed prefix tree, MSB-first. Consistent with [[Code]] /
+    * [[NCode]] by construction. */
+  private def inputHuffman(r: BitReader): Int = {
+    var c = r.readBits(3)
+    if (c < 4) return 1 << c
+    c = (c << 1) | r.readBit()
+    if (c < 13) {
+      return c match {
+        case 8 => 3
+        case 9 => 5
+        case 10 => 10
+        case 11 => 12
+        case _ => 15 // c == 12
+      }
+    }
+    c = (c << 1) | r.readBit()
+    if (c < 31) {
+      return c match {
+        case 26 => 6
+        case 27 => 7
+        case 28 => 9
+        case 29 => 11
+        case _ => 13 // c == 30
+      }
+    }
+    c = (c << 1) | r.readBit()
+    if (c == 62) 0 else 14
+  }
+
+  // --------------------------------------------------------------- bit I/O
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var free = 8
+    def writeBits(v: Int, n: Int): Unit = {
+      acc = (acc << n) | (v & ((1 << n) - 1))
+      free -= n
+      while (free <= 0) {
+        out.write((acc >>> -free) & 0xFF)
+        free += 8
+      }
+    }
+    def writeNybble(v: Int): Unit = writeBits(v, 4)
+    def flush(): Unit = {
+      if (free < 8) out.write((acc << free) & 0xFF)
+      acc = 0
+      free = 8
+    }
+  }
+
+  private final class BitReader(data: Array[Byte], start: Int) {
+    private var pos = start
+    private var cur = 0
+    private var avail = 0
+    def readBit(): Int = {
+      if (avail == 0) {
+        if (pos >= data.length) throw new IllegalArgumentException(
+          "HCOMPRESS: truncated stream")
+        cur = data(pos) & 0xFF
+        pos += 1
+        avail = 8
+      }
+      avail -= 1
+      (cur >> avail) & 1
+    }
+    def readBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    def readNybble(): Int = readBits(4)
+    /** Discard the rest of the current byte (sign bits restart aligned). */
+    def alignByte(): Unit = avail = 0
+  }
+
+  private def writeInt(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write((v >>> 24) & 0xFF); out.write((v >>> 16) & 0xFF)
+    out.write((v >>> 8) & 0xFF); out.write(v & 0xFF)
+  }
+
+  private def writeLong(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    writeInt(out, (v >>> 32).toInt); writeInt(out, v.toInt)
+  }
+
+  private def readInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+      ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+
+  private def readLong(b: Array[Byte], off: Int): Long =
+    (readInt(b, off).toLong << 32) | (readInt(b, off + 4).toLong & 0xFFFFFFFFL)
+}

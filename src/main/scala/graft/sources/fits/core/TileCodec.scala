@@ -12,17 +12,27 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
   *  - GZIP_1      — gzip of the raw big-endian payload (any type)
   *  - GZIP_2      — gzip of the byte-plane-shuffled payload (all most-
   *                  significant bytes first, then the next plane, …)
+  *  - HCOMPRESS_1 — [[HCompress]] (integer types; 2-D H-transform —
+  *                  the stream self-describes its tile dims, so decode
+  *                  needs only the expected pixel count)
   *  - NOCOMPRESS  — identity
   */
 object TileCodec {
 
-  val Supported: Set[String] = Set("RICE_1", "GZIP_1", "GZIP_2", "NOCOMPRESS")
+  val Supported: Set[String] =
+    Set("RICE_1", "GZIP_1", "GZIP_2", "HCOMPRESS_1", "NOCOMPRESS")
 
   def decompress(cmpType: String, comp: Array[Byte], nPix: Int,
       bytepix: Int, blocksize: Int): Array[Byte] = cmpType match {
     case "RICE_1" => Rice.decode(comp, nPix, bytepix, blocksize)
     case "GZIP_1" => gunzip(comp, nPix * bytepix)
     case "GZIP_2" => unshuffle(gunzip(comp, nPix * bytepix), bytepix)
+    case "HCOMPRESS_1" =>
+      val d = HCompress.decode(comp)
+      if (d.nx.toLong * d.ny != nPix)
+        throw new IllegalArgumentException(
+          s"HCOMPRESS tile is ${d.nx}x${d.ny}, expected $nPix pixels")
+      packBE(d.pixels, bytepix)
     case "NOCOMPRESS" =>
       if (comp.length != nPix * bytepix)
         throw new IllegalArgumentException(
@@ -37,9 +47,74 @@ object TileCodec {
     case "RICE_1" => Rice.encode(tile, bytepix, blocksize)
     case "GZIP_1" => gzip(tile)
     case "GZIP_2" => gzip(shuffle(tile, bytepix))
+    case "HCOMPRESS_1" => throw new IllegalArgumentException(
+      "HCOMPRESS_1 needs tile dimensions — use compress2D")
     case "NOCOMPRESS" => tile
     case other =>
       throw new IllegalArgumentException(s"unsupported ZCMPTYPE '$other'")
+  }
+
+  /** Compression entry point that carries the tile geometry — required
+    * by HCOMPRESS_1 (a 2-D transform); every other codec ignores it.
+    * `tileW` is the row length, `tileH` the row count (row-major
+    * payload), `hscale` the HCOMPRESS digitization scale (≤ 1 =
+    * lossless). */
+  def compress2D(cmpType: String, tile: Array[Byte], bytepix: Int,
+      blocksize: Int, tileW: Int, tileH: Int, hscale: Int): Array[Byte] =
+    cmpType match {
+      case "HCOMPRESS_1" =>
+        require(tileW > 0 && tileH > 0 &&
+          tileW.toLong * tileH * bytepix == tile.length,
+          s"HCOMPRESS tile geometry $tileW x $tileH x $bytepix B " +
+            s"!= ${tile.length} payload bytes")
+        HCompress.encode(unpackBE(tile, bytepix), tileH, tileW, hscale)
+      case other => compress(other, tile, bytepix, blocksize)
+    }
+
+  /** Big-endian payload → int pixels: FITS bytes are unsigned, wider
+    * integers signed (FITS 4.0 §5.2). */
+  def unpackBE(raw: Array[Byte], bytepix: Int): Array[Int] = {
+    val n = raw.length / bytepix
+    val out = new Array[Int](n)
+    var i = 0
+    bytepix match {
+      case 1 => while (i < n) { out(i) = raw(i) & 0xFF; i += 1 }
+      case 2 => while (i < n) {
+        out(i) = (raw(2 * i) << 8) | (raw(2 * i + 1) & 0xFF); i += 1
+      }
+      case 4 => while (i < n) {
+        out(i) = (raw(4 * i) << 24) | ((raw(4 * i + 1) & 0xFF) << 16) |
+          ((raw(4 * i + 2) & 0xFF) << 8) | (raw(4 * i + 3) & 0xFF)
+        i += 1
+      }
+      case other => throw new IllegalArgumentException(
+        s"HCOMPRESS bytepix $other (1, 2 or 4 supported)")
+    }
+    out
+  }
+
+  /** Int pixels → big-endian payload (inverse of [[unpackBE]]). */
+  def packBE(pix: Array[Int], bytepix: Int): Array[Byte] = {
+    val out = new Array[Byte](pix.length * bytepix)
+    var i = 0
+    bytepix match {
+      case 1 => while (i < pix.length) { out(i) = pix(i).toByte; i += 1 }
+      case 2 => while (i < pix.length) {
+        out(2 * i) = (pix(i) >> 8).toByte
+        out(2 * i + 1) = pix(i).toByte
+        i += 1
+      }
+      case 4 => while (i < pix.length) {
+        out(4 * i) = (pix(i) >> 24).toByte
+        out(4 * i + 1) = (pix(i) >> 16).toByte
+        out(4 * i + 2) = (pix(i) >> 8).toByte
+        out(4 * i + 3) = pix(i).toByte
+        i += 1
+      }
+      case other => throw new IllegalArgumentException(
+        s"HCOMPRESS bytepix $other (1, 2 or 4 supported)")
+    }
+    out
   }
 
   def gunzip(comp: Array[Byte], expect: Int): Array[Byte] = {

@@ -322,9 +322,26 @@ class FitsCompressedSpec extends SparkTestBase {
     val e3 = intercept[Exception] {
       Seq((0 until 4).toArray).toDF("Image")
         .write.format("fits").option("image", true)
-        .option("compress", "HCOMPRESS_1").mode("append").save(dir3)
+        .option("compress", "PLIO_1").mode("append").save(dir3)
     }
     assert(e3.getMessage.contains("unsupported compress codec"), e3.getMessage)
+    // HCOMPRESS is integer-only too (or quantized floats)
+    val dir4 = Files.createTempDirectory("fits-zw").toString + "/bad4"
+    val e4 = intercept[Exception] {
+      Seq((0 until 4).map(_.toFloat).toArray).toDF("Image")
+        .write.format("fits").option("image", true)
+        .option("compress", "HCOMPRESS_1").mode("append").save(dir4)
+    }
+    assert(msgs(e4).exists(_.contains("integer pixels only")), e4)
+    // hcompScale is HCOMPRESS-specific
+    val dir5 = Files.createTempDirectory("fits-zw").toString + "/bad5"
+    val e5 = intercept[Exception] {
+      Seq((0 until 4).toArray).toDF("Image")
+        .write.format("fits").option("image", true)
+        .option("compress", "RICE_1").option("hcompScale", 4)
+        .mode("append").save(dir5)
+    }
+    assert(msgs(e5).exists(_.contains("hcompScale")), e5)
   }
 
   test("compressed image split across many partitions reads exactly") {
@@ -826,8 +843,8 @@ class FitsCompressedSpec extends SparkTestBase {
     writeFz(p, "RICE_1", 16, width,
       Seq((TileCodec.compress("RICE_1", tile, 2, 32), null: Array[Byte])),
       withGzCol = false, extraCards = Seq(card("ZSCALE", "0.125")))
-    val p2 = Files.createTempFile("graft-hcomp", ".fits").toString
-    writeFz(p2, "HCOMPRESS_1", 16, width,
+    val p2 = Files.createTempFile("graft-plio", ".fits").toString
+    writeFz(p2, "PLIO_1", 16, width,
       Seq((tile, null: Array[Byte])), withGzCol = false)
     try {
       val df = spark.read.format("fits").option("hdu", 1).load(p)
@@ -839,5 +856,142 @@ class FitsCompressedSpec extends SparkTestBase {
       Files.deleteIfExists(java.nio.file.Paths.get(p))
       Files.deleteIfExists(java.nio.file.Paths.get(p2))
     }
+  }
+
+  // ------------------------------------------------------- HCOMPRESS_1
+
+  test("HCOMPRESS_1 image write round-trips exactly (default 16-row tiles)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val width = 48
+    val src = (0 until 100).map(r =>
+      (r.toLong, (0 until width).map(c =>
+        (2000 * math.sin(r * 0.07) + c * 5 - (c % 9) * 13).toInt).toArray))
+      .toDF("ImgIndex", "Image")
+    val dir = Files.createTempDirectory("fits-hc").toString + "/hc"
+    src.coalesce(2).write.format("fits")
+      .option("image", true).option("compress", "HCOMPRESS_1")
+      .mode("append").save(dir)
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".fits")).head
+    val hdr = new String(java.util.Arrays.copyOfRange(
+      Files.readAllBytes(part.toPath), 2880, 2880 * 2), "US-ASCII")
+    val cards = hdr.grouped(80).map(_.trim).toSeq
+    assert(hdr.contains("HCOMPRESS_1"), hdr)
+    assert(cards.exists(c => c.startsWith("ZTILE2") && c.contains("16")),
+      "HCOMPRESS defaults to 16-row 2-D tiles")
+    assert(cards.exists(_.startsWith("ZNAME3")) &&
+      cards.exists(c => c.startsWith("ZVAL4") && c.contains("0")),
+      "SCALE/SMOOTH parameter cards present")
+    val back = spark.read.format("fits").option("hdu", 1).load(dir)
+      .select(col("Image")).as[Array[Int]].collect()
+    val want = src.select("Image").as[Array[Int]].collect()
+    assert(back.map(_.mkString(",")).sorted.toSeq ==
+      want.map(_.mkString(",")).sorted.toSeq)
+  }
+
+  test("HCOMPRESS_1 2D tiles round-trip; lossy hcompScale bounds the error") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val width = 29
+    val src = (0 until 53).map(r =>
+      (r.toLong, (0 until width).map(c =>
+        500 + r * 3 + c * 2 + ((r * c) % 4)).toArray))
+      .toDF("ImgIndex", "Image")
+    val dir = Files.createTempDirectory("fits-hc2d").toString + "/exact"
+    src.coalesce(1).write.format("fits")
+      .option("image", true).option("compress", "HCOMPRESS_1")
+      .option("compressTile", "7x5").mode("append").save(dir)
+    val back = spark.read.format("fits").option("hdu", 1).load(dir)
+      .orderBy("ImgIndex").select(col("Image")).as[Array[Int]].collect()
+    val want = src.select("Image").as[Array[Int]].collect()
+    assert(back.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+
+    val scale = 8
+    val ldir = Files.createTempDirectory("fits-hc2d").toString + "/lossy"
+    src.coalesce(1).write.format("fits")
+      .option("image", true).option("compress", "HCOMPRESS_1")
+      .option("hcompScale", scale).mode("append").save(ldir)
+    val lossy = spark.read.format("fits").option("hdu", 1).load(ldir)
+      .orderBy("ImgIndex").select(col("Image")).as[Array[Int]].collect()
+    val maxErr = lossy.zip(want).flatMap { case (l, w) =>
+      l.zip(w).map { case (a, b) => math.abs(a - b) } }.max
+    assert(maxErr > 0 && maxErr <= 2 * scale, s"maxErr $maxErr")
+    // lossy file is smaller than the exact one
+    def bytesOf(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".fits")).map(_.length()).sum
+    assert(bytesOf(ldir) <= bytesOf(dir))
+  }
+
+  test("HCOMPRESS_1 quantized floats read back within step/2") {
+    import spark.implicits._
+    val width = 32
+    val q = 64.0
+    val rnd = new scala.util.Random(9)
+    val src = (0 until 40).map { r =>
+      (r.toLong, (0 until width).map { c =>
+        (math.cos(r * 0.15 + c * 0.08) * 80 + rnd.nextGaussian()).toFloat
+      }.toArray)
+    }
+    val dir = Files.createTempDirectory("fits-hcq").toString + "/qf"
+    src.toDF("ImgIndex", "Image").coalesce(1).write.format("fits")
+      .option("image", true).option("compress", "HCOMPRESS_1")
+      .option("quantize", q).mode("append").save(dir)
+    val back = spark.read.format("fits").option("hdu", 1).load(dir)
+      .orderBy("ImgIndex").collect()
+    assert(back.length == 40)
+    // 16-row tile bands: the quantization step is derived per TILE, so
+    // bound with the global max sigma across bands (safe upper bound)
+    val sigmas = src.grouped(16).map { band =>
+      val vals = band.flatMap(_._2.map(_.toDouble))
+      val mean = vals.sum / vals.length
+      math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / vals.length)
+    }.toSeq
+    val bound = sigmas.max / q / 2 + 1e-5
+    for (r <- 0 until 40) {
+      val line = back(r).getSeq[Float](0)
+      val orig = src(r)._2
+      for (c <- 0 until width)
+        assert(math.abs(line(c) - orig(c)) <= bound,
+          s"line $r col $c: ${line(c)} vs ${orig(c)} bound $bound")
+    }
+  }
+
+  test("hand-built fz with HCOMPRESS_1 row tiles reads through the source") {
+    // foreign-layout file: 1-row tiles (degenerate 1xN transform),
+    // assembled by hand rather than by our writer
+    import graft.sources.fits.core.HCompress
+    val width = 16
+    val lines = (0 until 9).map(r =>
+      (0 until width).map(c => (r * 100 + c * c - 40)).toArray)
+    val p = Files.createTempFile("graft-hcfz", ".fits").toString
+    writeFz(p, "HCOMPRESS_1", 32, width,
+      lines.map(l => (HCompress.encode(l, 1, width, 0), null: Array[Byte])),
+      withGzCol = false, extraCards = Seq(
+        card("ZNAME3", "'SCALE   '"), card("ZVAL3", "0"),
+        card("ZNAME4", "'SMOOTH  '"), card("ZVAL4", "0")))
+    try {
+      val back = spark.read.format("fits").option("hdu", 1).load(p)
+        .orderBy("ImgIndex").collect()
+      assert(back.length == 9)
+      for (r <- 0 until 9)
+        assert(back(r).getSeq[Int](0).toSeq == lines(r).toSeq)
+    } finally Files.deleteIfExists(java.nio.file.Paths.get(p))
+  }
+
+  test("HCOMPRESS_1 with SMOOTH != 0 degrades to the raw bintable") {
+    import graft.sources.fits.core.HCompress
+    val width = 4
+    val stream = HCompress.encode(Array(1, 2, 3, 4), 1, width, 0)
+    val p = Files.createTempFile("graft-hcsm", ".fits").toString
+    writeFz(p, "HCOMPRESS_1", 32, width,
+      Seq((stream, null: Array[Byte])), withGzCol = false,
+      extraCards = Seq(
+        card("ZNAME3", "'SCALE   '"), card("ZVAL3", "1"),
+        card("ZNAME4", "'SMOOTH  '"), card("ZVAL4", "1")))
+    try {
+      val df = spark.read.format("fits").option("hdu", 1).load(p)
+      assert(df.columns.toSeq == Seq("COMPRESSED_DATA"))
+    } finally Files.deleteIfExists(java.nio.file.Paths.get(p))
   }
 }

@@ -1,0 +1,136 @@
+package graft.sources.fits
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.fits.core.HCompress
+
+/** HCOMPRESS_1 codec unit gates: exhaustive and randomized lossless
+  * round-trips (the H-transform's parity-recovery rounding is the
+  * delicate part — any wrong constant breaks exactness somewhere in
+  * [-N,N]^4), odd/degenerate shapes, the direct-bitmap escape on
+  * incompressible planes, the bounded-error lossy contract, and the
+  * stream header layout. Spark-level integration lives in
+  * FitsCompressedSpec. */
+class HCompressSpec extends AnyFunSuite {
+
+  private def roundTrip(pix: Array[Int], nx: Int, ny: Int): Unit = {
+    val comp = HCompress.encode(pix, nx, ny, 0)
+    val d = HCompress.decode(comp)
+    assert(d.nx == nx && d.ny == ny && d.scale == 0)
+    assert(d.pixels.toSeq == pix.toSeq,
+      s"lossless mismatch at $nx x $ny: in=${pix.toSeq} out=${d.pixels.toSeq}")
+  }
+
+  test("lossless: exhaustive 2x2 images over a signed range") {
+    val r = -6 to 6
+    for (a <- r; b <- r; c <- r; d <- r)
+      roundTrip(Array(a, b, c, d), 2, 2)
+  }
+
+  test("lossless: exhaustive tiny odd shapes (1x1, 1x2, 2x1, 1x3, 3x1)") {
+    val r = -9 to 9
+    for (a <- r) roundTrip(Array(a), 1, 1)
+    for (a <- r; b <- r) {
+      roundTrip(Array(a, b), 1, 2)
+      roundTrip(Array(a, b), 2, 1)
+    }
+    for (a <- r; b <- r; c <- r) {
+      roundTrip(Array(a, b, c), 1, 3)
+      roundTrip(Array(a, b, c), 3, 1)
+    }
+  }
+
+  test("lossless: exhaustive 3x3 over a small signed range") {
+    val r = -2 to 2
+    val vals = r.toArray
+    val n = vals.length
+    var idx = 0
+    val total = math.pow(n, 9).toInt
+    while (idx < total) {
+      val pix = new Array[Int](9)
+      var rem = idx
+      var i = 0
+      while (i < 9) { pix(i) = vals(rem % n); rem /= n; i += 1 }
+      roundTrip(pix, 3, 3)
+      idx += 1
+    }
+  }
+
+  test("lossless: randomized shapes incl. odd dims and 24-bit range") {
+    val rnd = new scala.util.Random(42)
+    val shapes = Seq((1, 7), (7, 1), (4, 4), (5, 9), (9, 5), (16, 16),
+      (17, 33), (33, 17), (31, 2), (2, 31), (64, 48), (100, 3))
+    for ((nx, ny) <- shapes; mag <- Seq(1, 16, 1 << 12, 1 << 23)) {
+      val pix = Array.fill(nx * ny)(rnd.nextInt(2 * mag + 1) - mag)
+      roundTrip(pix, nx, ny)
+    }
+  }
+
+  test("lossless: smooth gradients (deep quadtrees, all-zero planes)") {
+    for ((nx, ny) <- Seq((32, 32), (15, 21), (64, 64))) {
+      val pix = Array.tabulate(nx * ny)(i => (i / ny) * 3 + (i % ny) * 2)
+      roundTrip(pix, nx, ny)
+      roundTrip(pix.map(v => -v), nx, ny)
+      roundTrip(Array.fill(nx * ny)(0), nx, ny)
+      roundTrip(Array.fill(nx * ny)(12345), nx, ny)
+    }
+  }
+
+  test("lossless: checkerboard noise forces the direct-bitmap escape") {
+    // alternating extremes make every bitplane incompressible — the
+    // quadtree path must detect expansion and fall back to raw nybbles
+    val rnd = new scala.util.Random(7)
+    for ((nx, ny) <- Seq((16, 16), (17, 31))) {
+      val checker = Array.tabulate(nx * ny)(i =>
+        if ((i / ny + i % ny) % 2 == 0) 255 else -256)
+      roundTrip(checker, nx, ny)
+      val noise = Array.fill(nx * ny)(rnd.nextInt(1 << 16) - (1 << 15))
+      roundTrip(noise, nx, ny)
+    }
+  }
+
+  test("lossy: scale bounds the reconstruction error and shrinks output") {
+    val rnd = new scala.util.Random(11)
+    val (nx, ny) = (32, 32)
+    // smooth signal + small noise, the regime hcompress targets
+    val pix = Array.tabulate(nx * ny) { i =>
+      val x = i % ny; val y = i / ny
+      1000 + 5 * x + 3 * y + rnd.nextInt(7) - 3
+    }
+    val lossless = HCompress.encode(pix, nx, ny, 0)
+    for (scale <- Seq(4, 16)) {
+      val comp = HCompress.encode(pix, nx, ny, scale)
+      val d = HCompress.decode(comp)
+      assert(d.scale == scale)
+      val maxErr = d.pixels.zip(pix).map { case (o, p) => math.abs(o - p) }.max
+      // digitization loses ≤ scale/2 per coefficient; the pixel-domain
+      // error stays within a small multiple of scale
+      assert(maxErr <= 2 * scale, s"scale=$scale maxErr=$maxErr")
+      assert(comp.length < lossless.length,
+        s"scale=$scale did not compress better: ${comp.length} vs ${lossless.length}")
+    }
+  }
+
+  test("stream header: magic, dims, scale, DC coefficient layout") {
+    val pix = Array.tabulate(12)(_ + 1) // 3x4, sum = 78
+    val comp = HCompress.encode(pix, 3, 4, 0)
+    assert((comp(0) & 0xFF) == 0xDD && (comp(1) & 0xFF) == 0x99)
+    def int(off: Int) = ((comp(off) & 0xFF) << 24) |
+      ((comp(off + 1) & 0xFF) << 16) | ((comp(off + 2) & 0xFF) << 8) |
+      (comp(off + 3) & 0xFF)
+    assert(int(2) == 3 && int(6) == 4 && int(10) == 0)
+    // bitplane counts are single bytes and sane
+    assert((22 to 24).forall(i => (comp(i) & 0xFF) <= 32))
+    // corrupt magic refuses loudly
+    val bad = comp.clone(); bad(0) = 0
+    val e = intercept[IllegalArgumentException](HCompress.decode(bad))
+    assert(e.getMessage.contains("magic"))
+  }
+
+  test("truncated stream refuses loudly instead of decoding garbage") {
+    val pix = Array.fill(64 * 64)(scala.util.Random.nextInt(1000))
+    val comp = HCompress.encode(pix, 64, 64, 0)
+    intercept[IllegalArgumentException](
+      HCompress.decode(comp.take(comp.length / 2)))
+  }
+}
