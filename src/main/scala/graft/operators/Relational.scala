@@ -574,6 +574,66 @@ object Relational {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** B-extra: ordered conversion funnel (signup → view → purchase) —
+    * the product-analytics staple. A stage counts only if it happens
+    * AT OR AFTER the previous stage (a view before signup doesn't
+    * convert), which the naive per-stage MIN(ts) comparison gets wrong;
+    * instead two chained running-flag windows ("seen signup so far",
+    * "seen view-after-signup so far") give exact ordered semantics in
+    * a single pass.
+    *
+    * Scale: both window frames and the per-user rollup share ONE
+    * partitioning on user_id — a single shuffle of the events table,
+    * no self-joins (the CTE-chain formulation re-joins events per
+    * stage); the final stage-count rollup is a 1-row global aggregate
+    * of per-user 0/1 flags (partial map-side sums). Ties at equal ts
+    * are pinned by event_id, mirrored in the oracle. */
+  val q29_funnel: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "events")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("seen_s",
+        max(when($"event_type" === "signup", 1).otherwise(0)).over(w))
+      .withColumn("seen_sv",
+        max(when($"event_type" === "view" && $"seen_s" === 1, 1)
+          .otherwise(0)).over(w))
+      .groupBy($"user_id")
+      .agg(
+        max($"seen_s").as("u_s"),
+        max(when($"event_type" === "view" && $"seen_s" === 1, 1)
+          .otherwise(0)).as("u_sv"),
+        max(when($"event_type" === "purchase" && $"seen_sv" === 1, 1)
+          .otherwise(0)).as("u_svp"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum($"u_s").cast(LongType).as("n_signup"),
+        sum($"u_sv").cast(LongType).as("n_signup_view"),
+        sum($"u_svp").cast(LongType).as("n_full_funnel"))
+  }
+
+  /** B-extra: daily cohort retention — cohort = a user's first active
+    * day; cell (cohort_day, day_offset) counts users active again
+    * `day_offset` days later. The other product-analytics staple, and
+    * a shape 100 TB pipelines run constantly (DAU/retention curves).
+    *
+    * Scale: the cohort day is a whole-partition MIN window (one shuffle
+    * on user_id, no sort); the (user, cohort, offset) de-dup and the
+    * cell counts are hash aggregations with map-side partials. Nothing
+    * holds more state than distinct (user, day) pairs — bounded by the
+    * calendar, not the event volume. */
+  val q30_retention: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "events")
+    val w = Window.partitionBy($"user_id")
+    e.select($"user_id", to_date($"ts").as("day"))
+      .withColumn("cohort_day", min($"day").over(w))
+      .select($"user_id", $"cohort_day",
+        datediff($"day", $"cohort_day").cast(LongType).as("day_offset"))
+      .distinct()
+      .groupBy($"cohort_day", $"day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -616,6 +676,8 @@ object Relational {
     "q25_pivot" -> q25_pivot,
     "q27_bucket_join" -> q27_bucket_join,
     "q28_sessionize" -> q28_sessionize,
+    "q29_funnel" -> q29_funnel,
+    "q30_retention" -> q30_retention,
   )
 
   /** DuckDB-compatible oracle SQL. Keys mirror `queries`; column aliases
@@ -646,6 +708,47 @@ object Relational {
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |       MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same chained running-flag windows; window SUM/MAX of CASE is
+    // HUGEINT in DuckDB → explicit BIGINT casts on every output count
+    "q29_funnel" ->
+      """WITH f1 AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen_s
+        |  FROM events),
+        |f2 AS (
+        |  SELECT user_id, event_type, seen_s,
+        |    MAX(CASE WHEN event_type = 'view' AND seen_s = 1
+        |             THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen_sv
+        |  FROM f1),
+        |u AS (
+        |  SELECT user_id,
+        |    MAX(seen_s) AS u_s,
+        |    MAX(CASE WHEN event_type = 'view' AND seen_s = 1
+        |             THEN 1 ELSE 0 END) AS u_sv,
+        |    MAX(CASE WHEN event_type = 'purchase' AND seen_sv = 1
+        |             THEN 1 ELSE 0 END) AS u_svp
+        |  FROM f2 GROUP BY 1)
+        |SELECT COUNT(*) AS n_users,
+        |  CAST(SUM(u_s) AS BIGINT) AS n_signup,
+        |  CAST(SUM(u_sv) AS BIGINT) AS n_signup_view,
+        |  CAST(SUM(u_svp) AS BIGINT) AS n_full_funnel
+        |FROM u""".stripMargin,
+    // DATE - DATE is BIGINT days in DuckDB; the engine casts its
+    // datediff to match
+    "q30_retention" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |    MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_day,
+        |    CAST(CAST(ts AS DATE)
+        |      - MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id)
+        |      AS BIGINT) AS day_offset
+        |  FROM events)
+        |SELECT cohort_day, day_offset, COUNT(*) AS n_users
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q01_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,

@@ -90,6 +90,34 @@ class PlanQualitySpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("q29 funnel: both windows and the rollup share one user_id shuffle") {
+    // the chained running-flag windows and the per-user aggregate all
+    // partition on user_id — exactly one data-scale Exchange (hash on
+    // user_id) plus the single-row final aggregate's exchange
+    val df = Relational.q29_funnel(spark, sf0001)
+    df.collect() // let AQE finalize
+    // the adaptive plan string repeats the tree under "== Initial
+    // Plan ==" — count only the final section
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size == 2,
+      s"expected exactly two exchanges:\n$plan")
+    assert(exchanges.count(_.contains("hashpartitioning(user_id")) == 1,
+      s"expected one user_id hash exchange:\n$plan")
+    assert(exchanges.count(_.contains("SinglePartition")) == 1, plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"), plan)
+  }
+
+  test("q30 retention: cohort window is sort-free whole-partition MIN") {
+    // Window.partitionBy without orderBy must not plan a per-row
+    // running sort beyond the partitioning requirement
+    val plan = formatted(Relational.q30_retention(spark, sf0001))
+    assert(plan.contains("Window"), plan)
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"cell counts must partial-aggregate:\n$plan")
+  }
+
   test("no query in the declared surface plans a CartesianProduct") {
     // the one plan shape that cannot survive a 100x scale-up
     graft.SparkEntry.queries.foreach { case (name, q) =>
