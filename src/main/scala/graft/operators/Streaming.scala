@@ -112,7 +112,8 @@ object Streaming {
   private val sinkTableNames = Seq(
     "stream_hour_counts_tbl", "stream_sliding_tbl", "stream_sessions_tbl",
     "stream_state_sessions_tbl", "stream_append_tbl", "stream_dedup_tbl",
-    "stream_dedup_bounded_tbl", "stream_decontam_tbl", "stream_joined_tbl")
+    "stream_dedup_bounded_tbl", "stream_decontam_tbl", "stream_joined_tbl",
+    "stream_funnel_tbl")
 
   /** Memory-sink tables hold their full result in the driver for the
     * session's life; a long multi-query session (the bench) must drop
@@ -306,6 +307,51 @@ object Streaming {
       .orderBy(col("user_id"), col("view_ts"), col("buy_ts"))
   }
 
+  /** Streaming ordered funnel via mapGroupsWithState — the stateful
+    * twin of [[Relational.q29_funnel]]. State per user is three
+    * MONOTONE booleans (reached signup / signup→view /
+    * signup→view→purchase): constant bytes per user forever, no event
+    * retention — the production funnel shape for an unbounded stream,
+    * where the batch twin's per-user window sort would re-read all
+    * history every run. Events fold in exact (ts, event_id) order
+    * within the replay; the single-batch replay pins batch-equivalence
+    * unconditionally (a multi-batch split could order a late signup
+    * after a view the batch ordering puts before it — same guard as
+    * stream_joined). The per-user flag rows roll up to the one-row
+    * funnel on the sink table; shares q29_funnel's oracle. */
+  val stream_funnel: Q = (s, dir) => {
+    import s.implicits._
+    val typed = eventsStream(s, dir, oneBatch = true)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    val flags = withShufflePartitions(s, 8) {
+      typed.groupByKey(_._1)
+        .mapGroupsWithState[(Boolean, Boolean, Boolean), (Long, Int, Int, Int)](
+          GroupStateTimeout.NoTimeout) {
+          case (user, events, state: GroupState[(Boolean, Boolean, Boolean)]) =>
+            var (sS, sSV, sSVP) =
+              state.getOption.getOrElse((false, false, false))
+            events.toArray.sortBy(e => (e._2, e._3)).foreach { e =>
+              e._4 match {
+                case "signup" => sS = true
+                case "view" if sS => sSV = true
+                case "purchase" if sSV => sSVP = true
+                case _ =>
+              }
+            }
+            state.update((sS, sSV, sSVP))
+            (user, if (sS) 1 else 0, if (sSV) 1 else 0, if (sSVP) 1 else 0)
+        }
+    }
+    runToTable(s, flags.toDF("user_id", "u_s", "u_sv", "u_svp"),
+      "stream_funnel_tbl", "update")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("u_s")).cast(LongType).as("n_signup"),
+        sum(col("u_sv")).cast(LongType).as("n_signup_view"),
+        sum(col("u_svp")).cast(LongType).as("n_full_funnel"))
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_hour_counts" -> stream_hour_counts,
     "stream_sliding" -> stream_sliding,
@@ -316,6 +362,7 @@ object Streaming {
     "stream_dedup_bounded" -> stream_dedup_bounded,
     "stream_decontam" -> stream_decontam,
     "stream_joined" -> stream_joined,
+    "stream_funnel" -> stream_funnel,
   )
 
   private val sessionIslands =
@@ -392,5 +439,8 @@ object Streaming {
         """
           |SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions
           |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin),
+    // identical to q29_funnel's oracle: the stateful stream and the
+    // batch windows must agree on the same ordered-funnel counts
+    "stream_funnel" -> Relational.oracles("q29_funnel"),
   )
 }

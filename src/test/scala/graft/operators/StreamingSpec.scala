@@ -253,4 +253,18 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byState == byWindow)
   }
+
+  test("stateful streaming funnel equals the batch window funnel") {
+    // the monotone per-user state machine and the batch running-flag
+    // windows must agree on every ordered-stage count
+    val streamed = Streaming.stream_funnel(spark, sf0001).collect()
+    val batch = Relational.q29_funnel(spark, sf0001).collect()
+    assert(streamed.length == 1 && batch.length == 1)
+    assert(streamed.head.toSeq == batch.head.toSeq,
+      s"stream=${streamed.head} batch=${batch.head}")
+    // sanity: the funnel is strictly ordered, so each stage count is
+    // bounded by the previous one (and by the user count)
+    val Seq(n, s1, s2, s3) = streamed.head.toSeq.map(_.asInstanceOf[Long])
+    assert(n >= s1 && s1 >= s2 && s2 >= s3 && s3 >= 0)
+  }
 }
