@@ -149,7 +149,8 @@ object Bench {
     // FITS scan throughput vs the reference's measured 16 MB/s/task
     // baseline (BASELINE.md row 1) — the connector is the engine's
     // core, so its number belongs in the bench artifact.
-    val fits = fitsThroughput(spark) + varLenThroughput(spark)
+    val fits = fitsThroughput(spark) + varLenThroughput(spark) +
+      hcompThroughput(spark)
     // the probes are the most co-load-sensitive part of the run — sample
     // once more after them so degradation during the probes is caught
     loadMax = math.max(loadMax, loadAvg)
@@ -228,6 +229,51 @@ object Bench {
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] fits scan probe failed: ${e.getMessage}")
+        ""
+    }
+
+  /** Scans an HCOMPRESS_1 tile-compressed int16 image (written by this
+    * source's own writer: whole-line × 16-row 2-D tiles) and reports
+    * DECODED MB/s — the H-transform inverse + quadtree bit decode is
+    * far heavier per byte than RICE/gzip, so the timed region is
+    * decode-dominated already at 64 MB. Cache-if-exists like the plain
+    * scan probe (the codec stream format is spec-pinned; a format
+    * change bumps the file name). */
+  private def hcompThroughput(spark: SparkSession): String =
+    try {
+      import spark.implicits._
+      val width = 4096
+      val lines = 8192L // 64 MB of int16
+      val dir = s"target/fits-bench-hcomp-$width-$lines"
+      if (!new java.io.File(dir).exists()) {
+        // smooth background + gradient + mild texture: the image class
+        // hcompress targets (pure noise would force bdirect escapes and
+        // bench the escape path instead of the transform)
+        val img = spark.range(lines).map { r =>
+          val arr = new Array[Short](width)
+          var c = 0
+          while (c < width) {
+            arr(c) = ((r * 3 + c) % 1000 + (r * c) % 7).toShort
+            c += 1
+          }
+          (r, arr)
+        }.toDF("ImgIndex", "Image").coalesce(4)
+        img.write.format("fits").option("image", true)
+          .option("compress", "HCOMPRESS_1").mode("overwrite").save(dir)
+      }
+      import org.apache.spark.sql.functions.{col, size, sum}
+      val df = spark.read.format("fits").option("hdu", 1).load(dir)
+      df.agg(sum(size(col("Image")))).collect() // warm
+      val best = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        df.agg(sum(size(col("Image")))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val mbs = lines * width * 2.0 / (1 << 20) / best
+      f""","fits_hcomp_mb_s":$mbs%.1f,"fits_hcomp_probe_mb":${lines * width * 2.0 / (1 << 20)}%.0f"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] hcompress probe failed: ${e.getMessage}")
         ""
     }
 
