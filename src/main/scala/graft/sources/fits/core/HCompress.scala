@@ -619,33 +619,32 @@ object HCompress {
     }
   }
 
-  /** Walk the fixed prefix tree, MSB-first. Consistent with [[Code]] /
-    * [[NCode]] by construction. */
+  /** Table-driven decode of the fixed prefix code: peek the longest
+    * code width (6 bits), one lookup gives (value, length), consume
+    * length. The table is built from [[Code]]/[[NCode]] directly, so
+    * it IS the prefix tree — every 6-bit word maps to exactly one
+    * code because the code is complete. */
+  private val HuffValue = new Array[Byte](64)
+  private val HuffLen = new Array[Byte](64)
+  locally {
+    var v = 0
+    while (v < 16) {
+      val len = NCode(v)
+      val base = Code(v) << (6 - len)
+      var fill = 0
+      while (fill < (1 << (6 - len))) {
+        HuffValue(base | fill) = v.toByte
+        HuffLen(base | fill) = len.toByte
+        fill += 1
+      }
+      v += 1
+    }
+  }
+
   private def inputHuffman(r: BitReader): Int = {
-    var c = r.readBits(3)
-    if (c < 4) return 1 << c
-    c = (c << 1) | r.readBit()
-    if (c < 13) {
-      return c match {
-        case 8 => 3
-        case 9 => 5
-        case 10 => 10
-        case 11 => 12
-        case _ => 15 // c == 12
-      }
-    }
-    c = (c << 1) | r.readBit()
-    if (c < 31) {
-      return c match {
-        case 26 => 6
-        case 27 => 7
-        case 28 => 9
-        case 29 => 11
-        case _ => 13 // c == 30
-      }
-    }
-    c = (c << 1) | r.readBit()
-    if (c == 62) 0 else 14
+    val w = r.peekBits(6)
+    r.consume(HuffLen(w))
+    HuffValue(w)
   }
 
   // --------------------------------------------------------------- bit I/O
@@ -669,30 +668,45 @@ object HCompress {
     }
   }
 
+  /** MSB-first bit reader over a 64-bit accumulator. Peeks may look up
+    * to 6 bits past the last real byte (virtually zero-padded — a valid
+    * stream never CONSUMES padding, because the encoder byte-aligns
+    * before the sign bits and writes whole sign bytes); consuming past
+    * the real data throws, so truncated streams still fail loudly. */
   private final class BitReader(data: Array[Byte], start: Int) {
+    private val realBits = (data.length - start).toLong * 8
     private var pos = start
-    private var cur = 0
-    private var avail = 0
-    def readBit(): Int = {
-      if (avail == 0) {
-        if (pos >= data.length) throw new IllegalArgumentException(
-          "HCOMPRESS: truncated stream")
-        cur = data(pos) & 0xFF
+    private var acc = 0L
+    private var n = 0
+    private var consumed = 0L
+    private def fill(need: Int): Unit =
+      while (n < need) {
+        acc = (acc << 8) | (if (pos < data.length) data(pos) & 0xFF else 0)
         pos += 1
-        avail = 8
+        n += 8
       }
-      avail -= 1
-      (cur >> avail) & 1
+    def peekBits(k: Int): Int = {
+      fill(k)
+      ((acc >>> (n - k)) & ((1L << k) - 1)).toInt
     }
-    def readBits(n: Int): Int = {
-      var v = 0
-      var i = 0
-      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+    def consume(k: Int): Unit = {
+      n -= k
+      consumed += k
+      if (consumed > realBits)
+        throw new IllegalArgumentException("HCOMPRESS: truncated stream")
+    }
+    def readBits(k: Int): Int = {
+      val v = peekBits(k)
+      consume(k)
       v
     }
+    def readBit(): Int = readBits(1)
     def readNybble(): Int = readBits(4)
     /** Discard the rest of the current byte (sign bits restart aligned). */
-    def alignByte(): Unit = avail = 0
+    def alignByte(): Unit = {
+      val slack = (consumed % 8).toInt
+      if (slack != 0) { fill(8 - slack); consume(8 - slack) }
+    }
   }
 
   private def writeInt(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
