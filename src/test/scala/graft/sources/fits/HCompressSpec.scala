@@ -133,4 +133,29 @@ class HCompressSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       HCompress.decode(comp.take(comp.length / 2)))
   }
+
+  test("fuzz: mutated streams either decode or refuse — never hang or crash") {
+    // a hostile/corrupt tile payload must be contained: every loop in
+    // the decoder is bounded by the (validated) header dims and plane
+    // counts, so any single-byte mutation ends in a clean result or an
+    // IllegalArgumentException — no other throwable, no runaway
+    val rnd = new scala.util.Random(123)
+    val pix = Array.tabulate(31 * 17)(i => (i * 7) % 300 - 50)
+    val comp = HCompress.encode(pix, 31, 17, 0)
+    var decoded = 0
+    var refused = 0
+    (1 to 500).foreach { _ =>
+      val bad = comp.clone()
+      val hits = 1 + rnd.nextInt(3)
+      (1 to hits).foreach { _ =>
+        bad(rnd.nextInt(bad.length)) = rnd.nextInt(256).toByte
+      }
+      try { HCompress.decode(bad); decoded += 1 }
+      catch { case _: IllegalArgumentException => refused += 1 }
+    }
+    // both outcomes must actually occur across 500 mutations (payload
+    // flips decode to different pixels; header/structure flips refuse)
+    assert(decoded + refused == 500 && decoded > 0 && refused > 0,
+      s"decoded=$decoded refused=$refused")
+  }
 }
