@@ -28,10 +28,18 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main(sf_dir: str, out_dir: str) -> int:
+    import os
     con = duckdb.connect()
     for t in TABLES:
+        # TESTDATA ships single-file tables; CanaryGen (and any
+        # Spark-written dataset) ships a DIRECTORY of part files under
+        # the same name — glob in that case so the 10x/100x corpora can
+        # be hash-verified, not just row-gated
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle_sql = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name, sql in sorted(oracle_sql.items()):
