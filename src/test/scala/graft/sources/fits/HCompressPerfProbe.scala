@@ -26,5 +26,12 @@ class HCompressPerfProbe extends AnyFunSuite {
     val mbs = reps.toLong * h * w * 2.0 / (1 << 20) / sec
     info(f"decode: $mbs%.0f MB/s (int16 payload), ratio ${comp.length.toDouble / (h * w * 2)}%.3f, sink=$sink")
     assert(mbs > 20, f"decode collapsed to $mbs%.0f MB/s")
+    val t1 = System.nanoTime()
+    var esink = 0
+    (1 to reps).foreach { _ => esink ^= HCompress.encode(pix, h, w, 0).length }
+    val esec = (System.nanoTime() - t1) / 1e9
+    val embs = reps.toLong * h * w * 2.0 / (1 << 20) / esec
+    info(f"encode: $embs%.0f MB/s (int16 payload), sink=$esink")
+    assert(embs > 20, f"encode collapsed to $embs%.0f MB/s")
   }
 }
