@@ -744,9 +744,12 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
       else math.min(math.max(1, compressTile._1), math.max(1, line))
     // HCOMPRESS is a 2-D transform: 1-line tiles would degenerate to a
     // 1-D Haar chain, so default to fpack's whole-line × 16-row tiles
+    // (clamped to the partition's height — a ZTILE taller than the
+    // image is convention-legal but needless)
     val tileH =
       if (compressTile != null) math.max(1, compressTile._2)
-      else if (imageCompress == "HCOMPRESS_1") 16
+      else if (imageCompress == "HCOMPRESS_1")
+        math.min(16L, math.max(1L, nRows)).toInt
       else 1
     val nTileCols = if (line == 0) 1 else (line + tileW - 1) / tileW
     val bands = ((nRows + tileH - 1) / tileH).toInt

@@ -390,9 +390,11 @@ object FitsStructure {
       else if (znaxis == 2) {
         val tw = h.longOr("ZTILE1", axes.head)
         val th = h.longOr("ZTILE2", 1L)
-        if (tw < 1 || tw > axes.head || th < 1 || th > axes(1))
-          return fallback(s"ZTILE $tw x $th outside image ${axes.head} x ${axes(1)}")
-        (tw.toInt, th.toInt)
+        if (tw < 1 || th < 1)
+          return fallback(s"ZTILE $tw x $th not positive")
+        // a declared tile LARGER than the image is convention-legal
+        // (the single tile clips to the image) — clamp, don't reject
+        (math.min(tw, axes.head).toInt, math.min(th, axes(1)).toInt)
       } else return fallback("non-row ZTILE layout on a non-2D image")
     // Quantized (lossy) float tiles: stored int32 codes reconstruct as
     // physical = ZSCALE·code + ZZERO (FITS 4.0 §10.2) for NO_DITHER

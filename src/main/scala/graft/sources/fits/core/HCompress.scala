@@ -58,10 +58,37 @@ object HCompress {
   def encode(pix: Array[Int], nx: Int, ny: Int, scale: Int): Array[Byte] = {
     require(nx > 0 && ny > 0 && pix.length == nx * ny,
       s"HCOMPRESS encode: ${pix.length} pixels for $nx x $ny")
-    val a = pix.clone()
-    htrans(a, nx, ny)
+    // The transform runs in Long and narrows afterwards: coefficient
+    // magnitudes grow with both pixel magnitude and tile size, and the
+    // stream stores int32 coefficients — Int arithmetic would WRAP and
+    // decode to silently-wrong pixels (cfitsio's int path shares this
+    // overflow; here it refuses instead). The BLANK sentinel of a
+    // nullable int32 image (Int.MinValue) always lands here.
+    val wide = new Array[Long](pix.length)
+    var k = 0
+    while (k < pix.length) { wide(k) = pix(k).toLong; k += 1 }
+    htrans(wide, nx, ny)
     val s = math.max(scale, 0)
-    if (s > 1) digitize(a, s)
+    if (s > 1) digitize(wide, s)
+    val a = new Array[Int](pix.length)
+    k = 0
+    while (k < pix.length) {
+      val v = wide(k)
+      if (v < Int.MinValue || v > Int.MaxValue) {
+        val hint =
+          if (pix.contains(Int.MinValue))
+            "the image holds Int.MinValue pixels (the nullable-int32 " +
+              "BLANK sentinel cannot survive the H-transform — use " +
+              "RICE_1 or GZIP for nullable int32 images)"
+          else
+            "pixel magnitudes are too large for this tile size — use a " +
+              "smaller compressTile, or RICE_1/GZIP"
+        throw new IllegalArgumentException(
+          s"HCOMPRESS coefficient overflow at $nx x $ny: $hint")
+      }
+      a(k) = v.toInt
+      k += 1
+    }
     val nel = nx * ny
     val out = new java.io.ByteArrayOutputStream(nel / 2 + 64)
     out.write(0xDD); out.write(0x99)
@@ -163,15 +190,15 @@ object HCompress {
     * [[hinv]]), then a shuffle groups same-order coefficients so the
     * next level transforms the sums. Odd edges transform as pairs or
     * pass through, scaled to match. */
-  private def htrans(a: Array[Int], nx: Int, ny: Int): Unit = {
+  private def htrans(a: Array[Long], nx: Int, ny: Int): Unit = {
     val log2n = log2Ceil(math.max(nx, ny))
-    val tmp = new Array[Int]((math.max(nx, ny) + 1) / 2)
+    val tmp = new Array[Long]((math.max(nx, ny) + 1) / 2)
     var shift = 0
-    var mask = -2
-    var mask2 = -4
-    var prnd = 1
-    var prnd2 = 2
-    var nrnd2 = 1
+    var mask = -2L
+    var mask2 = -4L
+    var prnd = 1L
+    var prnd2 = 2L
+    var nrnd2 = 1L
     var nxtop = nx
     var nytop = ny
     var k = 0
@@ -343,8 +370,8 @@ object HCompress {
 
   /** Group even-index elements (next level's sums) into the first half,
     * odd-index (this level's differences) into the second. */
-  private def shuffle(a: Array[Int], off: Int, n: Int, stride: Int,
-      tmp: Array[Int]): Unit = {
+  private def shuffle(a: Array[Long], off: Int, n: Int, stride: Int,
+      tmp: Array[Long]): Unit = {
     var nt = 0
     var i = 1
     while (i < n) { tmp(nt) = a(off + i * stride); nt += 1; i += 2 }
@@ -367,7 +394,7 @@ object HCompress {
     while (t < nt) { a(off + (2 * t + 1) * stride) = tmp(t); t += 1 }
   }
 
-  private def digitize(a: Array[Int], scale: Int): Unit = {
+  private def digitize(a: Array[Long], scale: Int): Unit = {
     val d = (scale + 1) / 2 - 1
     var i = 0
     while (i < a.length) {

@@ -979,6 +979,44 @@ class FitsCompressedSpec extends SparkTestBase {
     } finally Files.deleteIfExists(java.nio.file.Paths.get(p))
   }
 
+  test("HCOMPRESS_1 nullable images: int16 nulls round-trip, int32 refuses") {
+    import spark.implicits._
+    // int16: the widened BLANK sentinel (-32768) is transform-safe
+    val lines16: Seq[(Seq[Option[Short]], Long)] = (0 until 8).map { y =>
+      (Seq.tabulate(16)(x =>
+        if ((y + x) % 5 == 0) None
+        else Some((y * 100 + x).toShort)), y.toLong)
+    }
+    val dir = Files.createTempDirectory("fits-hcnull").toString + "/i16"
+    lines16.toDF("Image", "ImgIndex").coalesce(1)
+      .write.format("fits").option("image", true)
+      .option("compress", "HCOMPRESS_1").mode("append").save(dir)
+    val back = spark.read.format("fits").option("hdu", 1).load(dir)
+      .orderBy("ImgIndex").collect()
+    back.zipWithIndex.foreach { case (r, y) =>
+      val got = r.getSeq[Any](0)
+      (0 until 16).foreach { x =>
+        val want: Any = if ((y + x) % 5 == 0) null else (y * 100 + x).toShort
+        assert(got(x) == want, s"pixel ($y,$x)")
+      }
+    }
+    // int32: the Int.MinValue sentinel cannot survive the transform —
+    // the write must FAIL LOUDLY, never store silently-corrupt nulls
+    val lines32: Seq[(Seq[Option[Int]], Long)] = (0 until 4).map { y =>
+      (Seq.tabulate(8)(x =>
+        if (x == y) None else Some(y * 10 + x)), y.toLong)
+    }
+    val dir2 = Files.createTempDirectory("fits-hcnull").toString + "/i32"
+    val e = intercept[Exception] {
+      lines32.toDF("Image", "ImgIndex").coalesce(1)
+        .write.format("fits").option("image", true)
+        .option("compress", "HCOMPRESS_1").mode("append").save(dir2)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("BLANK sentinel")), e)
+  }
+
   test("HCOMPRESS_1 with SMOOTH != 0 degrades to the raw bintable") {
     import graft.sources.fits.core.HCompress
     val width = 4

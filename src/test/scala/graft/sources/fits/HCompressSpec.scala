@@ -134,6 +134,22 @@ class HCompressSpec extends AnyFunSuite {
       HCompress.decode(comp.take(comp.length / 2)))
   }
 
+  test("coefficient overflow refuses loudly (cfitsio wraps silently here)") {
+    // the nullable-int32 BLANK sentinel: transform coefficients exceed
+    // int32 — must throw with the sentinel hint, not decode to garbage
+    val withSentinel = Array(1, 2, Int.MinValue, 4, 5, 6, Int.MinValue, 8)
+    val e1 = intercept[IllegalArgumentException](
+      HCompress.encode(withSentinel, 2, 4, 0))
+    assert(e1.getMessage.contains("BLANK sentinel"), e1.getMessage)
+    // large magnitudes in a big tile: per-level doubling outgrows int32
+    val big = Array.fill(64 * 64)(1 << 28)
+    val e2 = intercept[IllegalArgumentException](
+      HCompress.encode(big, 64, 64, 0))
+    assert(e2.getMessage.contains("tile size"), e2.getMessage)
+    // the same magnitude in a tiny tile is fine and exact
+    roundTrip(Array(1 << 28, 1 << 28, -(1 << 28), 7), 2, 2)
+  }
+
   test("fuzz: mutated streams either decode or refuse — never hang or crash") {
     // a hostile/corrupt tile payload must be contained: every loop in
     // the decoder is bounded by the (validated) header dims and plane
