@@ -74,7 +74,9 @@ object HCompress {
     k = 0
     while (k < pix.length) {
       val v = wide(k)
-      if (v < Int.MinValue || v > Int.MaxValue) {
+      // The boundary is rejected too: the sign pass stores |coefficient|
+      // and -Int.MinValue wraps, so a magnitude must fit a POSITIVE Int.
+      if (v <= Int.MinValue || v > Int.MaxValue) {
         val hint =
           if (pix.contains(Int.MinValue))
             "the image holds Int.MinValue pixels (the nullable-int32 " +
@@ -140,7 +142,11 @@ object HCompress {
 
   // ---------------------------------------------------------------- decode
 
-  def decode(comp: Array[Byte]): Decoded = {
+  /** Decompress one stream. `expectPix >= 0` pins the pixel count the
+    * caller expects from the enclosing ZTILEn geometry and is validated
+    * against the stream header BEFORE any allocation — a corrupt
+    * 25-byte header can otherwise demand a ~1 GB scratch array. */
+  def decode(comp: Array[Byte], expectPix: Int = -1): Decoded = {
     require(comp.length >= 25, s"HCOMPRESS stream of ${comp.length} bytes")
     require((comp(0) & 0xFF) == 0xDD && (comp(1) & 0xFF) == 0x99,
       "not an HCOMPRESS_1 stream (bad magic)")
@@ -150,6 +156,8 @@ object HCompress {
     val sum = readLong(comp, 14)
     require(nx > 0 && ny > 0 && nx.toLong * ny <= (Int.MaxValue >> 3),
       s"HCOMPRESS tile dims $nx x $ny out of range")
+    require(expectPix < 0 || nx.toLong * ny == expectPix,
+      s"HCOMPRESS tile is $nx x $ny, expected $expectPix pixels")
     require(sum >= Int.MinValue && sum <= Int.MaxValue,
       s"HCOMPRESS DC coefficient $sum overflows int")
     val nb0 = comp(22) & 0xFF
@@ -168,17 +176,36 @@ object HCompress {
     qtreeDecode(rd, a, ny * nx2 + ny2, ny, nx / 2, ny / 2, nb2)
     require(rd.readNybble() == 0, "HCOMPRESS: missing EOF nybble")
     rd.alignByte()
+    // The inverse transform runs in Long, mirroring the forward pass:
+    // hinv's block sums reach 4x the reconstructed pixel, so int32
+    // pixels with |v| >= ~2^29 would wrap in Int arithmetic and decode
+    // to silently-wrong values. Magnitudes widen UNSIGNED (a corrupt
+    // stream can set bit 31 of a bitplane field) and signs apply in
+    // the Long domain.
+    val wide = new Array[Long](nel)
     var i = 0
     while (i < nel) {
-      if (a(i) != 0 && rd.readBit() == 1) a(i) = -a(i)
+      val m = a(i).toLong & 0xFFFFFFFFL
+      wide(i) = if (m != 0 && rd.readBit() == 1) -m else m
       i += 1
     }
-    a(0) = sum.toInt
+    wide(0) = sum
     if (scale > 1) {
       var j = 0
-      while (j < nel) { a(j) *= scale; j += 1 }
+      while (j < nel) { wide(j) *= scale; j += 1 }
     }
-    hinv(a, nx, ny)
+    hinv(wide, nx, ny)
+    // Lossless values always fit int32 exactly; clamping only tames
+    // lossy-scale overshoot and corrupt-stream garbage.
+    var j = 0
+    while (j < nel) {
+      val v = wide(j)
+      a(j) =
+        if (v > Int.MaxValue) Int.MaxValue
+        else if (v < Int.MinValue) Int.MinValue
+        else v.toInt
+      j += 1
+    }
     Decoded(a, nx, ny, scale)
   }
 
@@ -268,11 +295,11 @@ object HCompress {
     * the diagonal coefficient's parity (all four coefficients of a
     * block share parity, and their sum is ≡ 0 mod 4), then invert the
     * block sums. The final level divides by 4 (the forward's level 0
-    * kept full sums). */
-  private def hinv(a: Array[Int], nx: Int, ny: Int): Unit = {
+    * kept full sums). Runs in Long — see [[decode]]. */
+  private def hinv(a: Array[Long], nx: Int, ny: Int): Unit = {
     val log2n = log2Ceil(math.max(nx, ny))
     if (log2n == 0) return
-    val tmp = new Array[Int]((math.max(nx, ny) + 1) / 2)
+    val tmp = new Array[Long]((math.max(nx, ny) + 1) / 2)
     var shift = 1
     var bit0 = 1 << (log2n - 1)
     var bit1 = bit0 << 1
@@ -382,8 +409,8 @@ object HCompress {
     while (t < nt) { a(off + p * stride) = tmp(t); p += 1; t += 1 }
   }
 
-  private def unshuffle(a: Array[Int], off: Int, n: Int, stride: Int,
-      tmp: Array[Int]): Unit = {
+  private def unshuffle(a: Array[Long], off: Int, n: Int, stride: Int,
+      tmp: Array[Long]): Unit = {
     val nhalf = (n + 1) >> 1
     var nt = 0
     var i = nhalf
@@ -418,11 +445,12 @@ object HCompress {
     if (nqx <= 0 || nqy <= 0) {
       // empty quadrant of a 1-wide/1-tall image: planes may still be
       // declared (the count is shared with a nonempty sibling) — emit
-      // the minimal coded form of an all-zero plane
+      // cfitsio's form (the direct-bitmap escape nybble with zero data
+      // nybbles, since bmax computes to 0 for an empty grid) so foreign
+      // decoders parse streams this encoder writes
       var bit = nbitplanes - 1
       while (bit >= 0) {
-        w.writeNybble(0xF)
-        w.writeBits(Code(0), NCode(0))
+        w.writeNybble(0)
         bit -= 1
       }
       return
@@ -492,9 +520,15 @@ object HCompress {
     if (nqx <= 0 || nqy <= 0) {
       var bit = nbitplanes - 1
       while (bit >= 0) {
-        require(r.readNybble() == 0xF,
-          "HCOMPRESS: bad format code in empty quadrant")
-        inputHuffman(r)
+        // Two valid encodings of an all-zero empty plane: this encoder
+        // writes 0xF + the zero Huffman code; cfitsio's encoder takes
+        // the direct-bitmap branch (bmax computes to 0) and emits
+        // nybble 0 followed by zero data nybbles. Accept both so
+        // foreign fpack streams with 1-row/1-column tiles decode.
+        val fmt = r.readNybble()
+        if (fmt == 0xF) inputHuffman(r)
+        else if (fmt != 0) throw new IllegalArgumentException(
+          s"HCOMPRESS: bad format code $fmt in empty quadrant")
         bit -= 1
       }
       return

@@ -28,11 +28,13 @@ object TileCodec {
     case "GZIP_1" => gunzip(comp, nPix * bytepix)
     case "GZIP_2" => unshuffle(gunzip(comp, nPix * bytepix), bytepix)
     case "HCOMPRESS_1" =>
-      val d = HCompress.decode(comp)
-      if (d.nx.toLong * d.ny != nPix)
-        throw new IllegalArgumentException(
-          s"HCOMPRESS tile is ${d.nx}x${d.ny}, expected $nPix pixels")
-      packBE(d.pixels, bytepix)
+      // expected pixel count validated against the stream header BEFORE
+      // the decoder allocates; lossy-scale overshoot near the type
+      // boundary clamps to the bytepix range (lossless values always
+      // fit, so the clamp never alters an exact decode) instead of
+      // wrapping in packBE's toByte/toShort narrowing.
+      val d = HCompress.decode(comp, nPix)
+      packBE(clampToBytepix(d.pixels, bytepix), bytepix)
     case "NOCOMPRESS" =>
       if (comp.length != nPix * bytepix)
         throw new IllegalArgumentException(
@@ -70,6 +72,23 @@ object TileCodec {
         HCompress.encode(unpackBE(tile, bytepix), tileH, tileW, hscale)
       case other => compress(other, tile, bytepix, blocksize)
     }
+
+  /** Clamp decoded pixels to the representable range of the target
+    * element width, in place (FITS bytes are unsigned 0..255, wider
+    * integers signed). bytepix 4 is untouched — the decoder already
+    * bounds its output to Int. */
+  private def clampToBytepix(pix: Array[Int], bytepix: Int): Array[Int] = {
+    if (bytepix == 1 || bytepix == 2) {
+      val lo = if (bytepix == 1) 0 else Short.MinValue.toInt
+      val hi = if (bytepix == 1) 255 else Short.MaxValue.toInt
+      var i = 0
+      while (i < pix.length) {
+        if (pix(i) < lo) pix(i) = lo else if (pix(i) > hi) pix(i) = hi
+        i += 1
+      }
+    }
+    pix
+  }
 
   /** Big-endian payload → int pixels: FITS bytes are unsigned, wider
     * integers signed (FITS 4.0 §5.2). */

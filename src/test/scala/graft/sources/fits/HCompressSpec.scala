@@ -150,6 +150,97 @@ class HCompressSpec extends AnyFunSuite {
     roundTrip(Array(1 << 28, 1 << 28, -(1 << 28), 7), 2, 2)
   }
 
+  test("lossless at |pixel| >= 2^29: inverse-transform sums exceed int32") {
+    // hinv's block sums reach 4x the reconstructed pixel; these encode
+    // fine (all coefficients fit int32) but would decode to wrapped
+    // garbage if the inverse transform ran in Int arithmetic
+    roundTrip(Array(1 << 29, 0, 0, 1 << 29), 2, 2)
+    roundTrip(Array(-(1 << 29), 0, 0, -(1 << 29)), 2, 2)
+    // single hot pixel of 2^30 in a 4x4: level-0 coefficients are
+    // ±2^30, reconstruction sums hit ±2^32 before the >>2
+    val hot = new Array[Int](16)
+    hot(0) = 1 << 30
+    roundTrip(hot, 4, 4)
+    hot(0) = -(1 << 30)
+    roundTrip(hot, 4, 4)
+    // randomized 2x2 at 2^29..2^30 magnitude: every image either
+    // round-trips exactly or the encoder refuses — never silently wrong
+    val rnd = new scala.util.Random(31)
+    var trips = 0
+    (1 to 200).foreach { _ =>
+      val mag = (1 << 29) + rnd.nextInt(1 << 29)
+      val pix = Array.fill(4)(if (rnd.nextBoolean()) mag else -mag)
+      try { roundTrip(pix, 2, 2); trips += 1 }
+      catch { case e: IllegalArgumentException =>
+        assert(e.getMessage.contains("overflow"), e.getMessage) }
+    }
+    assert(trips > 0)
+  }
+
+  test("coefficient of exactly -2^31 is refused (sign pass would wrap)") {
+    // 2x1 image [0, -2^30]: hx = (a1 - a0) << 1 = -2^31 — representable
+    // as an Int but its magnitude is not, so the |coefficient| pass
+    // would wrap back to -2^31 and strand the sign bit
+    val e = intercept[IllegalArgumentException](
+      HCompress.encode(Array(0, -(1 << 30)), 2, 1, 0))
+    assert(e.getMessage.contains("overflow"), e.getMessage)
+  }
+
+  test("decode validates expected pixel count before allocating") {
+    val comp = HCompress.encode(Array(1, 2, 3, 4, 5, 6), 2, 3, 0)
+    assert(HCompress.decode(comp, 6).pixels.toSeq == Seq(1, 2, 3, 4, 5, 6))
+    val e = intercept[IllegalArgumentException](HCompress.decode(comp, 9))
+    assert(e.getMessage.contains("expected 9"), e.getMessage)
+    // a corrupt header demanding a huge tile must refuse without the
+    // decoder ever allocating for the claimed dims
+    val bad = comp.clone()
+    bad(2) = 0x01; bad(3) = 0; bad(4) = 0; bad(5) = 0 // nx = 2^24
+    intercept[IllegalArgumentException](HCompress.decode(bad, 6))
+  }
+
+  test("empty-quadrant planes: both 0xF-coded and cfitsio nybble-0 forms decode") {
+    // 1-row images have empty bottom quadrants whose plane count is
+    // shared with a nonempty sibling. This encoder emits cfitsio's
+    // direct-bitmap escape (a lone 0 nybble per plane); earlier streams
+    // used 0xF + the zero Huffman code. The decoder accepts both.
+    def stream(emptyPlane: (Int, Int)): Array[Byte] = {
+      // hand-built stream for the 1x2 image [5, 3]: coefficients after
+      // the transform are DC=16 and hy=-4 (3 bitplanes in quadrant 1,
+      // quadrant 2 empty with the shared count of 3, others 0 planes)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0xDD); out.write(0x99)
+      def int(v: Int): Unit = { out.write(v >>> 24); out.write((v >>> 16) & 0xFF); out.write((v >>> 8) & 0xFF); out.write(v & 0xFF) }
+      int(1); int(2); int(0) // nx, ny, scale
+      int(0); int(16)        // DC long
+      out.write(0); out.write(3); out.write(0) // bitplane counts
+      var acc = 0L; var nbits = 0
+      def bits(v: Int, n: Int): Unit = {
+        acc = (acc << n) | (v & ((1 << n) - 1)); nbits += n
+        while (nbits >= 8) { out.write(((acc >>> (nbits - 8)) & 0xFF).toInt); nbits -= 8 }
+      }
+      // quadrant 1 (hy = |4|, sign separate): plane 2 set -> 0xF + code
+      // for nybble 8 (binary 011); planes 1,0 empty -> 0xF + code(0)
+      bits(0xF, 4); bits(0x03, 3)
+      bits(0xF, 4); bits(0x3e, 6)
+      bits(0xF, 4); bits(0x3e, 6)
+      // quadrant 2: empty, 3 shared planes, in the form under test
+      (1 to 3).foreach(_ => bits(emptyPlane._1, emptyPlane._2))
+      bits(0, 4) // EOF
+      if (nbits > 0) bits(0, 8 - nbits) // byte-align
+      out.write(0x80) // one sign bit: hy is negative
+      out.toByteArray
+    }
+    val legacy = stream(((0xF << 6) | 0x3e, 10)) // 0xF + code(0)
+    val cfitsio = stream((0, 4))                 // lone 0 nybble
+    for (s <- Seq(legacy, cfitsio)) {
+      val d = HCompress.decode(s)
+      assert(d.nx == 1 && d.ny == 2)
+      assert(d.pixels.toSeq == Seq(5, 3), d.pixels.toSeq)
+    }
+    // and the encoder now emits the cfitsio form byte-for-byte
+    assert(HCompress.encode(Array(5, 3), 1, 2, 0).toSeq == cfitsio.toSeq)
+  }
+
   test("fuzz: mutated streams either decode or refuse — never hang or crash") {
     // a hostile/corrupt tile payload must be contained: every loop in
     // the decoder is bounded by the (validated) header dims and plane
