@@ -335,6 +335,27 @@ object Relational {
         $"approx_cnt", $"exact_cnt",
         (abs($"approx_cnt" - $"exact_cnt") / $"exact_cnt").as("rel_err"))
 
+  /** B19 driver-checkable gate (r12 verdict ask #2) — the twin that
+    * de-vacuates [[q19_approx]]'s rows-only status: emits every
+    * (year, priority) group whose HLL estimate lands within 5% of the
+    * exact distinct count, and the oracle is the FULL group list, so
+    * any group where the sketch collapses (broken merge, wrong
+    * precision) turns the driver row red. The sketch precision is
+    * pinned at rsd 0.01, making the 5% allowance a 5-sigma band:
+    * deterministic for any fixed corpus (HLL is hash-based, no RNG)
+    * and stable under canary replication, which only adds duplicates
+    * HLL ignores by construction. */
+  val q19_approx_gate: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(year($"o_orderdate").cast(LongType).as("o_year"),
+        $"o_orderpriority")
+      .agg(
+        approx_count_distinct($"o_custkey", 0.01).as("approx_cnt"),
+        countDistinct($"o_custkey").as("exact_cnt"))
+      .filter(abs($"approx_cnt" - $"exact_cnt") <= $"exact_cnt" * lit(0.05))
+      .select($"o_year", $"o_orderpriority")
+      .orderBy($"o_year", $"o_orderpriority")
+
   // ------------------------------------------------------------------ B20
 
   /** B20 scalar expression (codegen'd, no UDF): net price. */
@@ -667,6 +688,7 @@ object Relational {
     "q18_json" -> q18_json,
     "q18_from_json" -> q18_from_json,
     "q19_approx" -> q19_approx,
+    "q19_approx_gate" -> q19_approx_gate,
     "q20_expr" -> q20_expr,
     "q21_stddev" -> q21_stddev,
     "q21_sigmaclip" -> q21_sigmaclip,
@@ -682,9 +704,14 @@ object Relational {
 
   /** DuckDB-compatible oracle SQL. Keys mirror `queries`; column aliases
     * match the Spark output exactly (the driver compare sorts columns by
-    * name before hashing). q19_approx intentionally has no oracle.
+    * name before hashing). q19_approx intentionally has no oracle —
+    * its driver-checkable twin is q19_approx_gate.
     */
   val oracles: Map[String, String] = Map(
+    "q19_approx_gate" ->
+      """SELECT DISTINCT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+        |  AS o_year, o_orderpriority
+        |FROM orders ORDER BY 1, 2""".stripMargin,
     "q27_bucket_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue

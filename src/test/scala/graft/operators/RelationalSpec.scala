@@ -69,6 +69,19 @@ class RelationalSpec extends SparkTestBase {
     assert(r.getDouble(2) < 0.05, s"rel_err=${r.getDouble(2)}")
   }
 
+  test("q19 gate emits the FULL group list (every HLL estimate in band)") {
+    import org.apache.spark.sql.functions.{countDistinct, year}
+    val got = Relational.q19_approx_gate(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = graft.Tables.load(spark, sf0001, "orders")
+      .select(year(org.apache.spark.sql.functions.col("o_orderdate"))
+        .cast("long").as("y"), org.apache.spark.sql.functions.col("o_orderpriority").as("p"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(got.toSeq == want.toSeq,
+      s"groups out of the 5%% band: ${want.toSet -- got.toSet}")
+    assert(got.nonEmpty)
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
