@@ -145,6 +145,11 @@ final case class FitsResolution(options: Map[String, String]) {
     require(s >= 0, s"hcompScale must be >= 0, got '$v'")
     s
   }.getOrElse(0)
+  /** Write option (with lossy `hcompScale`): record `SMOOTH = 1` so
+    * readers apply the smoothed reconstruction (decode-side
+    * interpolation inside the quantization interval — the data stream
+    * itself is unchanged). */
+  val hcompSmooth: Boolean = ci.get("hcompsmooth").exists(_.toBoolean)
   /** Write option (image modes): emit DATASUM + CHECKSUM cards per the
     * FITS checksum convention (one extra sequential pass over the
     * partition's spill). Verify with [[FitsChecksumReport]]. */

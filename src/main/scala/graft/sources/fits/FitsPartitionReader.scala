@@ -507,7 +507,7 @@ object FitsPartitionReader {
     val cdB = payloadOf(m.cd._1, m.cd._2)
     if (cdB != null)
       TileCodec.decompress(m.cmpType, cdB, nPix, m.bytepix,
-        m.blocksize)
+        m.blocksize, hsmooth = m.hsmooth)
     else {
       val gzB = m.gz.map(g => payloadOf(g._1, g._2)).orNull
       if (gzB != null) TileCodec.gunzip(gzB, expect)

@@ -177,6 +177,10 @@ object FitsWriteSupport {
     if (res.hcompScale > 0)
       require(res.imageCompress.contains("HCOMPRESS_1"),
         "option 'hcompScale' applies only with compress = HCOMPRESS_1")
+    if (res.hcompSmooth)
+      require(res.hcompScale > 1,
+        "option 'hcompSmooth' applies only with a lossy hcompScale > 1 " +
+          "(smoothed reconstruction is a no-op for lossless tiles)")
   }
 
   /** BITPIX for an image element code. */
@@ -233,6 +237,7 @@ final class FitsStreamingWrite(res: FitsResolution, schema: StructType)
     val dith = res.dither
     val dithSeed = res.ditherSeed
     val hsc = res.hcompScale
+    val hsm = res.hcompSmooth
     new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] =
@@ -240,7 +245,8 @@ final class FitsStreamingWrite(res: FitsResolution, schema: StructType)
           nameTag = s"e$epochId", imageMode = img,
           imageCompress = cmp.orNull, checksum = sum,
           compressTile = tile.orNull, quantize = quant.getOrElse(0.0),
-          dither = dith, ditherSeed = dithSeed, hcompScale = hsc)
+          dither = dith, ditherSeed = dithSeed, hcompScale = hsc,
+          hcompSmooth = hsm)
     }
   }
 
@@ -275,7 +281,7 @@ final class FitsBatchWrite(res: FitsResolution, schema: StructType,
     new FitsDataWriterFactory(res.pathSpec, schema, props, res.imageWrite,
       res.imageCompress.orNull, res.checksumWrite,
       res.compressTile.orNull, res.quantize.getOrElse(0.0),
-      res.dither, res.ditherSeed, res.hcompScale)
+      res.dither, res.ditherSeed, res.hcompScale, res.hcompSmooth)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -297,13 +303,15 @@ final class FitsDataWriterFactory(dirSpec: String, schema: StructType,
     confProps: Array[(String, String)], imageMode: Boolean = false,
     imageCompress: String = null, checksum: Boolean = false,
     compressTile: (Int, Int) = null, quantize: Double = 0.0,
-    dither: Int = 0, ditherSeed: Int = 1, hcompScale: Int = 0)
+    dither: Int = 0, ditherSeed: Int = 1, hcompScale: Int = 0,
+    hcompSmooth: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new FitsDataWriter(dirSpec, schema, partitionId, taskId, confProps,
       imageMode = imageMode, imageCompress = imageCompress,
       checksum = checksum, compressTile = compressTile, quantize = quantize,
-      dither = dither, ditherSeed = ditherSeed, hcompScale = hcompScale)
+      dither = dither, ditherSeed = ditherSeed, hcompScale = hcompScale,
+      hcompSmooth = hcompSmooth)
 }
 
 final class FitsDataWriter(dirSpec: String, schema: StructType,
@@ -311,7 +319,8 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
     nameTag: String = "", imageMode: Boolean = false,
     imageCompress: String = null, checksum: Boolean = false,
     compressTile: (Int, Int) = null, quantize: Double = 0.0,
-    dither: Int = 0, ditherSeed: Int = 1, hcompScale: Int = 0)
+    dither: Int = 0, ditherSeed: Int = 1, hcompScale: Int = 0,
+    hcompSmooth: Boolean = false)
     extends DataWriter[InternalRow] {
   import FitsWriteSupport._
 
@@ -880,7 +889,8 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
         card("ZVAL2", bytepix.toString)) ++
         (if (imageCompress == "HCOMPRESS_1") Seq(
           card("ZNAME3", quoted("SCALE")), card("ZVAL3", hcompScale.toString),
-          card("ZNAME4", quoted("SMOOTH")), card("ZVAL4", "0"))
+          card("ZNAME4", quoted("SMOOTH")),
+          card("ZVAL4", if (hcompSmooth) "1" else "0"))
          else Nil)
       out.write(
         if (checksum) headerWithChecksum(btCards, dataSum)

@@ -113,7 +113,8 @@ object HduMeta {
       uc: Option[(Int, TForm.VarArr)],
       heapStart: Long = -1L,
       tileW: Int = 0, tileH: Int = 1,
-      quant: Option[Quant] = None) extends HduMeta {
+      quant: Option[Quant] = None,
+      hsmooth: Boolean = false) extends HduMeta {
     def lineElems: Int = if (axes.isEmpty) 0 else axes.head.toInt
     /** effective tile width: 0 in `tileW` means whole-line tiles (the
       * row-tiled layout every writer here produces) */
@@ -459,13 +460,12 @@ object FitsStructure {
     def intParam(k: String, dflt: Int): Int =
       zvals.get(k).flatMap(v =>
         scala.util.Try(v.toDouble.toInt).toOption).getOrElse(dflt)
-    // HCOMPRESS smoothed reconstruction is out of envelope: decoding a
-    // SMOOTH file without the interpolation step would yield different
-    // pixels than its writer intended — degrade instead of differ.
-    // (The SCALE parameter needs no check here: each tile's stream
-    // carries its own scale and the decoder honors it.)
-    if (cmp == "HCOMPRESS_1" && intParam("SMOOTH", 0) != 0)
-      return fallback("HCOMPRESS_1 with SMOOTH != 0")
+    // HCOMPRESS SMOOTH != 0 selects the lossy-mode smoothed
+    // reconstruction (HCompress.hsmooth) — a decode-side interpolation
+    // clamped inside the quantization interval, no-op for lossless
+    // tiles. (The SCALE parameter needs no check here: each tile's
+    // stream carries its own scale and the decoder honors it.)
+    val hsmoothFlag = cmp == "HCOMPRESS_1" && intParam("SMOOTH", 0) != 0
     // quantized tiles store int32 CODES whatever the original float
     // width; plain tiles store the element itself
     val storedWidth = if (quantized) 4 else raw.width
@@ -513,7 +513,8 @@ object FitsStructure {
     HduMeta.CompImage(elem, axes, cmp, bytepix, blocksize,
       bt.rowBytes, bt.nRows, cd,
       varCol("GZIP_COMPRESSED_DATA"), varCol("UNCOMPRESSED_DATA"),
-      tileW = tileW, tileH = tileH, quant = quantInfo)
+      tileW = tileW, tileH = tileH, quant = quantInfo,
+      hsmooth = hsmoothFlag)
   }
 
   private def imageMeta(h: FitsHeader): HduMeta = {

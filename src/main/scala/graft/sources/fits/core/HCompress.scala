@@ -29,9 +29,8 @@ package graft.sources.fits.core
   * error bound, and the escape paths are spec-gated in HCompressSpec,
   * but this container ships no cfitsio/fpack binary, so decoding of
   * FOREIGN streams rests on the published format description alone.
-  * Smoothed reconstruction (`ZVALn SMOOTH != 0`) is out of envelope —
-  * [[FitsStructure]] degrades such files to the raw bintable rather
-  * than decode them to different pixel values than their writer would.
+  * Smoothed reconstruction (`ZVALn SMOOTH != 0`) is implemented — see
+  * [[hsmooth]] for the formulation and its interop caveat.
   */
 object HCompress {
 
@@ -145,8 +144,12 @@ object HCompress {
   /** Decompress one stream. `expectPix >= 0` pins the pixel count the
     * caller expects from the enclosing ZTILEn geometry and is validated
     * against the stream header BEFORE any allocation — a corrupt
-    * 25-byte header can otherwise demand a ~1 GB scratch array. */
-  def decode(comp: Array[Byte], expectPix: Int = -1): Decoded = {
+    * 25-byte header can otherwise demand a ~1 GB scratch array.
+    * `smooth` enables the lossy-mode smoothed reconstruction (the
+    * `ZVALn SMOOTH != 0` convention flag) — see [[hsmooth]]; it is a
+    * no-op for lossless streams (scale ≤ 1). */
+  def decode(comp: Array[Byte], expectPix: Int = -1,
+      smooth: Boolean = false): Decoded = {
     require(comp.length >= 25, s"HCOMPRESS stream of ${comp.length} bytes")
     require((comp(0) & 0xFF) == 0xDD && (comp(1) & 0xFF) == 0x99,
       "not an HCOMPRESS_1 stream (bad magic)")
@@ -194,7 +197,7 @@ object HCompress {
       var j = 0
       while (j < nel) { wide(j) *= scale; j += 1 }
     }
-    hinv(wide, nx, ny)
+    hinv(wide, nx, ny, if (smooth) scale else 0)
     // Lossless values always fit int32 exactly; clamping only tames
     // lossy-scale overshoot and corrupt-stream garbage.
     var j = 0
@@ -295,8 +298,10 @@ object HCompress {
     * the diagonal coefficient's parity (all four coefficients of a
     * block share parity, and their sum is ≡ 0 mod 4), then invert the
     * block sums. The final level divides by 4 (the forward's level 0
-    * kept full sums). Runs in Long — see [[decode]]. */
-  private def hinv(a: Array[Long], nx: Int, ny: Int): Unit = {
+    * kept full sums). Runs in Long — see [[decode]]. `smoothScale > 1`
+    * applies [[hsmooth]] at each level before the block inversion. */
+  private def hinv(a: Array[Long], nx: Int, ny: Int,
+      smoothScale: Int = 0): Unit = {
     val log2n = log2Ceil(math.max(nx, ny))
     if (log2n == 0) return
     val tmp = new Array[Long]((math.max(nx, ny) + 1) / 2)
@@ -326,6 +331,7 @@ object HCompress {
       while (rr < nxtop) { unshuffle(a, rr * ny, nytop, 1, tmp); rr += 1 }
       var cc = 0
       while (cc < nytop) { unshuffle(a, cc, nxtop, ny, tmp); cc += 1 }
+      if (smoothScale > 1) hsmooth(a, nxtop, nytop, ny, smoothScale)
       val oddx = nxtop & 1
       val oddy = nytop & 1
       var i = 0
@@ -392,6 +398,104 @@ object HCompress {
       nrnd1 = nrnd0
       nrnd0 = prnd0 - 1
       k -= 1
+    }
+  }
+
+  /** Smoothed reconstruction for lossy streams (White 1992 §"getting
+    * rid of the blocks"; the convention's `SMOOTH` parameter). After
+    * digitization each coefficient is only known to within ±scale/2,
+    * so the decoder is free to move it anywhere inside that interval.
+    * This pass replaces each interior difference coefficient with the
+    * value INTERPOLATED from the neighboring zones' sums — the
+    * gradient a smooth image would have — but never moves it more than
+    * scale/2 from its decoded value, which preserves the lossy error
+    * bound exactly (a smoothed reconstruction is as consistent with
+    * the true image as the unsmoothed one; it just isn't blocky).
+    *
+    * Targets, derived from the coefficient definitions on a locally
+    * linear/bilinear surface (zone centers sit 2 units apart at every
+    * level, so a unit-slope surface has h0 differences 8× its hx/hy
+    * and diagonal-h0 curvature 64× its hc):
+    *   hx ← (h0[x+1] − h0[x−1]) / 8, hy ← (h0[y+1] − h0[y−1]) / 8,
+    *   hc ← (h0[++] + h0[−−] − h0[−+] − h0[+−]) / 64,
+    * with the hx/hy targets additionally monotonicity-constrained (the
+    * interpolated slope may not exceed 4× the smaller one-sided h0
+    * slope, and is not applied at all across a local extremum) so
+    * smoothing cannot manufacture overshoot at edges. Edge zones are
+    * left untouched. Division rounds toward zero.
+    *
+    * Interop caveat, stated honestly: the ±scale/2 clamp and the
+    * hx/hy formulation follow the published description, but the
+    * container ships no cfitsio/fpack to cross-check, so a foreign
+    * SMOOTH file may reconstruct to slightly different (equally
+    * in-bound) pixels than its writer's own decoder would produce —
+    * both lie inside the same quantization interval of the original. */
+  private def hsmooth(a: Array[Long], nxtop: Int, nytop: Int, ny: Int,
+      scale: Int): Unit = {
+    val smax = scale >> 1
+    if (smax <= 0) return
+    val ny2 = ny << 1
+    // hx: x-direction differences, interior block rows only
+    var i = 2
+    while (i < nxtop - 2) {
+      var j = 0
+      while (j < nytop) {
+        val s00 = ny * i + j
+        val s10 = s00 + ny
+        val hm = a(s00 - ny2)
+        val h0 = a(s00)
+        val hp = a(s00 + ny2)
+        val dmax = math.max(math.min(hp - h0, h0 - hm), 0L) << 2
+        val dmin = math.min(math.max(hp - h0, h0 - hm), 0L) << 2
+        if (dmin < dmax) {
+          val diff = math.max(math.min(hp - hm, dmax), dmin)
+          var s = diff - (a(s10) << 3)
+          s = if (s >= 0) s >> 3 else -((-s) >> 3)
+          s = math.max(math.min(s, smax.toLong), -smax.toLong)
+          a(s10) += s
+        }
+        j += 2
+      }
+      i += 2
+    }
+    // hy: y-direction differences, interior block columns only
+    i = 0
+    while (i < nxtop) {
+      var j = 2
+      while (j < nytop - 2) {
+        val s00 = ny * i + j
+        val hm = a(s00 - 2)
+        val h0 = a(s00)
+        val hp = a(s00 + 2)
+        val dmax = math.max(math.min(hp - h0, h0 - hm), 0L) << 2
+        val dmin = math.min(math.max(hp - h0, h0 - hm), 0L) << 2
+        if (dmin < dmax) {
+          val diff = math.max(math.min(hp - hm, dmax), dmin)
+          var s = diff - (a(s00 + 1) << 3)
+          s = if (s >= 0) s >> 3 else -((-s) >> 3)
+          s = math.max(math.min(s, smax.toLong), -smax.toLong)
+          a(s00 + 1) += s
+        }
+        j += 2
+      }
+      i += 2
+    }
+    // hc: cross term from the four diagonal zones, interior both ways
+    i = 2
+    while (i < nxtop - 2) {
+      var j = 2
+      while (j < nytop - 2) {
+        val s00 = ny * i + j
+        val s10 = s00 + ny
+        val diff = a(s00 + ny2 + 2) + a(s00 - ny2 - 2) -
+          a(s00 - ny2 + 2) - a(s00 + ny2 - 2)
+        var s = diff - (a(s10 + 1) << 6)
+        s = if (s >= 0) s >> 6 else -((-s) >> 6)
+        s = math.max(math.min(s, smax.toLong), -smax.toLong)
+        a(s10 + 1) += s
+        j += 2
+      }
+      i += 2
     }
   }
 

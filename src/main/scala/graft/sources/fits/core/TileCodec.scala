@@ -22,8 +22,11 @@ object TileCodec {
   val Supported: Set[String] =
     Set("RICE_1", "GZIP_1", "GZIP_2", "HCOMPRESS_1", "NOCOMPRESS")
 
+  /** `hsmooth` applies only to HCOMPRESS_1 (the convention's SMOOTH
+    * parameter — lossy-mode smoothed reconstruction). */
   def decompress(cmpType: String, comp: Array[Byte], nPix: Int,
-      bytepix: Int, blocksize: Int): Array[Byte] = cmpType match {
+      bytepix: Int, blocksize: Int,
+      hsmooth: Boolean = false): Array[Byte] = cmpType match {
     case "RICE_1" => Rice.decode(comp, nPix, bytepix, blocksize)
     case "GZIP_1" => gunzip(comp, nPix * bytepix)
     case "GZIP_2" => unshuffle(gunzip(comp, nPix * bytepix), bytepix)
@@ -33,7 +36,7 @@ object TileCodec {
       // boundary clamps to the bytepix range (lossless values always
       // fit, so the clamp never alters an exact decode) instead of
       // wrapping in packBE's toByte/toShort narrowing.
-      val d = HCompress.decode(comp, nPix)
+      val d = HCompress.decode(comp, nPix, smooth = hsmooth)
       packBE(clampToBytepix(d.pixels, bytepix), bytepix)
     case "NOCOMPRESS" =>
       if (comp.length != nPix * bytepix)

@@ -1035,8 +1035,11 @@ class FitsCompressedSpec extends SparkTestBase {
     assert(msgs(e).exists(_.contains("BLANK sentinel")), e)
   }
 
-  test("HCOMPRESS_1 with SMOOTH != 0 degrades to the raw bintable") {
-    import graft.sources.fits.core.HCompress
+  test("HCOMPRESS_1 with SMOOTH != 0 decodes (lossless: exactly; no more degrade)") {
+    // r12 degraded SMOOTH files to the raw bintable; the smoothed
+    // reconstruction is now implemented, and for a LOSSLESS stream it
+    // is a guaranteed no-op — so this foreign-layout file must decode
+    // to the exact pixels
     val width = 4
     val stream = HCompress.encode(Array(1, 2, 3, 4), 1, width, 0)
     val p = Files.createTempFile("graft-hcsm", ".fits").toString
@@ -1047,7 +1050,55 @@ class FitsCompressedSpec extends SparkTestBase {
         card("ZNAME4", "'SMOOTH  '"), card("ZVAL4", "1")))
     try {
       val df = spark.read.format("fits").option("hdu", 1).load(p)
-      assert(df.columns.toSeq == Seq("COMPRESSED_DATA"))
+      assert(df.columns.contains("Image"), df.columns.toSeq)
+      val line = df.collect().head.getSeq[Int](df.columns.indexOf("Image"))
+      assert(line == Seq(1, 2, 3, 4), line)
     } finally Files.deleteIfExists(java.nio.file.Paths.get(p))
+  }
+
+  test("hcompSmooth write flag: SMOOTH=1 recorded and honored end-to-end") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val (width, scale) = (40, 8)
+    val src = (0 until 64).map(r =>
+      (r.toLong, (0 until width).map(c => 300 + r * 4 + c * 3).toArray))
+      .toDF("ImgIndex", "Image")
+    val base = Files.createTempDirectory("fits-hcsm").toString
+    val sdir = base + "/smooth"
+    val pdir = base + "/plain"
+    for ((d, sm) <- Seq((sdir, true), (pdir, false)))
+      src.coalesce(1).write.format("fits")
+        .option("image", true).option("compress", "HCOMPRESS_1")
+        .option("hcompScale", scale).option("hcompSmooth", sm)
+        .mode("append").save(d)
+    // the smooth dir's header records SMOOTH = 1
+    val part = new java.io.File(sdir).listFiles()
+      .filter(_.getName.endsWith(".fits")).head
+    val cards = new String(java.util.Arrays.copyOfRange(
+      Files.readAllBytes(part.toPath), 2880, 2880 * 2), "US-ASCII")
+      .grouped(80).map(_.trim).toSeq
+    assert(cards.exists(c => c.startsWith("ZVAL4") && c.contains("1")), cards)
+    def readBack(d: String): Array[Array[Int]] =
+      spark.read.format("fits").option("hdu", 1).load(d)
+        .orderBy("ImgIndex").select(col("Image")).as[Array[Int]].collect()
+    val smooth = readBack(sdir)
+    val plain = readBack(pdir)
+    val want = src.orderBy("ImgIndex").select("Image").as[Array[Int]].collect()
+    // bounded error either way; the flag actually changes the decode
+    def maxErr(got: Array[Array[Int]]): Int = got.zip(want).flatMap {
+      case (g, w) => g.zip(w).map { case (a, b) => math.abs(a - b) } }.max
+    assert(maxErr(smooth) <= 2 * scale, s"smooth err ${maxErr(smooth)}")
+    assert(maxErr(plain) <= 2 * scale, s"plain err ${maxErr(plain)}")
+    assert(smooth.flatten.toSeq != plain.flatten.toSeq,
+      "SMOOTH=1 did not change the lossy reconstruction")
+    // hcompSmooth without a lossy scale is a refused no-op combination
+    val e = intercept[Exception] {
+      src.write.format("fits").option("image", true)
+        .option("compress", "HCOMPRESS_1").option("hcompSmooth", true)
+        .mode("append").save(base + "/bad")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("hcompSmooth")), e)
   }
 }

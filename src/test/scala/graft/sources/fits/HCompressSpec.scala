@@ -241,6 +241,47 @@ class HCompressSpec extends AnyFunSuite {
     assert(HCompress.encode(Array(5, 3), 1, 2, 0).toSeq == cfitsio.toSeq)
   }
 
+  test("smoothed reconstruction: lossless no-op, lossy stays in-bound and less blocky") {
+    val (nx, ny) = (32, 32)
+    val pix = Array.tabulate(nx * ny)(i => (i / ny) * 3 + (i % ny) * 2)
+    // lossless: smax = scale/2 = 0, smoothing must be bit-exact no-op
+    val c0 = HCompress.encode(pix, nx, ny, 0)
+    assert(HCompress.decode(c0, smooth = true).pixels.toSeq ==
+      HCompress.decode(c0).pixels.toSeq)
+    // lossy ramp: smoothing moves coefficients only inside their
+    // quantization interval, so the reconstruction bound holds — and on
+    // a pure gradient the interpolation matches the truth, so the
+    // output must be measurably LESS blocky than the plain decode
+    val scale = 16
+    val cl = HCompress.encode(pix, nx, ny, scale)
+    val plain = HCompress.decode(cl).pixels
+    val smoothed = HCompress.decode(cl, smooth = true).pixels
+    def maxErr(d: Array[Int]): Int =
+      d.zip(pix).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr(smoothed) <= 2 * scale, s"smoothed err ${maxErr(smoothed)}")
+    assert(!smoothed.sameElements(plain), "smoothing was a no-op on a lossy ramp")
+    // roughness = sum |second difference| along rows + columns
+    def rough(d: Array[Int]): Long = {
+      var s = 0L
+      for (r <- 0 until nx; c <- 1 until ny - 1)
+        s += math.abs(d(r * ny + c - 1) - 2L * d(r * ny + c) + d(r * ny + c + 1))
+      for (c <- 0 until ny; r <- 1 until nx - 1)
+        s += math.abs(d((r - 1) * ny + c) - 2L * d(r * ny + c) + d((r + 1) * ny + c))
+      s
+    }
+    assert(rough(smoothed) < rough(plain),
+      s"roughness ${rough(smoothed)} !< ${rough(plain)}")
+    // noisy image: the bound must hold even where interpolation is a
+    // poor model (clamp does the work, not the smoothness assumption)
+    val rnd = new scala.util.Random(5)
+    val noisy = Array.tabulate(nx * ny)(i =>
+      1000 + (i / ny) * 4 + rnd.nextInt(30))
+    val cn = HCompress.encode(noisy, nx, ny, scale)
+    val sn = HCompress.decode(cn, smooth = true).pixels
+    val errN = sn.zip(noisy).map { case (a, b) => math.abs(a - b) }.max
+    assert(errN <= 2 * scale + scale / 2, s"noisy smoothed err $errN")
+  }
+
   test("fuzz: mutated streams either decode or refuse — never hang or crash") {
     // a hostile/corrupt tile payload must be contained: every loop in
     // the decoder is bounded by the (validated) header dims and plane
