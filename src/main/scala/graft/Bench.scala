@@ -168,11 +168,26 @@ object Bench {
     val degraded = loadPre > machineCpus * 0.25 || loadMax > machineCpus * 1.25
     val loadFields =
       f""""load_pre":$loadPre%.1f,"load_max":$loadMax%.1f,"machine_cpus":$machineCpus,"degraded":$degraded"""
+    // run label + timestamp make bench artifacts historically
+    // comparable (r12 verdict ask #4): BENCH_SUMMARY.json is
+    // latest-run-wins, so every full record is ALSO appended to
+    // BENCH_HISTORY.jsonl — one labeled line per run, committed with
+    // the repo, so a per-key round-over-round diff is always
+    // computable even though the driver's stdout tail window cannot
+    // carry the 92-key map inline.
+    val runLabel = sys.env.getOrElse("SPARK_GRAFT_RUN", "unlabeled")
+    val runFields =
+      s""""run":"$runLabel","ts":"${java.time.Instant.now()}""""
     val full =
-      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rowsJson,"sf":"$sfDir","failed":$failedJson,$loadFields,"sim_ivf_build_s":$ivfBuildSec%.3f,"bucket_build_s":$bucketBuildSec%.3f$fits}"""
+      f"""{"metric":"total","value":$total,"unit":"sec",$runFields,"queries":$qs,"rows":$rowsJson,"sf":"$sfDir","failed":$failedJson,$loadFields,"sim_ivf_build_s":$ivfBuildSec%.3f,"bucket_build_s":$bucketBuildSec%.3f$fits}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SUMMARY.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     // STDOUT line: same shape, but sized for the driver's tail window —
     // millisecond-precision timings and no rows map (those live in the
     // file, pointed at by "detail"). ~1.7 KB today; the length guard
@@ -184,7 +199,8 @@ object Bench {
       .mkString("{", ",", "}")
     val tailFields =
       f""""sf":"$sfDir","failed":$failedJson,$loadFields,"sim_ivf_build_s":$ivfBuildSec%.3f,"bucket_build_s":$bucketBuildSec%.3f$fits,"detail":"BENCH_SUMMARY.json"}"""
-    val head = s"""{"metric":"total","value":${ms(total)},"unit":"sec","""
+    val head =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec",$runFields,"""
     val compact = head + s""""queries":$qsCompact,""" + tailFields
     val summary =
       if (compact.length <= 2000) compact

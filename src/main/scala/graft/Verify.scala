@@ -23,7 +23,18 @@ object Verify {
     }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg: comma-separated key subset — the 100x planted
+    // value-verification flow runs ONLY the bounded-output planted/gate
+    // keys (their DuckDB oracles are cheap at any scale, unlike the full
+    // sketch replays, which cap out near 10x)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(',').map(_.trim).toSet)
+      else None
+    only.foreach { ks =>
+      val unknown = ks -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown query keys: ${unknown.mkString(",")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.withNanosAsLong(SparkSession.builder())
       .master(s"local[$cpus]")
@@ -36,7 +47,8 @@ object Verify {
     // fail-loud: every failed query is recorded and forces a non-zero
     // exit AFTER all artifacts are written — a partial run can never
     // read as a clean round, but it still dumps everything it can
-    val failed = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+    val failed = SparkEntry.queries.keys.toSeq.sorted
+      .filter(k => only.forall(_.contains(k))).flatMap { name =>
       val err = runOne(spark, name, sfDir, outDir)
       spark.catalog.clearCache()
       operators.Streaming.dropSinkTables(spark)
@@ -55,6 +67,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Always written (empty object when clean): a crashed query would

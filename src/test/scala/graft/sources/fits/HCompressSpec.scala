@@ -241,6 +241,43 @@ class HCompressSpec extends AnyFunSuite {
     assert(HCompress.encode(Array(5, 3), 1, 2, 0).toSeq == cfitsio.toSeq)
   }
 
+  test("foreign fixture: hand-derived 2x2 stream decodes (all four quadrant classes)") {
+    // Derived on paper from the published stream layout, NOT produced
+    // by this encoder — the expected bytes below were computed by hand:
+    // image [[5,3],[2,4]] -> H-transform h0=14,hx=-2,hy=0,hc=4; with
+    // the rounding masks the stored grid is [16,0,-2,4] -> DC=16,
+    // plane counts (0, bitsOf(2)=2, bitsOf(4)=3), quadrant streams
+    //   q1 (hy=0, 2 planes):  [F,code0] [F,code0]
+    //   q2 (|hx|=2, 2 planes): [F,code8] [F,code0]
+    //   q3 (hc=4, 3 planes):  [F,code8] [F,code0] [F,code0]
+    // then EOF nybble, pad, and sign bits "10" (hx negative, hc not).
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xDD); out.write(0x99)
+    def int(v: Int): Unit = { out.write(v >>> 24); out.write((v >>> 16) & 0xFF); out.write((v >>> 8) & 0xFF); out.write(v & 0xFF) }
+    int(2); int(2); int(0)  // nx, ny, scale
+    int(0); int(16)         // DC long
+    out.write(0); out.write(2); out.write(3) // bitplane counts
+    var acc = 0L; var nbits = 0
+    def bits(v: Int, n: Int): Unit = {
+      acc = (acc << n) | (v & ((1 << n) - 1)); nbits += n
+      while (nbits >= 8) { out.write(((acc >>> (nbits - 8)) & 0xFF).toInt); nbits -= 8 }
+    }
+    val code0 = (0x3e, 6); val code8 = (0x03, 3)
+    def plane(c: (Int, Int)): Unit = { bits(0xF, 4); bits(c._1, c._2) }
+    plane(code0); plane(code0)               // q1
+    plane(code8); plane(code0)               // q2
+    plane(code8); plane(code0); plane(code0) // q3
+    bits(0, 4)                               // EOF
+    if (nbits > 0) bits(0, 8 - nbits)        // byte-align
+    out.write(0x80)                          // signs: hx=1, hc=0
+    val stream = out.toByteArray
+    val d = HCompress.decode(stream)
+    assert(d.nx == 2 && d.ny == 2)
+    assert(d.pixels.toSeq == Seq(5, 3, 2, 4), d.pixels.toSeq)
+    // and the engine's encoder agrees with the hand derivation exactly
+    assert(HCompress.encode(Array(5, 3, 2, 4), 2, 2, 0).toSeq == stream.toSeq)
+  }
+
   test("smoothed reconstruction: lossless no-op, lossy stays in-bound and less blocky") {
     val (nx, ny) = (32, 32)
     val pix = Array.tabulate(nx * ny)(i => (i / ny) * 3 + (i % ny) * 2)

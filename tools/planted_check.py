@@ -1,0 +1,169 @@
+#!/usr/bin/env python3
+"""100x planted-key VALUE verification (r12 verdict ask #1).
+
+The DuckDB selfcheck replays every oracle at the graded SFs and holds
+to ~10x (full sketch replays are quadratic-ish in DuckDB); past that,
+canaries were ratio/row-gated only. This tool closes that boundary
+with the cheapest possible oracle: the planted/gate keys have
+expected outputs that are either corpus-independent (the planted
+query-id lists pin to replica 0 because CanaryGen shifts keys by
+replica x 100M, so `vec_id < 10000`-style predicates match only the
+original rows) or derivable by a single filter scan (the planted-pair
+lists). Run graft.Verify with the key-subset arg on the canary corpus
+first, then this.
+
+Two verification modes, chosen per key:
+
+  full    — the whole engine output must hash-equal a cheap oracle
+            (filter scans, no joins; valid at ANY scale).
+  planted — only the engine rows with b - a == 10,000,000 (the planted
+            id offset) are compared, against the planted-pair list.
+            Used for dedup_embed_planted / dedup_simhash_planted,
+            whose FULL oracles join all pairs (fine at the graded SFs,
+            quadratic in DuckDB at 100x) and whose organic rows are
+            corpus-dependent: on a replicated corpus, two base docs
+            from one exact-dup cluster can land in the same replica's
+            mod-101 slice and legitimately add organic pairs. No
+            organic pair can have offset exactly 10M (base ids < 1M),
+            so the projection is exact, and the planted rows are the
+            whole point of these gates — they detect banding/sketch
+            collapse.
+
+Usage: planted_check.py <canaryDir> <verifyOutDir> [artifact.json]
+"""
+import json
+import os
+import sys
+
+import duckdb
+
+OFF = 10000000  # planted id offset (Dedup.scala / Similarity.scala)
+
+# key -> (mode, oracle_sql, engine_projection_sql_or_None)
+# Oracle SQL runs over views named after the tables; engine projection
+# runs over a view `engine` loaded from the Verify parquet dump.
+CHECKS = {
+    # corpus-independent planted query-id lists (replica-0 only by the
+    # CanaryGen key-shift construction)
+    "sim_lsh_planted": ("full", """
+        SELECT vec_id + 1000000000 AS q_id FROM embeddings
+        WHERE vec_id % 97 = 3 AND vec_id < 10000
+          AND list_max(list_transform(embedding, x -> abs(x))) > 0
+        ORDER BY q_id""", None),
+    "sim_ivf_planted": ("full", """
+        SELECT vec_id + 1000000000 AS q_id FROM embeddings
+        WHERE vec_id % 97 = 3 AND vec_id < 10000
+          AND list_max(list_transform(embedding, x -> abs(x))) > 0
+        ORDER BY q_id""", None),
+    "sim_approx_planted": ("full", """
+        SELECT vec_id FROM embeddings
+        WHERE vec_id % 97 = 3 AND vec_id < 10000
+          AND list_max(list_transform(embedding, x -> abs(x))) > 0
+        ORDER BY vec_id""", None),
+    "sim_lsh_recall": ("full", """
+        SELECT vec_id AS q_id FROM embeddings
+        WHERE vec_id < 5 ORDER BY q_id""", None),
+    "sim_ivf_recall": ("full", """
+        SELECT vec_id AS q_id FROM embeddings
+        WHERE vec_id < 5 ORDER BY q_id""", None),
+    # linear-scan oracles, cheap at any scale
+    "text_langid_planted": ("full", """
+        SELECT doc_id,
+          CASE CAST(doc_id % 5 AS INTEGER)
+            WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr'
+            WHEN 3 THEN 'es' ELSE 'zh' END AS lang
+        FROM documents ORDER BY doc_id""", None),
+    "q19_approx_gate": ("full", """
+        SELECT DISTINCT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+          AS o_year, o_orderpriority
+        FROM orders ORDER BY 1, 2""", None),
+    # planted-pair projections (see module docstring)
+    "dedup_embed_planted": ("planted", f"""
+        SELECT vec_id AS a_vid, vec_id + {OFF} AS b_vid FROM embeddings
+        WHERE vec_id % 101 = 0
+          AND list_max(list_transform(embedding, x -> abs(x))) > 0
+        ORDER BY a_vid""", f"""
+        SELECT a_vid, b_vid FROM engine
+        WHERE b_vid - a_vid = {OFF} ORDER BY a_vid"""),
+    # planted docs pair at jaccard exactly 1.0 (verbatim copy); docs
+    # with < 3 words have no 3-gram shingles and produce no pair
+    "dedup_simhash_planted": ("planted", f"""
+        SELECT doc_id AS a_id, doc_id + {OFF} AS b_id, 1.0 AS jac
+        FROM documents
+        WHERE doc_id % 101 = 0
+          AND len(regexp_split_to_array(TRIM(text), '\\s+')) >= 3
+        ORDER BY a_id""", f"""
+        SELECT a_id, b_id, jac FROM engine
+        WHERE b_id - a_id = {OFF} ORDER BY a_id"""),
+}
+
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
+
+
+def main(sf_dir, out_dir, artifact=None):
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    failures = 0
+    verdicts = {}
+    for name, (mode, oracle_sql, proj_sql) in sorted(CHECKS.items()):
+        dump = f"{out_dir}/{name}"
+        if not os.path.isdir(dump):
+            print(f"skip {name}: no engine dump")
+            continue
+        try:
+            con.execute("DROP VIEW IF EXISTS engine")
+            con.execute(f"CREATE VIEW engine AS SELECT * "
+                        f"FROM read_parquet('{dump}/*.parquet')")
+            want = con.execute(oracle_sql).fetchall()
+            got = con.execute(
+                proj_sql if proj_sql else
+                "SELECT * FROM engine ORDER BY ALL").fetchall()
+        except Exception as ex:
+            print(f"FAIL {name}: {ex}")
+            failures += 1
+            verdicts[name] = {"match": False, "mode": mode, "rows": -1,
+                              "detail": str(ex)}
+            continue
+        # full-mode engine rows come back in engine column order; the
+        # oracle lists columns in the same order by construction, but
+        # compare order-insensitively within a row to be safe
+        def canon(rows):
+            return sorted(tuple(str(v) for v in r) for r in rows)
+        ok = canon(got) == canon(want)
+        # a planted gate must never verify vacuously: zero expected
+        # rows would pass any collapse
+        if ok and len(want) == 0:
+            ok = False
+            detail = "VACUOUS: oracle expects 0 rows"
+        elif ok:
+            detail = f"value-equal ({mode})"
+        else:
+            wset, gset = set(canon(want)), set(canon(got))
+            detail = (f"missing={len(wset - gset)} "
+                      f"extra={len(gset - wset)} "
+                      f"(want {len(want)} rows, got {len(got)})")
+        print(f"{'ok  ' if ok else 'FAIL'} {name}: {len(got)} rows "
+              f"[{mode}] {'' if ok else detail}")
+        if not ok:
+            failures += 1
+        verdicts[name] = {"match": ok, "mode": mode, "rows": len(got),
+                          "detail": detail}
+    print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    if artifact:
+        with open(artifact, "w") as f:
+            json.dump({"sf_dir": sf_dir, "out_dir": out_dir,
+                       "ok": failures == 0 and len(verdicts) > 0,
+                       "queries": verdicts}, f, indent=1, sort_keys=True)
+        print(f"verdicts -> {artifact}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))

@@ -7,6 +7,13 @@ query, sorts columns by name (like the driver) and rows by all columns,
 then compares values exactly. Usage:
 
     python3 tools/selfcheck.py /root/testdata/sf0.01 /tmp/verify_out
+
+Optional third arg: a JSON artifact path — per-key verdicts are written
+there ({key: {"match": bool, "rows": n, "detail": str}}), plus a top-
+level "ok". Used by the 100x planted-key value-verification flow (the
+full sketch oracles cap out near 10x in DuckDB, but the planted/gate
+keys have bounded, cheap-to-replay oracles at ANY scale — run
+graft.Verify with the key-subset arg, then this with the artifact arg).
 """
 import json
 import sys
@@ -27,7 +34,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
     import os
     con = duckdb.connect()
     for t in TABLES:
@@ -42,12 +49,15 @@ def main(sf_dir: str, out_dir: str) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle_sql = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
+    verdicts = {}
     for name, sql in sorted(oracle_sql.items()):
         try:
             oracle = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle errored: {e}")
             failures += 1
+            verdicts[name] = {"match": False, "rows": -1,
+                              "detail": f"oracle errored: {e}"}
             continue
         try:
             engine = duckdb.sql(
@@ -55,15 +65,21 @@ def main(sf_dir: str, out_dir: str) -> int:
         except Exception as e:
             print(f"FAIL {name}: engine output missing: {e}")
             failures += 1
+            verdicts[name] = {"match": False, "rows": -1,
+                              "detail": "engine output missing"}
             continue
         o, e = canon(oracle), canon(engine)
         if list(o.columns) != list(e.columns):
             print(f"FAIL {name}: columns oracle={list(o.columns)} engine={list(e.columns)}")
             failures += 1
+            verdicts[name] = {"match": False, "rows": int(e.shape[0]),
+                              "detail": "column mismatch"}
             continue
         if o.shape != e.shape:
             print(f"FAIL {name}: shape oracle={o.shape} engine={e.shape}")
             failures += 1
+            verdicts[name] = {"match": False, "rows": int(e.shape[0]),
+                              "detail": f"shape oracle={o.shape} engine={e.shape}"}
             continue
         diffs = []
         for c in o.columns:
@@ -78,8 +94,12 @@ def main(sf_dir: str, out_dir: str) -> int:
         if diffs:
             print(f"FAIL {name}: " + "; ".join(diffs[:3]))
             failures += 1
+            verdicts[name] = {"match": False, "rows": int(e.shape[0]),
+                              "detail": "; ".join(diffs[:3])}
         else:
             print(f"ok   {name}: {o.shape[0]} rows x {o.shape[1]} cols")
+            verdicts[name] = {"match": True, "rows": int(o.shape[0]),
+                              "detail": "hash-equal"}
     # rows-only queries (no oracle)
     import glob, os
     for d in sorted(glob.glob(f"{out_dir}/*/")):
@@ -93,8 +113,15 @@ def main(sf_dir: str, out_dir: str) -> int:
                 print(f"FAIL {name}: rows-only read error: {ex}")
                 failures += 1
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "out_dir": out_dir,
+                       "ok": failures == 0, "queries": verdicts}, f,
+                      indent=1, sort_keys=True)
+        print(f"verdicts -> {json_out}")
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
