@@ -12,10 +12,12 @@ import graft.functions.TextAlgo
   * Model (north-star): a media row is (media_id, kind, payload: Binary,
   * width, height, bitpix). FITS image HDUs are the *real* ingestion
   * path (each image line arrives as a typed array from the connector);
-  * compressed formats (jpeg/wav/...) go through `decode`, whose
-  * actual codec is STUBBED here — the container has no image/audio
-  * libraries — with a clearly-marked deterministic fake, while schema,
-  * partitioning, batch shape and feature math are real.
+  * jpeg/png payloads decode through the JDK's own `javax.imageio`
+  * and wav through `javax.sound.sampled` — REAL codecs, standard
+  * Java SE, no extra dependencies (rounds 9–12 stubbed these under
+  * the mistaken premise that the container had no codec libraries).
+  * Only kinds with no in-JVM codec at all (video) keep a
+  * clearly-marked deterministic fake.
   *
   * Scale: everything is `mapPartitions` over a typed Dataset — one pass,
   * no shuffle, no driver collection; feature rows are tiny relative to
@@ -37,13 +39,22 @@ object Multimodal {
 
   /** Decodes a payload to a pixel/sample array.
     *
-    * Real path: `fits16` payloads are big-endian int16 pixels (exactly
-    * what a FITS image HDU stores) — decoded for real.
+    * Real paths (no dependencies beyond the standard JDK):
+    *  - `fits16` — big-endian int16 pixels (exactly what a FITS image
+    *    HDU stores), decoded inline.
+    *  - `jpeg` / `png` — `javax.imageio.ImageIO` (ships with Java SE,
+    *    works headless); multi-band images reduce to Rec.601 luminance
+    *    0.299 R + 0.587 G + 0.114 B, single-band images pass through.
+    *    PNG round-trips losslessly; JPEG is lossy by nature, so its
+    *    gates assert bounded error, not equality.
+    *  - `wav` — `javax.sound.sampled.AudioSystem` (also Java SE):
+    *    PCM frames decode to per-frame samples, multi-channel mixed
+    *    down by channel average. Lossless for PCM payloads.
     *
-    * STUB path: compressed kinds (jpeg/png/wav/...) would call an image
-    * or audio codec here; this container has none, so the decode is a
-    * deterministic fake keyed on (media_id, index) — the plumbing
-    * around it (batching, schema, feature math) is what's under test.
+    * Unknown kinds (e.g. video — no in-JVM codec exists) keep the
+    * clearly-marked deterministic fake keyed on (media_id, index), so
+    * the partitioning/batching/feature plumbing remains exercisable
+    * for formats this container genuinely cannot decode.
     */
   def decode(row: MediaRow): Array[Double] = row.kind match {
     case "fits16" =>
@@ -56,11 +67,115 @@ object Multimodal {
         i += 1
       }
       out
+    case "jpeg" | "png" =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(row.payload))
+      require(img != null,
+        s"media ${row.media_id}: undecodable ${row.kind} payload")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val bands = raster.getNumBands
+      val out = new Array[Double](w * h)
+      var y = 0
+      var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out(i) =
+            if (bands >= 3)
+              0.299 * raster.getSample(x, y, 0) +
+                0.587 * raster.getSample(x, y, 1) +
+                0.114 * raster.getSample(x, y, 2)
+            else raster.getSample(x, y, 0).toDouble
+          i += 1
+          x += 1
+        }
+        y += 1
+      }
+      out
+    case "wav" =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(row.payload))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        require(enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+          s"media ${row.media_id}: non-PCM wav ($enc)")
+        val bits = fmt.getSampleSizeInBits
+        require(bits == 8 || bits == 16,
+          s"media ${row.media_id}: unsupported wav sample size $bits")
+        val ch = fmt.getChannels
+        val frameBytes = fmt.getFrameSize
+        val data = ais.readAllBytes()
+        val nFrames = data.length / frameBytes
+        val bytesPer = bits / 8
+        val out = new Array[Double](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var s = 0.0
+          var c = 0
+          while (c < ch) {
+            val off = f * frameBytes + c * bytesPer
+            val v =
+              if (bits == 8)
+                if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+                  (data(off) & 0xff).toDouble
+                else data(off).toDouble
+              else {
+                val raw =
+                  if (fmt.isBigEndian) (data(off) << 8) | (data(off + 1) & 0xff)
+                  else (data(off + 1) << 8) | (data(off) & 0xff)
+                if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+                  (raw & 0xffff).toDouble
+                else raw.toShort.toDouble
+              }
+            s += v
+            c += 1
+          }
+          out(f) = s / ch
+          f += 1
+        }
+        out
+      } finally ais.close()
     case _ =>
-      // STUB: deterministic fake pixels — replaces the real codec.
+      // deterministic fake — formats with no in-JVM codec (see scaladoc)
       val n = math.max(1, math.min(row.payload.length, row.width * row.height))
       Array.tabulate(n)(i =>
         (TextAlgo.fmix64(row.media_id * 7919 + i) & 0xffff).toDouble)
+  }
+
+  /** Gray-8 PNG of row-major byte pixels, via the JDK's own encoder —
+    * lossless, so decode(encodePng(b)) == b exactly. */
+  def encodePng(bytes: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && bytes.length == width * height,
+      s"png geometry $width x $height != ${bytes.length} bytes")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, width, height, bytes)
+    val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val ok = javax.imageio.ImageIO.write(img, "png", bos)
+    require(ok, "no PNG writer in this JVM")
+    bos.toByteArray
+  }
+
+  /** Mono 16-bit signed little-endian PCM WAV via the JDK's own writer —
+    * PCM is lossless, so decode(encodeWav(s)) == s exactly. */
+  def encodeWavPcm16(samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = samples(i).toByte
+      pcm(2 * i + 1) = (samples(i) >> 8).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length)
+    val bos = new java.io.ByteArrayOutputStream(pcm.length + 64)
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** Average-pool a 1-D sample array by `factor` (the resize/downsample
@@ -197,9 +312,69 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** REAL-codec PNG path, driver-oracled (round 13 — the 'no codec
+    * libs in this container' premise was wrong: `javax.imageio` ships
+    * with Java SE and runs headless). Each doc's ASCII bytes become a
+    * gray-8 PNG via the JDK encoder, the payload goes through the real
+    * ImageIO decode, and the integer-exact features are emitted. PNG
+    * is lossless, so the decoded pixels are exactly the text bytes and
+    * DuckDB reproduces the features from `ord()` — the whole codec
+    * round-trip is inside one mapPartitions pass, no shuffle, same
+    * 100 TB shape as mm_features. JPEG (lossy) remains spec-gated with
+    * a bounded-error contract instead of an equality oracle. */
+  val mm_png_features: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val b = text.getBytes("UTF-8")
+        if (b.isEmpty) None
+        else Some(MediaRow(id, "png", encodePng(b, b.length, 1),
+          b.length, 1, 8))
+      }
+    extractFeatures(media)
+      .toDF()
+      .select(col("media_id"), col("n_px").cast("long").as("n_px"),
+        col("px_min").cast("long").as("px_min"),
+        col("px_max").cast("long").as("px_max"),
+        round(col("px_mean") * col("n_px")).cast("long").as("px_sum"))
+      .orderBy(col("media_id"))
+  }
+
+  /** REAL-codec WAV path, driver-oracled — the audio twin of
+    * [[mm_png_features]]: byte pairs become little-endian PCM16 mono
+    * samples, encoded to a RIFF/WAVE container by `javax.sound` and
+    * decoded back through the real parser. PCM is lossless, so the
+    * oracle replays the samples as `ord(b0) + 256*ord(b1)` (pure-ASCII
+    * corpus: both bytes < 128, so every sample is a positive int16). */
+  val mm_wav_features: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val b = text.getBytes("UTF-8")
+        val n = b.length / 2
+        if (n == 0) None
+        else {
+          val samples = Array.tabulate(n)(i =>
+            (((b(2 * i) & 0xff)) | ((b(2 * i + 1) & 0xff) << 8)).toShort)
+          Some(MediaRow(id, "wav", encodeWavPcm16(samples), n, 1, 16))
+        }
+      }
+    extractFeatures(media)
+      .toDF()
+      .select(col("media_id"), col("n_px").cast("long").as("n_px"),
+        col("px_min").cast("long").as("px_min"),
+        col("px_max").cast("long").as("px_max"),
+        round(col("px_mean") * col("n_px")).cast("long").as("px_sum"))
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_features" -> mm_features,
-    "mm_downsample" -> mm_downsample)
+    "mm_downsample" -> mm_downsample,
+    "mm_png_features" -> mm_png_features,
+    "mm_wav_features" -> mm_wav_features)
 
   /** Exact integer features over the same byte-pair pixels, via 1-based
     * character indexing (valid because the corpus is pure ASCII — the
@@ -228,5 +403,24 @@ object Multimodal {
         |  WHERE (i - 1) // 4 < nblk GROUP BY 1, 2)
         |SELECT doc_id AS media_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
         |  MIN(m) AS blk_min, MAX(m) AS blk_max, SUM(m) AS blk_sum
-        |FROM blk GROUP BY 1 ORDER BY media_id""".stripMargin)
+        |FROM blk GROUP BY 1 ORDER BY media_id""".stripMargin,
+    // PNG is lossless: decoded gray-8 pixels ARE the text bytes
+    "mm_png_features" ->
+      """WITH px AS (
+        |  SELECT doc_id, ord(text[i]) AS v
+        |  FROM documents, UNNEST(range(1, len(text) + 1)) AS t(i))
+        |SELECT doc_id AS media_id, COUNT(*) AS n_px,
+        |  CAST(MIN(v) AS BIGINT) AS px_min, CAST(MAX(v) AS BIGINT) AS px_max,
+        |  CAST(SUM(v) AS BIGINT) AS px_sum
+        |FROM px GROUP BY 1 ORDER BY media_id""".stripMargin,
+    // PCM16 WAV is lossless: samples are the LITTLE-endian byte pairs
+    // (mm_features' fits16 pixels are the big-endian pairs)
+    "mm_wav_features" ->
+      """WITH px AS (
+        |  SELECT doc_id, ord(text[2*i-1]) + 256 * ord(text[2*i]) AS v
+        |  FROM documents, UNNEST(range(1, len(text) // 2 + 1)) AS t(i))
+        |SELECT doc_id AS media_id, COUNT(*) AS n_px,
+        |  CAST(MIN(v) AS BIGINT) AS px_min, CAST(MAX(v) AS BIGINT) AS px_max,
+        |  CAST(SUM(v) AS BIGINT) AS px_sum
+        |FROM px GROUP BY 1 ORDER BY media_id""".stripMargin)
 }

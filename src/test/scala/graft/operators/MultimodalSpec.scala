@@ -92,11 +92,59 @@ class MultimodalSpec extends SparkTestBase {
     assert(row.getLong(4) == expected)
   }
 
-  test("stubbed codec path (compressed kinds) is deterministic") {
-    val r = Multimodal.MediaRow(7L, "jpeg-stub", Array[Byte](1, 2, 3), 3, 1, 8)
+  test("fake codec path (kinds with no in-JVM codec) is deterministic") {
+    val r = Multimodal.MediaRow(7L, "video-fake", Array[Byte](1, 2, 3), 3, 1, 8)
     val a = Multimodal.decode(r).toSeq
     assert(a == Multimodal.decode(r).toSeq)
     assert(a.nonEmpty && a.forall(v => v >= 0 && v <= 0xffff))
+  }
+
+  test("png codec: real ImageIO round-trip is lossless, any geometry") {
+    val rnd = new scala.util.Random(3)
+    for ((w, h) <- Seq((1, 1), (7, 3), (64, 1), (1, 64), (33, 17))) {
+      val bytes = Array.fill((w * h))(rnd.nextInt(256).toByte)
+      val row = Multimodal.MediaRow(1L, "png",
+        Multimodal.encodePng(bytes, w, h), w, h, 8)
+      val px = Multimodal.decode(row)
+      assert(px.length == w * h)
+      assert(px.toSeq == bytes.map(b => (b & 0xff).toDouble).toSeq,
+        s"png $w x $h")
+    }
+  }
+
+  test("wav codec: real javax.sound PCM16 round-trip is lossless") {
+    val rnd = new scala.util.Random(4)
+    val samples = Array.fill(777)((rnd.nextInt(1 << 16) - (1 << 15)).toShort)
+    val row = Multimodal.MediaRow(2L, "wav",
+      Multimodal.encodeWavPcm16(samples), samples.length, 1, 16)
+    val px = Multimodal.decode(row)
+    assert(px.toSeq == samples.map(_.toDouble).toSeq)
+  }
+
+  test("jpeg codec: real ImageIO decode, bounded error (lossy by nature)") {
+    // smooth gradient — the regime where JPEG's DCT quantization error
+    // is small and bounded; equality is NOT the contract here
+    val (w, h) = (32, 24)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, 40 + 3 * x + 2 * y)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val row = Multimodal.MediaRow(3L, "jpeg", bos.toByteArray, w, h, 8)
+    val px = Multimodal.decode(row)
+    assert(px.length == w * h)
+    val maxErr = px.zipWithIndex.map { case (v, i) =>
+      math.abs(v - (40 + 3 * (i % w) + 2 * (i / w)))
+    }.max
+    assert(maxErr <= 16, s"jpeg maxErr $maxErr")
+    // decode is deterministic for a fixed payload
+    assert(px.toSeq == Multimodal.decode(row).toSeq)
+  }
+
+  test("undecodable payload for a real-codec kind fails loudly") {
+    val bad = Multimodal.MediaRow(4L, "png", Array[Byte](1, 2, 3), 3, 1, 8)
+    intercept[IllegalArgumentException](Multimodal.decode(bad))
   }
 
   test("mm_downsample: factor-4 block means are exact, short media drop") {
