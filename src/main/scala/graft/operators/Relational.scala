@@ -337,22 +337,35 @@ object Relational {
 
   /** B19 driver-checkable gate (r12 verdict ask #2) — the twin that
     * de-vacuates [[q19_approx]]'s rows-only status: emits every
-    * (year, priority) group whose HLL estimate lands within 5% of the
+    * (year, priority) group whose HLL estimate lands within 8% of the
     * exact distinct count, and the oracle is the FULL group list, so
     * any group where the sketch collapses (broken merge, wrong
-    * precision) turns the driver row red. The sketch precision is
-    * pinned at rsd 0.01, making the 5% allowance a 5-sigma band:
+    * precision) turns the driver row red. The band is ~5 sigma at the
+    * pinned rsd 0.02 (actual register error 1.04/sqrt(4096) ≈ 1.6%),
     * deterministic for any fixed corpus (HLL is hash-based, no RNG)
     * and stable under canary replication, which only adds duplicates
-    * HLL ignores by construction. */
+    * HLL ignores by construction.
+    *
+    * Shape, chosen by measurement: the keys are DISTINCTed first and
+    * the sketch + exact count run over the distinct stream (HLL is
+    * duplicate-insensitive, so the estimate is bit-identical to the
+    * raw-stream sketch). Mixing approx_count_distinct with
+    * countDistinct in ONE aggregate makes Spark's distinct-rewrite
+    * materialize a full HLL register buffer per (group x custkey) in
+    * the first-level aggregate — at rsd 0.01 that was ~21 KB x every
+    * distinct key (~3 GB of buffer traffic at sf0.1, 6x slower here,
+    * and a scale-killer at 100 TB). Distinct-then-agg keeps one
+    * shuffle and exactly groups-many sketches. */
   val q19_approx_gate: Q = (s, dir) =>
     t(s, dir, "orders")
-      .groupBy(year($"o_orderdate").cast(LongType).as("o_year"),
-        $"o_orderpriority")
+      .select(year($"o_orderdate").cast(LongType).as("o_year"),
+        $"o_orderpriority", $"o_custkey")
+      .distinct()
+      .groupBy($"o_year", $"o_orderpriority")
       .agg(
-        approx_count_distinct($"o_custkey", 0.01).as("approx_cnt"),
-        countDistinct($"o_custkey").as("exact_cnt"))
-      .filter(abs($"approx_cnt" - $"exact_cnt") <= $"exact_cnt" * lit(0.05))
+        approx_count_distinct($"o_custkey", 0.02).as("approx_cnt"),
+        count(lit(1)).as("exact_cnt"))
+      .filter(abs($"approx_cnt" - $"exact_cnt") <= $"exact_cnt" * lit(0.08))
       .select($"o_year", $"o_orderpriority")
       .orderBy($"o_year", $"o_orderpriority")
 
