@@ -11,13 +11,15 @@ import org.apache.spark.sql.SparkSession
   * fpack/funpack workflow on top of the connector's writer options.
   *
   * Usage:
-  *   runMain graft.examples.PackImage <in> <outDir> [codec] [WxH] [q] [dither] [hscale]
+  *   runMain graft.examples.PackImage <in> <outDir> [codec] [WxH] [q] [dither] [hscale] [smooth]
   *     codec  RICE_1 | GZIP_1 | GZIP_2 | HCOMPRESS_1 | NOCOMPRESS | NONE
   *            (NONE = unpack: write a plain image)
   *     WxH    2-D tile size (default: codec default)
   *     q      float quantization sigma divisor (lossy; integers: omit)
   *     dither 1 | 2 (with q): subtractive dither variant
   *     hscale HCOMPRESS digitization scale (lossy; 0 = lossless)
+  *     smooth 1 (with hscale > 1): record SMOOTH=1 — readers apply the
+  *            smoothed reconstruction (fpack's -s)
   */
 object PackImage {
   def main(args: Array[String]): Unit = {
@@ -52,6 +54,7 @@ object PackImage {
       if (args.length > 4 && args(4).toDouble > 0) w = w.option("quantize", args(4))
       if (args.length > 5 && args(5).toInt > 0) w = w.option("dither", args(5))
       if (args.length > 6 && args(6).toInt > 0) w = w.option("hcompScale", args(6))
+      if (args.length > 7 && args(7).toInt > 0) w = w.option("hcompSmooth", true)
       w.mode("append").save(outDir)
       val outBytes = new java.io.File(outDir).listFiles()
         .filter(_.getName.endsWith(".fits")).map(_.length()).sum

@@ -44,4 +44,36 @@ class PackImageSpec extends SparkTestBase {
       .as[Array[Short]].collect()
     assert(back.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
   }
+
+  test("lossy smooth pack (fpack -s): SMOOTH=1 recorded, unpack within bound") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val (width, scale) = (24, 8)
+    val src = (0 until 32).map(r =>
+      (r.toLong, (0 until width).map(c =>
+        (200 + r * 5 + c * 4).toShort).toArray))
+      .toDF("ImgIndex", "Image")
+    val base = Files.createTempDirectory("fits-packs").toString
+    src.coalesce(1).write.format("fits").option("image", true)
+      .mode("append").save(s"$base/plain")
+    val plainFile = new java.io.File(s"$base/plain").listFiles()
+      .filter(_.getName.endsWith(".fits")).head.toString
+    PackImage.main(Array(plainFile, s"$base/packed", "HCOMPRESS_1", "",
+      "0", "0", scale.toString, "1"))
+    val packedFile = new java.io.File(s"$base/packed").listFiles()
+      .filter(_.getName.endsWith(".fits")).head.toString
+    val cards = new String(java.util.Arrays.copyOfRange(
+      Files.readAllBytes(java.nio.file.Paths.get(packedFile)),
+      2880, 2880 * 2), "US-ASCII").grouped(80).map(_.trim).toSeq
+    assert(cards.exists(c => c.startsWith("ZVAL4") && c.contains("1")), cards)
+    PackImage.main(Array(packedFile, s"$base/unpacked", "NONE"))
+    val back = spark.read.format("fits").option("hdu", 0)
+      .load(s"$base/unpacked")
+      .orderBy("ImgIndex").select(col("Image")).as[Array[Short]].collect()
+    val want = src.orderBy("ImgIndex").select(col("Image"))
+      .as[Array[Short]].collect()
+    val maxErr = back.zip(want).flatMap { case (b, w) =>
+      b.zip(w).map { case (a, x) => math.abs(a - x) } }.max
+    assert(maxErr > 0 && maxErr <= 2 * scale, s"maxErr $maxErr")
+  }
 }
