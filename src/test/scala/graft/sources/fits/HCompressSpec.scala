@@ -335,7 +335,10 @@ class HCompressSpec extends AnyFunSuite {
       (1 to hits).foreach { _ =>
         bad(rnd.nextInt(bad.length)) = rnd.nextInt(256).toByte
       }
-      try { HCompress.decode(bad); decoded += 1 }
+      // alternate smoothing on: hsmooth runs over the decoded
+      // coefficient grid with bounded loops, so corrupt streams must
+      // stay contained on that path too
+      try { HCompress.decode(bad, smooth = rnd.nextBoolean()); decoded += 1 }
       catch { case _: IllegalArgumentException => refused += 1 }
     }
     // both outcomes must actually occur across 500 mutations (payload
