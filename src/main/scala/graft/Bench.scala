@@ -88,6 +88,11 @@ object Bench {
     // order) from its QueryTime-isolated timing. Not used by the driver.
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
+    only.foreach { ks =>
+      val unknown = ks -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown query keys: ${unknown.mkString(",")}")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1))).map { case (name, fn) =>
       def once(): (Double, Long) = {
@@ -188,7 +193,10 @@ object Bench {
     // the repo, so a per-key round-over-round diff is always
     // computable even though the driver's stdout tail window cannot
     // carry the 92-key map inline.
+    // sanitized: the label lands inside hand-built JSON, and a quote
+    // or backslash would permanently corrupt the committed history file
     val runLabel = sys.env.getOrElse("SPARK_GRAFT_RUN", "unlabeled")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
     val runFields =
       s""""run":"$runLabel","ts":"${java.time.Instant.now()}""""
     val full =

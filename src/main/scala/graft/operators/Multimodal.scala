@@ -25,6 +25,12 @@ import graft.functions.TextAlgo
   */
 object Multimodal {
 
+  /** ImageIO's default input stream is DISK-cached (a temp file per
+    * decode) — death by filesystem in a mapPartitions hot path that
+    * decodes from in-memory byte arrays. Flip it off once per JVM. */
+  private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** One opaque media payload with typed metadata. */
   final case class MediaRow(
       media_id: Long, kind: String, payload: Array[Byte],
@@ -68,6 +74,7 @@ object Multimodal {
       }
       out
     case "jpeg" | "png" =>
+      Multimodal.imageIoNoDiskCache // once per JVM, before any read
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(row.payload))
       require(img != null,
@@ -75,6 +82,17 @@ object Multimodal {
       val (w, h) = (img.getWidth, img.getHeight)
       val raster = img.getRaster
       val bands = raster.getNumBands
+      // palette-indexed images (PNG color type 3 etc.) store palette
+      // INDICES in the raster — resolve through the color model, or
+      // the "pixel" values would be arbitrary palette positions
+      val palette = img.getColorModel match {
+        case icm: java.awt.image.IndexColorModel =>
+          val n = icm.getMapSize
+          Array.tabulate(n)(j =>
+            0.299 * icm.getRed(j) + 0.587 * icm.getGreen(j) +
+              0.114 * icm.getBlue(j))
+        case _ => null
+      }
       val out = new Array[Double](w * h)
       var y = 0
       var i = 0
@@ -82,7 +100,8 @@ object Multimodal {
         var x = 0
         while (x < w) {
           out(i) =
-            if (bands >= 3)
+            if (palette != null) palette(raster.getSample(x, y, 0))
+            else if (bands >= 3)
               0.299 * raster.getSample(x, y, 0) +
                 0.587 * raster.getSample(x, y, 1) +
                 0.114 * raster.getSample(x, y, 2)

@@ -78,7 +78,7 @@ class RelationalSpec extends SparkTestBase {
         .cast("long").as("y"), org.apache.spark.sql.functions.col("o_orderpriority").as("p"))
       .distinct().collect().map(r => (r.getLong(0), r.getString(1))).sorted
     assert(got.toSeq == want.toSeq,
-      s"groups out of the 5%% band: ${want.toSet -- got.toSet}")
+      s"groups out of the 8% band: ${want.toSet -- got.toSet}")
     assert(got.nonEmpty)
   }
 

@@ -21,8 +21,17 @@ import sys
 def load(spec):
     if os.path.exists(spec):
         with open(spec) as f:
-            return json.load(f)
+            if spec.endswith(".jsonl"):
+                sys.exit(f"{spec} is a history file - pass a run label "
+                         "from it, or a single-record JSON file")
+            try:
+                return json.load(f)
+            except json.JSONDecodeError as e:
+                sys.exit(f"{spec}: not a single JSON record ({e})")
     # run label in history
+    if not os.path.exists("BENCH_HISTORY.jsonl"):
+        sys.exit(f"{spec!r} is not a file and no BENCH_HISTORY.jsonl "
+                 "exists to look the label up in (run a bench first)")
     hit = None
     with open("BENCH_HISTORY.jsonl") as f:
         for line in f:

@@ -121,18 +121,23 @@ def main(sf_dir, out_dir, artifact=None):
             con.execute(f"CREATE VIEW engine AS SELECT * "
                         f"FROM read_parquet('{dump}/*.parquet')")
             want = con.execute(oracle_sql).fetchall()
+            # full mode selects the engine columns BY the oracle's
+            # column names, so the row tuples align positionally even
+            # if the parquet dump's physical column order differs; a
+            # missing column fails loudly in DuckDB
+            oracle_cols = [d[0] for d in con.description]
             got = con.execute(
                 proj_sql if proj_sql else
-                "SELECT * FROM engine ORDER BY ALL").fetchall()
+                f"SELECT {', '.join(oracle_cols)} FROM engine "
+                f"ORDER BY ALL").fetchall()
         except Exception as ex:
             print(f"FAIL {name}: {ex}")
             failures += 1
             verdicts[name] = {"match": False, "mode": mode, "rows": -1,
                               "detail": str(ex)}
             continue
-        # full-mode engine rows come back in engine column order; the
-        # oracle lists columns in the same order by construction, but
-        # compare order-insensitively within a row to be safe
+        # rows align positionally (engine columns selected by the
+        # oracle's names above); values compare as strings
         def canon(rows):
             return sorted(tuple(str(v) for v in r) for r in rows)
         ok = canon(got) == canon(want)
