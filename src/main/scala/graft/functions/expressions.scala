@@ -175,6 +175,31 @@ object GraftFunctions {
     col(WordNgramFiltered(expression(c), k, keepSorted))
   def token_tf(c: Column): Column = col(TokenTf(expression(c)))
 
+  /** Spark's internal Bloom sketch aggregate (the engine behind its
+    * own runtime row-level filtering), exposed as a Column function:
+    * aggregates `xxhash64`-style Long hashes into a serialized Bloom
+    * filter sized for `items` / `bits`. Undersizing only raises the
+    * false-positive rate — never produces a false NEGATIVE, which is
+    * the contract the prefilter pattern rests on. */
+  def bloom_filter_agg(c: Column, items: Long, bits: Long): Column =
+    col(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(expression(c),
+        org.apache.spark.sql.catalyst.expressions.Literal(items),
+        org.apache.spark.sql.catalyst.expressions.Literal(bits))
+      .toAggregateExpression())
+
+  /** Probe of a Bloom sketch built by [[bloom_filter_agg]]. The sketch
+    * side must be a one-row DataFrame — it is embedded as a scalar
+    * subquery because Spark's BloomFilterMightContain requires a
+    * foldable/subquery bloom input (it deserializes the filter once
+    * and codegens the probe). */
+  def bloom_might_contain(bf: org.apache.spark.sql.DataFrame,
+      v: Column): Column =
+    col(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        Bridge.logicalPlan(bf)),
+      expression(v)))
+
   private def col(e: Expression): Column = Bridge.column(e)
   private def expression(c: Column): Expression = Bridge.expression(c)
 

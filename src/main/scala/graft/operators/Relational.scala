@@ -668,6 +668,39 @@ object Relational {
       .orderBy($"cohort_day", $"day_offset")
   }
 
+  /** Bloom-prefiltered semi-join — the 100 TB decontamination /
+    * join-pruning pattern: build a compact Bloom sketch over the key
+    * set (here: customers in one market segment), probe it MAP-SIDE
+    * over the fact table so ~4/5 of the rows die before any join, and
+    * exact-verify the admitted remainder with a broadcast semi join
+    * that removes the sketch's false positives. Result is EXACTLY the
+    * plain semi join (Bloom filters have no false negatives, whatever
+    * the sizing), so the DuckDB oracle is the ordinary IN-subquery —
+    * the driver row proves the sketch path loses nothing. Plan: zero
+    * shuffles before the output sort — the sketch is a scalar
+    * subquery, the verify join broadcasts the key set. At a real
+    * 100 TB the sketch (1 MB here) replaces shuffling the fact table
+    * when the key side is too large for a cheap broadcast hash join
+    * probe but fits a Bloom sketch; undersizing degrades only the
+    * prune rate, never correctness. */
+  val q31_bloom: Q = (s, dir) => {
+    val keys = t(s, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val bf = keys.agg(graft.functions.GraftFunctions
+      .bloom_filter_agg(xxhash64($"c_custkey"), 1000000L, 8000000L)
+      .as("bf"))
+    val admitted = t(s, dir, "orders")
+      .filter(graft.functions.GraftFunctions
+        .bloom_might_contain(bf, xxhash64($"o_custkey")))
+      .select($"o_orderkey", $"o_custkey")
+    admitted
+      .join(broadcast(keys), admitted("o_custkey") === keys("c_custkey"),
+        "leftsemi")
+      .select($"o_orderkey")
+      .orderBy($"o_orderkey")
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -713,6 +746,7 @@ object Relational {
     "q28_sessionize" -> q28_sessionize,
     "q29_funnel" -> q29_funnel,
     "q30_retention" -> q30_retention,
+    "q31_bloom" -> q31_bloom,
   )
 
   /** DuckDB-compatible oracle SQL. Keys mirror `queries`; column aliases
@@ -721,6 +755,11 @@ object Relational {
     * its driver-checkable twin is q19_approx_gate.
     */
   val oracles: Map[String, String] = Map(
+    "q31_bloom" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
     "q19_approx_gate" ->
       """SELECT DISTINCT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
         |  AS o_year, o_orderpriority

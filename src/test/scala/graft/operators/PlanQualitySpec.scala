@@ -118,6 +118,31 @@ class PlanQualitySpec extends SparkTestBase {
       s"cell counts must partial-aggregate:\n$plan")
   }
 
+  test("q31 bloom prefilter: probe is map-side, verify join broadcasts") {
+    val df = Relational.q31_bloom(spark, sf0001)
+    df.collect() // let AQE finalize
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the sketch probe is a Filter over the fact scan (scalar subquery
+    // bloom), and the exactness verify is a broadcast semi join — the
+    // only Exchange is the deterministic output sort's range partition
+    assert(plan.contains("BloomFilterMightContain") ||
+      plan.contains("might_contain"), plan)
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"), plan)
+    // permitted exchanges: the deterministic output sort's range
+    // partition and the bloom aggregate's one-row SinglePartition
+    // merge (inside the scalar subquery) — never a data-scale hash
+    // exchange of the fact table
+    val exchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).toSeq
+    assert(exchanges.forall(l =>
+      l.contains("rangepartitioning") || l.contains("SinglePartition")),
+      s"only the output sort and the sketch merge may shuffle:\n$plan")
+  }
+
   test("no query in the declared surface plans a CartesianProduct") {
     // the one plan shape that cannot survive a 100x scale-up
     graft.SparkEntry.queries.foreach { case (name, q) =>

@@ -82,6 +82,20 @@ class RelationalSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("q31 bloom prefilter equals the plain semi join and actually prunes") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val got = Relational.q31_bloom(spark, sf0001).collect().map(_.getLong(0))
+    val orders = graft.Tables.load(spark, sf0001, "orders")
+    val keys = graft.Tables.load(spark, sf0001, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val want = orders.join(broadcast(keys),
+        orders("o_custkey") === keys("c_custkey"), "leftsemi")
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == want.toSeq)
+    assert(got.nonEmpty && got.length < orders.count(),
+      "prefilter output must be a strict, non-empty subset")
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
