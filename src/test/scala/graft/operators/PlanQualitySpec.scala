@@ -143,6 +143,29 @@ class PlanQualitySpec extends SparkTestBase {
       s"only the output sort and the sketch merge may shuffle:\n$plan")
   }
 
+  test("mm codec pipelines are one shuffle-free pass (plus the output sort)") {
+    // the decode/encode/feature work is mapPartitions over the scan —
+    // the ONLY exchange in the plan may be the deterministic orderBy's
+    // range partition
+    Seq("mm_features" -> Multimodal.mm_features,
+      "mm_png_features" -> Multimodal.mm_png_features,
+      "mm_wav_features" -> Multimodal.mm_wav_features).foreach {
+      case (name, q) =>
+        val df = q(spark, sf0001)
+        df.collect() // let AQE finalize
+        val plan = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        val exchanges = plan.linesIterator
+          .filter(l => l.contains("Exchange") && !l.contains("Broadcast"))
+          .toSeq
+        withClue(s"$name: ") {
+          assert(exchanges.forall(_.contains("rangepartitioning")),
+            s"only the output sort may shuffle:\n$plan")
+          assert(!plan.contains("Join"), plan)
+        }
+    }
+  }
+
   test("no query in the declared surface plans a CartesianProduct") {
     // the one plan shape that cannot survive a 100x scale-up
     graft.SparkEntry.queries.foreach { case (name, q) =>

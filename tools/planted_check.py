@@ -73,6 +73,11 @@ CHECKS = {
             WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr'
             WHEN 3 THEN 'es' ELSE 'zh' END AS lang
         FROM documents ORDER BY doc_id""", None),
+    "q31_bloom": ("full", """
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+        ORDER BY o_orderkey""", None),
     "q19_approx_gate": ("full", """
         SELECT DISTINCT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
           AS o_year, o_orderpriority
