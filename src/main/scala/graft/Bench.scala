@@ -222,8 +222,12 @@ object Bench {
       if (v < 0) "-1" else f"$v%.3f"
     val qsCompact = results.map { case (k, v, _, _) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
+    // subset runs write no files — don't point consumers at a stale
+    // BENCH_SUMMARY.json from an earlier full run
+    val detail =
+      if (only.isEmpty) "BENCH_SUMMARY.json" else "stdout-only (subset run)"
     val tailFields =
-      f""""sf":"$sfDir","failed":$failedJson,$loadFields,"sim_ivf_build_s":$ivfBuildSec%.3f,"bucket_build_s":$bucketBuildSec%.3f$fits,"detail":"BENCH_SUMMARY.json"}"""
+      f""""sf":"$sfDir","failed":$failedJson,$loadFields,"sim_ivf_build_s":$ivfBuildSec%.3f,"bucket_build_s":$bucketBuildSec%.3f$fits,"detail":"$detail"}"""
     val head =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec",$runFields,"""
     val compact = head + s""""queries":$qsCompact,""" + tailFields

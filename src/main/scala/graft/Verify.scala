@@ -69,7 +69,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A subset run must not shrink a prior full run's oracle manifest
+    // in place (selfcheck.py would silently verify only the subset
+    // while the full dumps still sit beside it) — subset oracles go to
+    // a sibling file instead.
+    val oracleFile =
+      if (only.isEmpty) "oracle_sql.json" else "oracle_sql.subset.json"
+    Files.writeString(Paths.get(s"$outDir/$oracleFile"), json)
     // Always written (empty object when clean): a crashed query would
     // otherwise appear in the dump only as a MISSING directory, and a
     // reader of the artifacts alone undercounts the damage (the r10/r11

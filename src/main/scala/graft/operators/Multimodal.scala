@@ -126,9 +126,15 @@ object Multimodal {
           s"media ${row.media_id}: unsupported wav sample size $bits")
         val ch = fmt.getChannels
         val frameBytes = fmt.getFrameSize
+        val bytesPer = bits / 8
+        // getFrameSize may be AudioSystem.NOT_SPECIFIED (-1) on a
+        // malformed header; fail with the contract's clear message
+        // instead of a NegativeArraySizeException downstream
+        require(frameBytes > 0 && frameBytes == ch * bytesPer,
+          s"media ${row.media_id}: malformed wav frame size " +
+            s"($frameBytes, expected ${ch * bytesPer})")
         val data = ais.readAllBytes()
         val nFrames = data.length / frameBytes
-        val bytesPer = bits / 8
         val out = new Array[Double](nFrames)
         var f = 0
         while (f < nFrames) {

@@ -34,8 +34,17 @@ def load(spec):
                  "exists to look the label up in (run a bench first)")
     hit = None
     with open("BENCH_HISTORY.jsonl") as f:
-        for line in f:
-            rec = json.loads(line)
+        for n, line in enumerate(f, 1):
+            if not line.strip():
+                continue
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                # the Bench append is non-atomic; skip a truncated
+                # trailing line instead of crashing the diff
+                print(f"warning: BENCH_HISTORY.jsonl line {n} is not "
+                      f"valid JSON - skipped", file=sys.stderr)
+                continue
             if rec.get("run") == spec:
                 hit = rec
     if hit is None:

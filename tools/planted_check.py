@@ -131,6 +131,16 @@ def main(sf_dir, out_dir, artifact=None):
             # if the parquet dump's physical column order differs; a
             # missing column fails loudly in DuckDB
             oracle_cols = [d[0] for d in con.description]
+            # strict schema gate (matches selfcheck.py): the engine
+            # dump's column SET must equal the oracle's, so an added
+            # or renamed engine column can't pass silently
+            if not proj_sql:
+                eng_cols = [r[1] for r in con.execute(
+                    "PRAGMA table_info('engine')").fetchall()]
+                if sorted(eng_cols) != sorted(oracle_cols):
+                    raise RuntimeError(
+                        f"column-set mismatch: engine={sorted(eng_cols)} "
+                        f"oracle={sorted(oracle_cols)}")
             got = con.execute(
                 proj_sql if proj_sql else
                 f"SELECT {', '.join(oracle_cols)} FROM engine "
