@@ -701,6 +701,35 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** Write-path round trip at the query surface: `events` →
+    * `write.format("fits")` → read back → every row, hash-oracled
+    * against the parquet original. The writer itself is deeply
+    * spec-gated (FitsWriterSpec), but until r14 no driver-checked key
+    * exercised write→read end-to-end — this closes that seam.
+    *
+    * Columns are the writer's exactly-round-trippable subset: int64,
+    * string (no trailing blanks in the data — FITS `A` columns are
+    * blank-padded), and double (IEEE bits preserved through `D`);
+    * `ts` travels as epoch microseconds (FITS has no timestamp type).
+    * The table has no NULLs (floating/string NULLs don't round-trip —
+    * documented writer corner), verified by the oracle's exact hash.
+    *
+    * Scale shape: one linear write pass + one linear read pass over a
+    * small table, a per-partition part-file layout identical to
+    * Spark's own sinks; no shuffle until the output sort. */
+  val q32_fits_roundtrip: Q = (s, dir) => {
+    val src = t(s, dir, "events").select(
+      $"event_id", $"user_id", $"event_type", $"value",
+      unix_micros($"ts").as("ts_us"))
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft-q32-" + java.lang.Integer.toHexString(dir.hashCode))
+      .getAbsolutePath
+    src.write.format("fits").mode("overwrite").save(out)
+    s.read.format("fits").option("hdu", 1).load(out)
+      .orderBy($"event_id")
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -747,6 +776,7 @@ object Relational {
     "q29_funnel" -> q29_funnel,
     "q30_retention" -> q30_retention,
     "q31_bloom" -> q31_bloom,
+    "q32_fits_roundtrip" -> q32_fits_roundtrip,
   )
 
   /** DuckDB-compatible oracle SQL. Keys mirror `queries`; column aliases
@@ -760,6 +790,12 @@ object Relational {
         |WHERE o_custkey IN (SELECT c_custkey FROM customer
         |                    WHERE c_mktsegment = 'BUILDING')
         |ORDER BY o_orderkey""".stripMargin,
+    // per-row equality: any write- or read-side corruption of any row
+    // breaks the hash (ts compared as exact integer microseconds)
+    "q32_fits_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value,
+        |  epoch_us(ts) AS ts_us
+        |FROM events ORDER BY event_id""".stripMargin,
     "q19_approx_gate" ->
       """SELECT DISTINCT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
         |  AS o_year, o_orderpriority
