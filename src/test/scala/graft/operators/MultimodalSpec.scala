@@ -142,6 +142,38 @@ class MultimodalSpec extends SparkTestBase {
     assert(px.toSeq == Multimodal.decode(row).toSeq)
   }
 
+  test("encodeJpeg q1.0: uniform gray images round-trip bit-exactly") {
+    // the mm_jpeg_planted contract: DC-only images survive the full
+    // real DCT → quantize → entropy-code → decode loop with zero error
+    // at quality 1.0 (all-ones scaled quantization tables)
+    for (v <- Seq(30, 77, 128, 199, 230); w <- Seq(32, 63, 97, 128)) {
+      val b = Array.fill(w)(v.toByte)
+      val px = Multimodal.decode(Multimodal.MediaRow(
+        1L, "jpeg", Multimodal.encodeJpeg(b, w, 1, 1.0f), w, 1, 8))
+      assert(px.length == w, s"geometry $w")
+      assert(px.forall(_ == v.toDouble), s"uniform v=$v w=$w not exact")
+    }
+  }
+
+  test("encodeJpeg q0.95: ASCII-noise rows decode within JpegTol") {
+    // the mm_jpeg_features contract on its worst-case input class
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 20) {
+      val w = 40 + rnd.nextInt(400)
+      val b = Array.fill(w)((32 + rnd.nextInt(95)).toByte)
+      val px = Multimodal.decode(Multimodal.MediaRow(
+        2L, "jpeg", Multimodal.encodeJpeg(b, w, 1, 0.95f), w, 1, 8))
+      assert(px.length == w, "jpeg must never change geometry")
+      val worst = px.indices.map(i => math.abs(px(i) - (b(i) & 0xff))).max
+      assert(worst <= Multimodal.JpegTol, s"err $worst > tol")
+    }
+  }
+
+  test("encodeJpeg rejects inconsistent geometry") {
+    intercept[IllegalArgumentException](
+      Multimodal.encodeJpeg(Array[Byte](1, 2, 3), 2, 1, 1.0f))
+  }
+
   test("undecodable payload for a real-codec kind fails loudly") {
     val bad = Multimodal.MediaRow(4L, "png", Array[Byte](1, 2, 3), 3, 1, 8)
     intercept[IllegalArgumentException](Multimodal.decode(bad))
