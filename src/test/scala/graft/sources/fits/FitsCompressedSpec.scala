@@ -36,6 +36,59 @@ class FitsCompressedSpec extends SparkTestBase {
     assert(Rice.decode(comp, 4, 1).toSeq == Seq[Byte](10, 12, 9, 9))
   }
 
+  test("RICE_1 decode: hand-derived 16-bit foreign stream (fsbits=4)") {
+    // Worked example derived from the convention text alone (registered
+    // tiled-image convention §5.1 / Pence, White & Seaman 2009) — these
+    // bytes were penciled out bit-by-bit, NOT produced by this engine's
+    // encoder. Pixels [1000, 1002, 999, 999, 1000], bytepix=2 → raw
+    // first pixel 0x03E8, diffs [0,+2,−3,0,+1] → zig-zag [0,4,5,0,2].
+    // fs=1: F=2 → 0010, then 10 | 0010 | 0011 | 10 | 010, zero-padded:
+    //   00101000 10001110 01000000 = 0x28 0x8E 0x40.
+    val comp = Array[Byte](0x03, 0xE8.toByte, 0x28, 0x8E.toByte, 0x40)
+    assert(Rice.decode(comp, 5, 2).toSeq ==
+      shortTile(1000, 1002, 999, 999, 1000).toSeq)
+    // and the same foreign bytes read through the full source
+    val p = Files.createTempFile("graft-rice-foreign", ".fits").toString
+    writeFz(p, "RICE_1", 16, 5, Seq((comp, null: Array[Byte])),
+      withGzCol = false)
+    try {
+      val r = spark.read.format("fits").option("hdu", 1).load(p)
+        .orderBy("ImgIndex").collect()
+      assert(r.length == 1 &&
+        r(0).getSeq[Short](0) == Seq[Short](1000, 1002, 999, 999, 1000))
+    } finally Files.deleteIfExists(java.nio.file.Paths.get(p))
+  }
+
+  test("GZIP_2 decode: hand-assembled foreign gzip stream (stored block)") {
+    // A foreign GZIP_2 tile assembled byte-by-byte from RFC 1952/1951
+    // and the convention's byte-plane shuffle — no Deflater involved,
+    // so nothing about these bytes came from this engine's encoder.
+    // Pixels int16 [258, 772] → big-endian [01 02 03 04]; shuffle
+    // (all MSBs first, then LSBs) → planes [01 03 | 02 04]; wrap in a
+    // gzip member whose single DEFLATE block is STORED (BFINAL=1,
+    // BTYPE=00, LEN=4): CRC32(01 03 02 04) = 0xAEE5A0BB, ISIZE=4.
+    val comp = Array(
+      0x1f, 0x8b, 0x08, 0x00, // gzip magic, CM=deflate, FLG=0
+      0x00, 0x00, 0x00, 0x00, // MTIME=0
+      0x00, 0xff, // XFL=0, OS=unknown
+      0x01, 0x04, 0x00, 0xfb, 0xff, // stored block: final, LEN=4, NLEN
+      0x01, 0x03, 0x02, 0x04, // the shuffled byte planes, verbatim
+      0xbb, 0xa0, 0xe5, 0xae, // CRC32 little-endian
+      0x04, 0x00, 0x00, 0x00 // ISIZE=4
+    ).map(_.toByte)
+    assert(TileCodec.decompress("GZIP_2", comp, 2, 2, 32).toSeq ==
+      shortTile(258, 772).toSeq)
+    // and through the full source
+    val p = Files.createTempFile("graft-gz2-foreign", ".fits").toString
+    writeFz(p, "GZIP_2", 16, 2, Seq((comp, null: Array[Byte])),
+      withGzCol = false)
+    try {
+      val r = spark.read.format("fits").option("hdu", 1).load(p)
+        .orderBy("ImgIndex").collect()
+      assert(r.length == 1 && r(0).getSeq[Short](0) == Seq[Short](258, 772))
+    } finally Files.deleteIfExists(java.nio.file.Paths.get(p))
+  }
+
   test("RICE_1 encode/decode round-trips across bytepix and extremes") {
     val rnd = new scala.util.Random(7)
     for (bytepix <- Seq(1, 2, 4); n <- Seq(1, 31, 32, 33, 257)) {
