@@ -166,13 +166,44 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
-  test("no query in the declared surface plans a CartesianProduct") {
-    // the one plan shape that cannot survive a 100x scale-up
+  test("full-surface sweep: no cartesian, no unpartitioned window, " +
+    "no undeclared nested-loop join, on any declared key") {
+    // Every key in SparkEntry.queries — including ones no named test
+    // above pins — is swept for the three plan shapes that cannot
+    // survive a 100x scale-up:
+    //   1. CartesianProduct (quadratic, always fatal);
+    //   2. a Window whose partitionSpec is empty (the whole frame
+    //      funnels through ONE task — all declared windows partition);
+    //   3. BroadcastNestedLoopJoin outside the declared brute-force
+    //      scorers (sim_topk / sim_topk_int8 broadcast a ~50-row query
+    //      set against the corpus BY DESIGN, and the two recall audits
+    //      embed sim_topk as their exact side; anywhere else a BNLJ
+    //      means a join condition failed to plan as an equi/range join).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+
+    def sweep(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children ++ (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => Nil
+      })).flatMap(sweep)
+
+    val bnljDeclared =
+      Set("sim_topk", "sim_topk_int8", "sim_lsh_recall", "sim_ivf_recall")
     graft.SparkEntry.queries.foreach { case (name, q) =>
-      val df = q(spark, sf0001)
-      val plan = df.queryExecution.executedPlan.toString
+      val nodes = sweep(q(spark, sf0001).queryExecution.executedPlan)
       withClue(s"$name: ") {
-        assert(!plan.contains("CartesianProduct"), plan)
+        assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+          "plans a CartesianProduct")
+        nodes.collect { case w: WindowExec => w }.foreach { w =>
+          assert(w.partitionSpec.nonEmpty,
+            s"unpartitioned Window (single-task funnel): $w")
+        }
+        if (!bnljDeclared(name))
+          assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+            "plans an undeclared BroadcastNestedLoopJoin")
       }
     }
   }
