@@ -73,6 +73,17 @@ CHECKS = {
             WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr'
             WHEN 3 THEN 'es' ELSE 'zh' END AS lang
         FROM documents ORDER BY doc_id""", None),
+    # jpeg planted twin: every feature is doc_id arithmetic (uniform
+    # q1.0 gray-8 jpeg is DC-only and decodes bit-exactly), so the
+    # full real-codec round trip value-verifies at any corpus scale
+    "mm_jpeg_planted": ("full", """
+        SELECT doc_id AS media_id,
+          CAST(32 + doc_id % 97 AS BIGINT) AS n_px,
+          CAST(30 + doc_id % 201 AS BIGINT) AS px_min,
+          CAST(30 + doc_id % 201 AS BIGINT) AS px_max,
+          CAST((32 + doc_id % 97) * (30 + doc_id % 201) AS BIGINT)
+            AS px_sum
+        FROM documents ORDER BY media_id""", None),
     "q31_bloom": ("full", """
         SELECT o_orderkey FROM orders
         WHERE o_custkey IN (SELECT c_custkey FROM customer
