@@ -109,7 +109,17 @@ object Bench {
         (memoBacked -- SparkEntry.queries.keySet).mkString(", "))
     val (shingleBuildSec, ccBuildSec) =
       if (only.forall(_.exists(memoBacked)))
-        operators.Dedup.warmMemos(spark, sfDir)
+        // A failed build must not abort the whole artifact (the file's
+        // contract: a partial run still dumps what it can). On failure
+        // the memo-backed keys rebuild lazily inside their own timed
+        // try and report per-key failures; -1 marks the probe failed.
+        try operators.Dedup.warmMemos(spark, sfDir,
+          cc = only.forall(_.exists(SparkEntry.ccBackedQueries)))
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] memo warmup FAILED: ${e.getMessage}")
+            (-1.0, -1.0)
+        }
       else (0.0, 0.0)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1))).map { case (name, fn) =>

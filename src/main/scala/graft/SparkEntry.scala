@@ -34,6 +34,11 @@ object SparkEntry {
   def memoBackedQueries: Set[String] =
     operators.Dedup.memoBacked ++ operators.TextOps.memoBacked
 
+  /** The memo-backed keys that additionally ride the survivor-labeling
+    * (CC) memo; the bench only pays that build when one is in the run. */
+  def ccBackedQueries: Set[String] =
+    operators.Dedup.ccBacked ++ operators.TextOps.ccBacked
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

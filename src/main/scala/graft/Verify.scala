@@ -84,7 +84,10 @@ object Verify {
     // dump the driver reads.
     val errJson = failed
       .map { case (k, msg) => s"${q(k)}: ${q(msg)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // same in-place-shrink hazard as the oracle manifest: a subset run
+    // must not rewrite a prior full run's error manifest as clean
+    val errFile = if (only.isEmpty) "errors.json" else "errors.subset.json"
+    Files.writeString(Paths.get(s"$outDir/$errFile"), errJson)
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(

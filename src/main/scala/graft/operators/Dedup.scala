@@ -425,13 +425,14 @@ object Dedup {
     * artifact: dedup_cluster_sizes 5.9 s vs its memo sibling 0.1 s).
     * Idempotent — warm memos return in ~0 s. localCheckpoint is eager,
     * so each call fully materializes its frame. */
-  def warmMemos(s: SparkSession, dir: String): (Double, Double) = {
+  def warmMemos(s: SparkSession, dir: String,
+      cc: Boolean = true): (Double, Double) = {
     val t0 = System.nanoTime()
     shingleHashesFor(s, dir)
     val t1 = System.nanoTime()
-    survivorLabels(s, dir)
+    if (cc) survivorLabels(s, dir)
     val t2 = System.nanoTime()
-    ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+    ((t1 - t0) / 1e9, if (cc) (t2 - t1) / 1e9 else 0.0)
   }
 
   /** Releases this session's memoized survivor labelings AND shingle
@@ -658,6 +659,11 @@ object Dedup {
   val memoBacked: Set[String] = Set(
     "dedup_ngram", "dedup_minhash", "dedup_simhash",
     "dedup_simhash_vs_ngram", "dedup_survivors", "dedup_cluster_sizes")
+
+  /** The subset of [[memoBacked]] that additionally rides the survivor
+    * labeling (CC) memo — the bench skips the ~6 s CC build when a
+    * diagnostic subset run names only shingle-backed keys. */
+  val ccBacked: Set[String] = Set("dedup_survivors", "dedup_cluster_sizes")
 
   private[operators] val jaccardOracle =
     """WITH w AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS wds

@@ -721,13 +721,38 @@ object Relational {
     val src = t(s, dir, "events").select(
       $"event_id", $"user_id", $"event_type", $"value",
       unix_micros($"ts").as("ts_us"))
+    // scratch path keyed on (corpus, applicationId): concurrent JVMs on
+    // the same corpus (bench + verify — a documented hazard here) must
+    // not overwrite each other's output mid-read; within one session
+    // reps reuse and overwrite the same dir. Cleaned up at JVM exit.
     val out = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      "graft-q32-" + java.lang.Integer.toHexString(dir.hashCode))
+      "graft-q32-" + java.lang.Integer.toHexString(dir.hashCode) +
+        "-" + s.sparkContext.applicationId)
       .getAbsolutePath
+    q32CleanupAtExit(out)
     src.write.format("fits").mode("overwrite").save(out)
     s.read.format("fits").option("hdu", 1).load(out)
       .orderBy($"event_id")
+  }
+
+  /** q32's scratch dirs, deleted by a single JVM shutdown hook so the
+    * events-sized FITS copies don't accumulate in the system tmpdir. */
+  private val q32Dirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val q32HookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      q32Dirs.forEach { d =>
+        def del(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(d))
+      }))
+  private def q32CleanupAtExit(path: String): Unit = {
+    q32HookInstalled
+    q32Dirs.add(path): Unit
   }
 
   // ------------------------------------------------------------- registry

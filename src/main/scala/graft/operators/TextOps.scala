@@ -500,6 +500,9 @@ object TextOps {
     * rationale of declaring this here). */
   val memoBacked: Set[String] = Set("pipeline_clean", "pipeline_decontam")
 
+  /** Of those, only pipeline_clean needs the survivor-labeling memo. */
+  val ccBacked: Set[String] = Set("pipeline_clean")
+
   private val stopsSql = stops.map(s => s"'$s'").mkString(", ")
 
   /** Shared DuckDB CTE chain: whitespace tokens → seeded rolling hash

@@ -185,7 +185,10 @@ class PlanQualitySpec extends SparkTestBase {
     import org.apache.spark.sql.execution.window.WindowExec
 
     def sweep(p: SparkPlan): Seq[SparkPlan] =
-      p +: (p.children ++ (p match {
+      // children alone misses subquery plans (they hang off expressions
+      // — e.g. q31_bloom's scalar-subquery sketch), so recurse into
+      // p.subqueries too; AQE wraps its real plan as a leaf
+      p +: (p.children ++ p.subqueries ++ (p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
         case _ => Nil
       })).flatMap(sweep)
