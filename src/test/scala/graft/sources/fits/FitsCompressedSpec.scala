@@ -89,6 +89,32 @@ class FitsCompressedSpec extends SparkTestBase {
     } finally Files.deleteIfExists(java.nio.file.Paths.get(p))
   }
 
+  test("GZIP_1 decode: hand-assembled foreign gzip stream (stored block)") {
+    // GZIP_1 twin of the GZIP_2 gate above — same RFC 1952/1951
+    // hand-assembly, but the payload is the UNSHUFFLED big-endian
+    // pixel bytes [01 02 03 04] (int16 [258, 772]); CRC32 = 0xB63CFBCD.
+    // With this, every supported codec (RICE_1, GZIP_1, GZIP_2,
+    // HCOMPRESS_1) has a decoder gate whose bytes this engine never
+    // produced.
+    val comp = Array(
+      0x1f, 0x8b, 0x08, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff,
+      0x01, 0x04, 0x00, 0xfb, 0xff,
+      0x01, 0x02, 0x03, 0x04,
+      0xcd, 0xfb, 0x3c, 0xb6, // CRC32 little-endian
+      0x04, 0x00, 0x00, 0x00
+    ).map(_.toByte)
+    assert(TileCodec.decompress("GZIP_1", comp, 2, 2, 32).toSeq ==
+      shortTile(258, 772).toSeq)
+    val p = Files.createTempFile("graft-gz1-foreign", ".fits").toString
+    writeFz(p, "GZIP_1", 16, 2, Seq((comp, null: Array[Byte])),
+      withGzCol = false)
+    try {
+      val r = spark.read.format("fits").option("hdu", 1).load(p)
+        .orderBy("ImgIndex").collect()
+      assert(r.length == 1 && r(0).getSeq[Short](0) == Seq[Short](258, 772))
+    } finally Files.deleteIfExists(java.nio.file.Paths.get(p))
+  }
+
   test("RICE_1 encode/decode round-trips across bytepix and extremes") {
     val rnd = new scala.util.Random(7)
     for (bytepix <- Seq(1, 2, 4); n <- Seq(1, 31, 32, 33, 257)) {
