@@ -721,28 +721,23 @@ object Relational {
     val src = t(s, dir, "events").select(
       $"event_id", $"user_id", $"event_type", $"value",
       unix_micros($"ts").as("ts_us"))
-    // scratch path keyed on (corpus, applicationId): concurrent JVMs on
-    // the same corpus (bench + verify — a documented hazard here) must
-    // not overwrite each other's output mid-read; within one session
-    // reps reuse and overwrite the same dir. Cleaned up at JVM exit.
-    val out = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      "graft-q32-" + java.lang.Integer.toHexString(dir.hashCode) +
-        "-" + s.sparkContext.applicationId)
-      .getAbsolutePath
-    q32CleanupAtExit(out)
+    val out = fitsScratch(s, dir, "q32")
     src.write.format("fits").mode("overwrite").save(out)
     s.read.format("fits").option("hdu", 1).load(out)
       .orderBy($"event_id")
   }
 
-  /** q32's scratch dirs, deleted by a single JVM shutdown hook so the
-    * events-sized FITS copies don't accumulate in the system tmpdir. */
-  private val q32Dirs =
+  /** Round-trip scratch dirs, deleted by a single JVM shutdown hook so
+    * the table-sized FITS copies don't accumulate in the system tmpdir.
+    * The path is keyed on (tag, corpus, applicationId): concurrent JVMs
+    * on the same corpus (bench + verify — a documented hazard here)
+    * must not overwrite each other's output mid-read; within one
+    * session reps reuse and overwrite the same dir. */
+  private val scratchDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private lazy val q32HookInstalled: Unit =
+  private lazy val scratchHookInstalled: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      q32Dirs.forEach { d =>
+      scratchDirs.forEach { d =>
         def del(f: java.io.File): Unit = {
           val kids = f.listFiles()
           if (kids != null) kids.foreach(del)
@@ -750,9 +745,38 @@ object Relational {
         }
         del(new java.io.File(d))
       }))
-  private def q32CleanupAtExit(path: String): Unit = {
-    q32HookInstalled
-    q32Dirs.add(path): Unit
+  private def fitsScratch(s: SparkSession, dir: String,
+      tag: String): String = {
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft-$tag-" + java.lang.Integer.toHexString(dir.hashCode) +
+        "-" + s.sparkContext.applicationId)
+      .getAbsolutePath
+    scratchHookInstalled
+    scratchDirs.add(out): Unit
+    out
+  }
+
+  /** The var-length twin of [[q32_fits_roundtrip]]: `documents` plus a
+    * RAGGED per-word-length int array through the FITS writer's heap
+    * path and back, every row hash-oracled. Word counts differ per doc,
+    * so the array column is guaranteed ragged and stores as a
+    * heap-backed `1PJ(max)` var-length column — the P/Q descriptor
+    * machinery (heap offsets, Q promotion, multi-file union reads) is
+    * thereby gated at the driver-checked query surface, not only in
+    * ScalaTest. (`text` itself sits just UNDER the writer's >50%%
+    * padding-waste threshold at these corpora — mean/max length ≈ 0.52
+    * — so it stores fixed `nA`; exactness holds either way since the
+    * corpus has no trailing blanks, but the ragged int array is what
+    * pins the heap path deterministically.) */
+  val q33_fits_varlen: Q = (s, dir) => {
+    val src = t(s, dir, "documents").select(
+      $"doc_id", $"text",
+      transform(split($"text", " "), w => length(w)).as("word_lens"))
+    val out = fitsScratch(s, dir, "q33")
+    src.write.format("fits").mode("overwrite").save(out)
+    s.read.format("fits").option("hdu", 1).load(out)
+      .orderBy($"doc_id")
   }
 
   // ------------------------------------------------------------- registry
@@ -802,6 +826,7 @@ object Relational {
     "q30_retention" -> q30_retention,
     "q31_bloom" -> q31_bloom,
     "q32_fits_roundtrip" -> q32_fits_roundtrip,
+    "q33_fits_varlen" -> q33_fits_varlen,
   )
 
   /** DuckDB-compatible oracle SQL. Keys mirror `queries`; column aliases
@@ -821,6 +846,13 @@ object Relational {
       """SELECT event_id, user_id, event_type, value,
         |  epoch_us(ts) AS ts_us
         |FROM events ORDER BY event_id""".stripMargin,
+    // the ragged word-length array replays as a DuckDB list transform;
+    // INT cast matches the engine's FITS J (int32) element type
+    "q33_fits_varlen" ->
+      """SELECT doc_id, text,
+        |  list_transform(regexp_split_to_array(text, ' '),
+        |                 w -> CAST(len(w) AS INTEGER)) AS word_lens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q19_approx_gate" ->
       """SELECT DISTINCT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
         |  AS o_year, o_orderpriority
