@@ -84,6 +84,18 @@ CHECKS = {
           CAST((32 + doc_id % 97) * (30 + doc_id % 201) AS BIGINT)
             AS px_sum
         FROM documents ORDER BY media_id""", None),
+    # FITS write->read round trips: linear per-row replays, cheap at
+    # any scale — value-verifies the writer (fixed-width AND heap
+    # var-length paths) over the full canary corpus
+    "q32_fits_roundtrip": ("full", """
+        SELECT event_id, user_id, event_type, value,
+          epoch_us(ts) AS ts_us
+        FROM events ORDER BY event_id""", None),
+    "q33_fits_varlen": ("full", """
+        SELECT doc_id, text,
+          list_transform(regexp_split_to_array(text, ' '),
+                         w -> CAST(len(w) AS INTEGER)) AS word_lens
+        FROM documents ORDER BY doc_id""", None),
     "q31_bloom": ("full", """
         SELECT o_orderkey FROM orders
         WHERE o_custkey IN (SELECT c_custkey FROM customer
