@@ -745,7 +745,7 @@ object Relational {
         }
         del(new java.io.File(d))
       }))
-  private def fitsScratch(s: SparkSession, dir: String,
+  private[operators] def fitsScratch(s: SparkSession, dir: String,
       tag: String): String = {
     val out = new java.io.File(
       System.getProperty("java.io.tmpdir"),

@@ -113,13 +113,48 @@ object Streaming {
     "stream_hour_counts_tbl", "stream_sliding_tbl", "stream_sessions_tbl",
     "stream_state_sessions_tbl", "stream_append_tbl", "stream_dedup_tbl",
     "stream_dedup_bounded_tbl", "stream_decontam_tbl", "stream_joined_tbl",
-    "stream_funnel_tbl")
+    "stream_funnel_tbl", "stream_fits_ingest_tbl")
 
   /** Memory-sink tables hold their full result in the driver for the
     * session's life; a long multi-query session (the bench) must drop
     * them once consumed or they accumulate as permanent heap residue. */
   def dropSinkTables(s: SparkSession): Unit =
     sinkTableNames.foreach(s.catalog.dropTempView)
+
+  /** FITS alert-stream ingestion at the driver surface: a FITS copy of
+    * `events` (the connector's own writer, 8 part files) consumed
+    * through the connector's micro-batch streaming source in bounded
+    * batches (`maxFilesPerTrigger` 2 → admission-controlled batches),
+    * windowed per hour × event_type, hash-oracled against the batch SQL
+    * over the parquet original. Complete output mode makes the final
+    * aggregate independent of batch boundaries, so the oracle
+    * equivalence is unconditional. Gates the streaming DSv2 read path —
+    * offset tracking, admission control, per-file partition planning —
+    * end-to-end (previously ScalaTest-only, FitsStreamSpec). This is
+    * the reference domain's core streaming shape: alert exposures land
+    * as FITS files, downstream watermarked aggregations consume them
+    * incrementally. */
+  val stream_fits_ingest: Q = (s, dir) => {
+    val staged = Relational.fitsScratch(s, dir, "sfits")
+    graft.Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .repartition(8)
+      .write.format("fits").mode("overwrite").save(staged)
+    val agg = s.readStream.format("fits")
+      .option("hdu", 1).option("maxFilesPerTrigger", 2)
+      .load(staged)
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("sum_id"))
+    withShufflePartitions(s, 8) {
+      runToTable(s, agg, "stream_fits_ingest_tbl", "complete")
+        .select(col("window.start").cast("timestamp_ntz").as("h"),
+          col("event_type"), col("cnt"), col("sum_id"))
+        .orderBy(col("h"), col("event_type"))
+    }
+  }
 
   /** Tumbling 1-hour windows × event_type with a 1-hour watermark. */
   val stream_hour_counts: Q = (s, dir) => {
@@ -363,6 +398,7 @@ object Streaming {
     "stream_decontam" -> stream_decontam,
     "stream_joined" -> stream_joined,
     "stream_funnel" -> stream_funnel,
+    "stream_fits_ingest" -> stream_fits_ingest,
   )
 
   private val sessionIslands =
@@ -401,6 +437,12 @@ object Streaming {
     "stream_hour_counts" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h, event_type,
         |  COUNT(*) AS cnt
+        |FROM events GROUP BY h, event_type ORDER BY h, event_type""".stripMargin,
+    // same hourly rollup replayed through the FITS streaming source;
+    // SUM over BIGINT is HUGEINT in DuckDB → explicit cast
+    "stream_fits_ingest" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h, event_type,
+        |  COUNT(*) AS cnt, CAST(SUM(event_id) AS BIGINT) AS sum_id
         |FROM events GROUP BY h, event_type ORDER BY h, event_type""".stripMargin,
     "stream_dedup" ->
       "SELECT DISTINCT text FROM documents ORDER BY text",

@@ -91,6 +91,13 @@ CHECKS = {
         SELECT event_id, user_id, event_type, value,
           epoch_us(ts) AS ts_us
         FROM events ORDER BY event_id""", None),
+    # streaming FITS ingestion: hourly rollup, linear replay — value-
+    # verifies the micro-batch FITS source over the full canary corpus
+    "stream_fits_ingest": ("full", """
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h, event_type,
+          COUNT(*) AS cnt, CAST(SUM(event_id) AS BIGINT) AS sum_id
+        FROM events GROUP BY h, event_type
+        ORDER BY h, event_type""", None),
     "q33_fits_varlen": ("full", """
         SELECT doc_id, text,
           list_transform(regexp_split_to_array(text, ' '),
