@@ -43,13 +43,22 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    // A subset run routes EVERYTHING — per-key dumps and both manifests,
+    // under their standard names — to outDir/subset/, so a prior full
+    // run's artifact set is never partially rewritten (r14 advice: the
+    // old scheme renamed only the manifests to *.subset.json while the
+    // per-key dumps still overwrote the full run's, leaving a
+    // mixed-vintage dump directory beside a full-run manifest). The
+    // subset dir is itself a complete verify-out dir: selfcheck.py and
+    // planted_check.py run against it directly.
+    val dumpDir = if (only.isEmpty) outDir else s"$outDir/subset"
+    new java.io.File(dumpDir).mkdirs()
     // fail-loud: every failed query is recorded and forces a non-zero
     // exit AFTER all artifacts are written — a partial run can never
     // read as a clean round, but it still dumps everything it can
     val failed = SparkEntry.queries.keys.toSeq.sorted
       .filter(k => only.forall(_.contains(k))).flatMap { name =>
-      val err = runOne(spark, name, sfDir, outDir)
+      val err = runOne(spark, name, sfDir, dumpDir)
       spark.catalog.clearCache()
       operators.Streaming.dropSinkTables(spark)
       err
@@ -69,13 +78,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    // A subset run must not shrink a prior full run's oracle manifest
-    // in place (selfcheck.py would silently verify only the subset
-    // while the full dumps still sit beside it) — subset oracles go to
-    // a sibling file instead.
-    val oracleFile =
-      if (only.isEmpty) "oracle_sql.json" else "oracle_sql.subset.json"
-    Files.writeString(Paths.get(s"$outDir/$oracleFile"), json)
+    // Manifests carry their standard names but live in dumpDir, next to
+    // the dumps they describe (full run → outDir, subset → outDir/subset)
+    Files.writeString(Paths.get(s"$dumpDir/oracle_sql.json"), json)
     // Always written (empty object when clean): a crashed query would
     // otherwise appear in the dump only as a MISSING directory, and a
     // reader of the artifacts alone undercounts the damage (the r10/r11
@@ -84,10 +89,7 @@ object Verify {
     // dump the driver reads.
     val errJson = failed
       .map { case (k, msg) => s"${q(k)}: ${q(msg)}" }.mkString("{", ",", "}")
-    // same in-place-shrink hazard as the oracle manifest: a subset run
-    // must not rewrite a prior full run's error manifest as clean
-    val errFile = if (only.isEmpty) "errors.json" else "errors.subset.json"
-    Files.writeString(Paths.get(s"$outDir/$errFile"), errJson)
+    Files.writeString(Paths.get(s"$dumpDir/errors.json"), errJson)
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(

@@ -445,6 +445,15 @@ object Multimodal {
     * breaks `err_le_tol`, a dropped doc breaks the row set. The
     * exact-equality twin is [[mm_jpeg_planted]]. Same shuffle-free
     * one-pass mapPartitions shape as the other mm keys. */
+  /** JDK `ImageIO` jpeg rejects image dimensions above 65500; documents
+    * longer than that must be encoded as several images, not one 1×N
+    * strip (r14 advice — latent until a corpus ships multi-64KB docs).
+    * Chunks well under the codec ceiling; features aggregate per doc
+    * INSIDE the flatMap, so the output schema, row set, and oracle are
+    * unchanged, and docs under the bound (all current corpora — max
+    * ~577 bytes) still take exactly one encode, byte-identical to r14. */
+  val JpegMaxWidth: Int = 60000
+
   val mm_jpeg_features: Q = (s, dir) => {
     import s.implicits._
     Tables.load(s, dir, "documents")
@@ -453,18 +462,24 @@ object Multimodal {
         val b = text.getBytes("UTF-8")
         if (b.isEmpty) None
         else {
-          val row = MediaRow(id, "jpeg",
-            encodeJpeg(b, b.length, 1, 0.95f), b.length, 1, 8)
-          val px = decode(row)
           var worst = 0.0
-          var i = 0
-          while (i < px.length && i < b.length) {
-            val e = math.abs(px(i) - (b(i) & 0xff))
-            if (e > worst) worst = e
-            i += 1
+          var nPx = 0L
+          var off = 0
+          while (off < b.length) {
+            val len = math.min(JpegMaxWidth, b.length - off)
+            val chunk = java.util.Arrays.copyOfRange(b, off, off + len)
+            val px = decode(MediaRow(id, "jpeg",
+              encodeJpeg(chunk, len, 1, 0.95f), len, 1, 8))
+            nPx += px.length
+            var i = 0
+            while (i < px.length && i < len) {
+              val e = math.abs(px(i) - (chunk(i) & 0xff))
+              if (e > worst) worst = e
+              i += 1
+            }
+            off += len
           }
-          Some((id, px.length.toLong,
-            px.length == b.length && worst <= JpegTol))
+          Some((id, nPx, nPx == b.length && worst <= JpegTol))
         }
       }.toDF("media_id", "n_px", "err_le_tol")
       .orderBy(col("media_id"))

@@ -747,9 +747,16 @@ object Relational {
       }))
   private[operators] def fitsScratch(s: SparkSession, dir: String,
       tag: String): String = {
+    // corpus component is a SHA-256 prefix, not String.hashCode: two
+    // corpus paths colliding in 32 bits would silently share (and
+    // mid-session overwrite) one scratch dir, surfacing only as a
+    // downstream hash mismatch (r14 advice)
+    val corpusId = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
     val out = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      s"graft-$tag-" + java.lang.Integer.toHexString(dir.hashCode) +
+      s"graft-$tag-" + corpusId +
         "-" + s.sparkContext.applicationId)
       .getAbsolutePath
     scratchHookInstalled
@@ -768,7 +775,14 @@ object Relational {
     * padding-waste threshold at these corpora — mean/max length ≈ 0.52
     * — so it stores fixed `nA`; exactness holds either way since the
     * corpus has no trailing blanks, but the ragged int array is what
-    * pins the heap path deterministically.) */
+    * pins the heap path deterministically.)
+    *
+    * The array that came back through the heap path is dumped as a
+    * comma-joined string, not a raw array column: the join is injective
+    * on int arrays, so the per-row gate is just as exact, and the
+    * driver's comparator (pandas sort over the dumped parquet) can only
+    * sort scalar columns — r14's dump of the raw `array<int>` errored
+    * with "unhashable type: numpy.ndarray" and zeroed the key. */
   val q33_fits_varlen: Q = (s, dir) => {
     val src = t(s, dir, "documents").select(
       $"doc_id", $"text",
@@ -776,7 +790,66 @@ object Relational {
     val out = fitsScratch(s, dir, "q33")
     src.write.format("fits").mode("overwrite").save(out)
     s.read.format("fits").option("hdu", 1).load(out)
+      .select($"doc_id", $"text",
+        array_join($"word_lens".cast("array<string>"), ",")
+          .as("word_lens_csv"))
       .orderBy($"doc_id")
+  }
+
+  /** The tile-compression member of the FITS round-trip family
+    * ([[q32_fits_roundtrip]] fixed-width table, [[q33_fits_varlen]]
+    * heap var-length): `documents` text bytes become fixed-width int16
+    * image lines, travel through the writer's RICE_1 ZIMAGE path
+    * (whole-line × 16-row tiles, lossless for integer pixels) and the
+    * tile-decompressing reader, and every pixel of every line is
+    * hash-oracled. Until r15 the four tile codecs were gated only in
+    * ScalaTest; this puts one (the fpack default) on the driver-checked
+    * query surface.
+    *
+    * An image HDU stores no row ids — line order is partition order —
+    * so the line carries its own identity: pixels 0..3 encode `doc_id`
+    * base-32768 big-endian (doc ids stay well under 2^60 at every
+    * canary scale), making the key independent of file/partition
+    * read-back order. The payload is the doc's bytes at pixels 4+
+    * (ASCII corpus, so byte = codepoint and the DuckDB oracle replays
+    * pixels with `ord`), zero-padded — and truncated at the fixed line
+    * width on BOTH sides, so the gate stays exact on any future corpus.
+    * Dumped comma-joined for the driver's scalar-only comparator. */
+  val q34_fits_tilecomp: Q = (s, dir) => {
+    val width = 640 // 4 id pixels + 636 payload (max doc ~577 today)
+    val payload = width - 4
+    val lines = {
+      // no `$` uses in this block — the session implicits (encoders)
+      // don't collide with this object's `$` interpolator here
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val b = text.getBytes("UTF-8")
+          val arr = new Array[Short](width)
+          arr(0) = ((id >> 45) & 0x7fff).toShort
+          arr(1) = ((id >> 30) & 0x7fff).toShort
+          arr(2) = ((id >> 15) & 0x7fff).toShort
+          arr(3) = (id & 0x7fff).toShort
+          var j = 0
+          val n = math.min(b.length, payload)
+          while (j < n) { arr(4 + j) = (b(j) & 0xff).toShort; j += 1 }
+          Tuple1(arr)
+        }.toDF("Image")
+    }
+    val out = fitsScratch(s, dir, "q34")
+    lines.write.format("fits").option("image", true)
+      .option("compress", "RICE_1").mode("overwrite").save(out)
+    val px = s.read.format("fits").option("hdu", 1).load(out)
+      .select(col("Image").cast("array<long>").as("px"))
+    px.select(
+      (element_at(col("px"), lit(1)) * lit(1L << 45) +
+        element_at(col("px"), lit(2)) * lit(1L << 30) +
+        element_at(col("px"), lit(3)) * lit(1L << 15) +
+        element_at(col("px"), lit(4))).as("doc_id"),
+      array_join(slice(col("px"), 5, payload).cast("array<string>"), ",")
+        .as("px_csv"))
+      .orderBy(col("doc_id"))
   }
 
   // ------------------------------------------------------------- registry
@@ -827,6 +900,7 @@ object Relational {
     "q31_bloom" -> q31_bloom,
     "q32_fits_roundtrip" -> q32_fits_roundtrip,
     "q33_fits_varlen" -> q33_fits_varlen,
+    "q34_fits_tilecomp" -> q34_fits_tilecomp,
   )
 
   /** DuckDB-compatible oracle SQL. Keys mirror `queries`; column aliases
@@ -846,13 +920,25 @@ object Relational {
       """SELECT event_id, user_id, event_type, value,
         |  epoch_us(ts) AS ts_us
         |FROM events ORDER BY event_id""".stripMargin,
-    // the ragged word-length array replays as a DuckDB list transform;
-    // INT cast matches the engine's FITS J (int32) element type
+    // the ragged word-length array replays as a DuckDB list transform,
+    // dumped comma-joined (injective on int arrays; the driver's pandas
+    // comparator can only sort scalar columns — the r14 lesson)
     "q33_fits_varlen" ->
       """SELECT doc_id, text,
-        |  list_transform(regexp_split_to_array(text, ' '),
-        |                 w -> CAST(len(w) AS INTEGER)) AS word_lens
+        |  array_to_string(list_transform(regexp_split_to_array(text, ' '),
+        |                                 w -> CAST(len(w) AS INTEGER)),
+        |                  ',') AS word_lens_csv
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // every RICE-decompressed pixel of every line replays as ord() over
+    // the ASCII doc bytes, zero-padded/truncated to the fixed 636-px
+    // payload (pixels 1..4 carry doc_id and are checked via the id col)
+    "q34_fits_tilecomp" ->
+      """SELECT doc_id,
+        |  array_to_string(list_transform(range(1, 637),
+        |    j -> CAST(CASE WHEN j <= len(t) THEN ord(substr(t, j, 1))
+        |              ELSE 0 END AS BIGINT)), ',') AS px_csv
+        |FROM (SELECT doc_id, substr(text, 1, 636) AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "q19_approx_gate" ->
       """SELECT DISTINCT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
         |  AS o_year, o_orderpriority

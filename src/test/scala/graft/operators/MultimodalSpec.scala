@@ -194,4 +194,23 @@ class MultimodalSpec extends SparkTestBase {
         r.getDouble(4)))
     assert(out.toSeq == Seq((1L, 1L, 17477.0, 17477.0, 17477.0)), out.toSeq)
   }
+
+  test("mm_jpeg_features: docs past the ImageIO 65500-px width ceiling " +
+    "are chunked, features aggregate per doc") {
+    // r14 advice: width = doc byte length broke loudly above 65500.
+    // 150001 bytes = 2 full 60000-px chunks + a 30001-px tail; the key
+    // must emit ONE row per doc with n_px = total byte count and the
+    // tolerance certificate spanning every chunk. The short doc pins
+    // the ≤-one-chunk path (bit-identical to the pre-chunking shape).
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val big = Array.fill(150001)((32 + rnd.nextInt(95)).toChar).mkString
+    val dir = java.nio.file.Files.createTempDirectory("mmjpeg").toString
+    Seq((1L, big), (2L, "short doc"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Multimodal.mm_jpeg_features(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq((1L, 150001L, true), (2L, 9L, true)), out.toSeq)
+  }
 }

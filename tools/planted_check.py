@@ -100,9 +100,19 @@ CHECKS = {
         ORDER BY h, event_type""", None),
     "q33_fits_varlen": ("full", """
         SELECT doc_id, text,
-          list_transform(regexp_split_to_array(text, ' '),
-                         w -> CAST(len(w) AS INTEGER)) AS word_lens
+          array_to_string(list_transform(regexp_split_to_array(text, ' '),
+                                         w -> CAST(len(w) AS INTEGER)),
+                          ',') AS word_lens_csv
         FROM documents ORDER BY doc_id""", None),
+    # RICE_1 tile-compressed image round trip: every decompressed pixel
+    # replays as ord() over the ASCII doc bytes (linear scan, any scale)
+    "q34_fits_tilecomp": ("full", """
+        SELECT doc_id,
+          array_to_string(list_transform(range(1, 637),
+            j -> CAST(CASE WHEN j <= len(t) THEN ord(substr(t, j, 1))
+                      ELSE 0 END AS BIGINT)), ',') AS px_csv
+        FROM (SELECT doc_id, substr(text, 1, 636) AS t FROM documents)
+        ORDER BY doc_id""", None),
     "q31_bloom": ("full", """
         SELECT o_orderkey FROM orders
         WHERE o_custkey IN (SELECT c_custkey FROM customer
