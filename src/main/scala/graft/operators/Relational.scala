@@ -822,8 +822,17 @@ object Relational {
       // no `$` uses in this block — the session implicits (encoders)
       // don't collide with this object's `$` interpolator here
       import s.implicits._
+      // Write parallelism must scale with the DATA, not the input file
+      // layout: each text byte becomes an int16 pixel plus padding
+      // (~7.7x expansion at these corpora), so input-split sizing
+      // under-parallelizes the encode badly (100x canary ships one
+      // 83 MB parquet file -> ONE task RICE-encoding 640 MB, 17.5 s).
+      // A hash repartition on doc_id costs one small shuffle of the
+      // raw text; AQE coalesces it away on small corpora and keeps
+      // full parallelism on big ones. Post-fix 100x: ~4x faster.
       t(s, dir, "documents")
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .select(col("doc_id"), col("text"))
+        .repartition(col("doc_id")).as[(Long, String)]
         .map { case (id, text) =>
           val b = text.getBytes("UTF-8")
           val arr = new Array[Short](width)
