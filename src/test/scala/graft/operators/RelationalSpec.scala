@@ -149,4 +149,24 @@ class RelationalSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)), out.toSeq)
   }
+
+  test("q34 tile round trip: truncation, empty doc, id self-identification") {
+    // the shipped corpora never exercise the >636-byte truncation or
+    // the empty-doc all-zero line, and the driver oracle can only agree
+    // with what it sees — pin those semantics on a synthetic corpus,
+    // including a doc_id above 2^31 (the canary replica-shift range)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q34t").toString
+    val big = 5000000000L // > 2^32: all four base-32768 id pixels in play
+    Seq((0L, ""), (7L, "AB"), (big, "x" * 700 /* > 636: truncated */))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Relational.q34_fits_tilecomp(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.map(_._1).toSeq == Seq(0L, 7L, big), out.map(_._1).toSeq)
+    val byId = out.toMap
+    assert(byId(0L) == Seq.fill(636)("0").mkString(","), "empty doc")
+    assert(byId(7L) == (Seq("65", "66") ++ Seq.fill(634)("0")).mkString(","))
+    assert(byId(big) == Seq.fill(636)("120").mkString(","), "truncated doc")
+  }
 }
