@@ -63,8 +63,19 @@ object CanaryGen {
       reps: Int): Unit = {
     def raw(t: String): DataFrame =
       spark.read.parquet(s"$src/$t.parquet")
-    def save(t: String, df: DataFrame): Unit =
-      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    // Write each replicated table as ~one part file per replica
+    // (capped at 64), mirroring how an N×-bigger corpus actually
+    // arrives — N batches of files — instead of inheriting the base
+    // corpus's partition count (usually ONE file). A single-file 100×
+    // table caps every map-only key's scan stage at one task no matter
+    // the cores (parquet only splits files ABOVE maxPartitionBytes, so
+    // small-but-CPU-hot tables like documents/embeddings never split),
+    // and the canary then measures file-layout serialization instead
+    // of the plan's scaling — r15 found the 83 MB single-file
+    // documents table putting a 640 MB FITS encode on one task.
+    def save(t: String, df: DataFrame, parts: Int = math.min(64, reps)): Unit =
+      df.repartition(parts)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
 
     // replica axis as a tiny broadcast cross join; key shifts keep the
     // per-replica join graph identical to the base corpus's
@@ -78,8 +89,9 @@ object CanaryGen {
       mutate(shifted).drop("rep")
     }
 
-    save("region", raw("region"))
-    save("nation", raw("nation"))
+    // dimensions copy through unreplicated — one part, any scale
+    save("region", raw("region"), parts = 1)
+    save("nation", raw("nation"), parts = 1)
     save("customer", replicated("customer", Seq("c_custkey")))
     save("supplier", replicated("supplier", Seq("s_suppkey")))
     save("part", replicated("part", Seq("p_partkey")))

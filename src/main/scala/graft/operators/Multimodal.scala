@@ -31,6 +31,46 @@ object Multimodal {
   private lazy val imageIoNoDiskCache: Unit =
     javax.imageio.ImageIO.setUseCache(false)
 
+  /** `AudioSystem.getAudioInputStream` / `AudioSystem.write` resolve
+    * their SPI providers through the JDK's `JDK13Services.getProviders`
+    * — a `static synchronized` method — on EVERY call. One scan task
+    * per executor never notices; N concurrent tasks decoding a row
+    * apiece convoy on that single class lock (r15's multi-file canary
+    * layout: mm_wav_features went 0.8 s → 11.8 s at 10 scan tasks,
+    * with machine load ~3 on 32 cores — threads blocked, not
+    * computing). Resolve the RIFF/WAVE reader and writer ONCE per JVM
+    * through the public `javax.sound.sampled.spi` ServiceLoader
+    * surface and call them directly per row; per-call provider lookup
+    * never enters the hot path. Falls back to AudioSystem (correct,
+    * contended) if a JVM ships no discoverable WAVE provider. */
+  private[graft] lazy val wavIo: (javax.sound.sampled.spi.AudioFileReader,
+      javax.sound.sampled.spi.AudioFileWriter) = {
+    import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter}
+    import scala.jdk.CollectionConverters._
+    // minimal one-frame PCM16-mono RIFF/WAVE, hand-assembled so probing
+    // readers needs no writer (and no AudioSystem call)
+    val probe = java.nio.ByteBuffer.allocate(46)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    probe.put("RIFF".getBytes("US-ASCII")).putInt(38)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(2).putShort(0)
+    val wav = probe.array()
+    val reader = java.util.ServiceLoader.load(classOf[AudioFileReader])
+      .iterator().asScala.find { r =>
+        try {
+          r.getAudioFileFormat(new java.io.ByteArrayInputStream(wav))
+          true
+        } catch { case _: Exception => false }
+      }
+    val writer = java.util.ServiceLoader.load(classOf[AudioFileWriter])
+      .iterator().asScala.find(
+        _.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+    (reader.orNull, writer.orNull)
+  }
+
   /** One opaque media payload with typed metadata. */
   final case class MediaRow(
       media_id: Long, kind: String, payload: Array[Byte],
@@ -113,8 +153,11 @@ object Multimodal {
       }
       out
     case "wav" =>
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(row.payload))
+      val ais =
+        if (wavIo._1 != null) wavIo._1.getAudioInputStream(
+          new java.io.ByteArrayInputStream(row.payload))
+        else javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(row.payload))
       try {
         val fmt = ais.getFormat
         val enc = fmt.getEncoding
@@ -198,8 +241,11 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, samples.length)
     val bos = new java.io.ByteArrayOutputStream(pcm.length + 64)
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    if (wavIo._2 != null)
+      wavIo._2.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    else
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 

@@ -121,6 +121,17 @@ class MultimodalSpec extends SparkTestBase {
     assert(px.toSeq == samples.map(_.toDouble).toSeq)
   }
 
+  test("wav SPI providers resolve — contended AudioSystem fallback unused") {
+    // AudioSystem's per-call provider lookup goes through a `static
+    // synchronized` JDK method; N concurrent scan tasks convoy on it
+    // (r15: 0.8 s → 11.8 s at 10 tasks). The hot path must run on the
+    // once-per-JVM cached SPI providers; this gate fails loudly if a
+    // JVM change ever drops them back to the fallback.
+    val (reader, writer) = Multimodal.wavIo
+    assert(reader != null, "no WAVE AudioFileReader resolved via ServiceLoader")
+    assert(writer != null, "no WAVE AudioFileWriter resolved via ServiceLoader")
+  }
+
   test("jpeg codec: real ImageIO decode, bounded error (lossy by nature)") {
     // smooth gradient — the regime where JPEG's DCT quantization error
     // is small and bounded; equality is NOT the contract here
