@@ -237,10 +237,14 @@ final class FitsTable(res: FitsResolution, userSchema: Option[StructType])
 
 final class FitsScanBuilder(res: FitsResolution, tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownLimit {
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with SupportsPushDownFilters {
   private var required: StructType = tableSchema
   private var countStarPushed = false
   private var limit: Option[Long] = None
+  private var accepted: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+  private var lineRange: Option[(Long, Long)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -252,6 +256,67 @@ final class FitsScanBuilder(res: FitsResolution, tableSchema: StructType)
     limit = Some(n.toLong)
     true
   }
+
+  /** Name of the line-index column when the target HDU is an image —
+    * resolved POSITIONALLY (field 1 of the two-field image schema), the
+    * same binding `columns`/user schemas use, so a user-renamed index
+    * column still prunes. Bintables never qualify: a data column that
+    * merely happens to be named `ImgIndex` carries values unrelated to
+    * row position, and pruning on it would drop wrong rows. */
+  private lazy val lineIndexCol: Option[String] = res.firstMeta match {
+    case _: HduMeta.Image | _: HduMeta.CompImage
+        if tableSchema.length == 2 => Some(tableSchema.fields(1).name)
+    case _ => None
+  }
+
+  /** Image-cutout pushdown: conjuncts that bound the line-index column
+    * of an image HDU (`ImgIndex =, <, <=, >, >=, IN`) fold into one
+    * [lo, hi] line range that the partition planner clamps to — a
+    * cutout of a 100 GB image plans (and reads) only the byte bands the
+    * range intersects. This is an OPTIMIZATION, never a correctness
+    * dependency: every filter is also returned as residual, so Spark
+    * re-evaluates the full predicate on emitted rows (band-aligned
+    * clamps on compressed images legitimately emit a few extra edge
+    * lines). */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    lineIndexCol.foreach { col =>
+      var lo = 0L
+      var hi = Long.MaxValue
+      def asLong(v: Any): Option[Long] = v match {
+        case n: java.lang.Number => Some(n.longValue())
+        case _ => None
+      }
+      val acc = Array.newBuilder[Filter]
+      filters.foreach {
+        case f @ EqualTo(`col`, v) => asLong(v).foreach { x =>
+          lo = math.max(lo, x); hi = math.min(hi, x); acc += f }
+        case f @ GreaterThan(`col`, v) => asLong(v).foreach { x =>
+          if (x < Long.MaxValue) lo = math.max(lo, x + 1); acc += f }
+        case f @ GreaterThanOrEqual(`col`, v) => asLong(v).foreach { x =>
+          lo = math.max(lo, x); acc += f }
+        case f @ LessThan(`col`, v) => asLong(v).foreach { x =>
+          if (x > Long.MinValue) hi = math.min(hi, x - 1) else hi = -1
+          acc += f }
+        case f @ LessThanOrEqual(`col`, v) => asLong(v).foreach { x =>
+          hi = math.min(hi, x); acc += f }
+        case f @ In(`col`, vs) if vs.nonEmpty =>
+          val xs = vs.flatMap(asLong)
+          if (xs.length == vs.length) {
+            lo = math.max(lo, xs.min); hi = math.min(hi, xs.max); acc += f
+          }
+        case f @ IsNotNull(`col`) => acc += f // emitted indices are never null
+        case _ => () // unsupported shape: residual-only, no pruning
+      }
+      accepted = acc.result()
+      if (lo > 0L || hi < Long.MaxValue) lineRange = Some((lo, hi))
+    }
+    filters
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    accepted
 
   /** `COUNT(*)` with no grouping is answered from HDU metadata (NAXIS2
     * row counts) — zero data bytes read, at any scale. Partial-pushdown
@@ -266,7 +331,7 @@ final class FitsScanBuilder(res: FitsResolution, tableSchema: StructType)
 
   override def build(): Scan =
     if (countStarPushed) new FitsCountScan(res)
-    else new FitsScan(res, tableSchema, required, limit)
+    else new FitsScan(res, tableSchema, required, limit, lineRange)
 }
 
 /** Metadata-only COUNT(*): one row per file carrying its HDU row count. */
@@ -319,7 +384,8 @@ final class FitsCountScan(res: FitsResolution) extends Scan with Batch
 final case class FitsCountPartition(nRows: Long) extends InputPartition
 
 final class FitsScan(res: FitsResolution, tableSchema: StructType,
-    required: StructType, limit: Option[Long] = None)
+    required: StructType, limit: Option[Long] = None,
+    lineRange: Option[(Long, Long)] = None)
     extends Scan with Batch with SupportsReportStatistics with Logging {
 
   override def readSchema(): StructType = required
@@ -356,8 +422,14 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
     var remaining = limit.getOrElse(Long.MaxValue)
     var rows = 0L
     var bytes = 0L
+    // a pushed line range reads only its overlap with each image HDU
+    def rangedRows(m: HduMeta): Long = (m, lineRange) match {
+      case (_: HduMeta.Image | _: HduMeta.CompImage, Some((lo, hi))) =>
+        math.max(0L, math.min(m.nRows - 1, hi) - math.max(0L, lo) + 1)
+      case _ => m.nRows
+    }
     metas.foreach { m =>
-      val take = math.min(m.nRows, remaining)
+      val take = math.min(rangedRows(m), remaining)
       if (take > 0) {
         rows += take
         bytes += take * prunedRowBytes(m)
@@ -379,7 +451,8 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
   override def description(): String =
     s"FITS ${res.pathSpec} hdu=${res.hduSpec} " +
       s"cols=${required.fieldNames.mkString(",")}" +
-      limit.map(l => s" limit=$l").getOrElse("")
+      limit.map(l => s" limit=$l").getOrElse("") +
+      lineRange.map { case (lo, hi) => s" lines=[$lo,$hi]" }.getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] =
     planFor(res.files)
@@ -480,8 +553,21 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
           c.tileH * c.tileH
         val linesPerPart = math.max(c.tileH.toLong, aligned)
         val bandRowBytes = c.nTileCols.toLong * rowBytes
-        (0L until c.nLines by linesPerPart).map { firstLine =>
-          val n = math.min(linesPerPart, c.nLines - firstLine)
+        // Pushed line range, widened to whole tile-row bands so every
+        // partition keeps the planner's invariant (starts at a band's
+        // descriptor row, ends at a band boundary or the image end);
+        // the residual filter drops the few band-edge lines.
+        val (start, end) = lineRange match {
+          case Some((lo, hi)) if hi < math.max(0L, lo) => (0L, 0L)
+          case Some((lo, hi)) =>
+            val s = math.min(c.nLines, math.max(0L, lo) / c.tileH * c.tileH)
+            val e = if (hi >= c.nLines - 1) c.nLines
+              else math.min(c.nLines, (hi / c.tileH + 1) * c.tileH)
+            (s, e)
+          case None => (0L, c.nLines)
+        }
+        (start until end by linesPerPart).map { firstLine =>
+          val n = math.min(linesPerPart, end - firstLine)
           FitsInputPartition(
             path.toString,
             bounds.dataStart + firstLine / c.tileH * bandRowBytes,
@@ -503,8 +589,17 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
             math.max(rowBytes.toLong, bounds.dataBytes / meta.nRows)
           else rowBytes.toLong
         val rowsPerPart = math.max(1L, maxPartBytes / effRowBytes)
-        (0L until meta.nRows by rowsPerPart).map { firstRow =>
-          val n = math.min(rowsPerPart, meta.nRows - firstRow)
+        // Pushed line range (plain image HDUs only — rows are fixed
+        // width, so the clamp is exact): plan bytes for [lo, hi] alone.
+        // Bintables never carry a range (builder gates on meta type).
+        val (start, end) = (meta, lineRange) match {
+          case (_: HduMeta.Image, Some((lo, hi))) =>
+            (math.min(meta.nRows, math.max(0L, lo)),
+              if (hi >= meta.nRows - 1) meta.nRows else hi + 1)
+          case _ => (0L, meta.nRows)
+        }
+        (start until end by rowsPerPart).map { firstRow =>
+          val n = math.min(rowsPerPart, end - firstRow)
           FitsInputPartition(
             path.toString,
             bounds.dataStart + firstRow * rowBytes,

@@ -1,0 +1,170 @@
+package graft.sources.fits
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.SparkTestBase
+
+/** Image-cutout pushdown: `ImgIndex` range predicates reach the FITS
+  * scan and clamp the planned byte ranges, so a cutout of a huge image
+  * plans (and reads) only the line band it covers — the 100 TB imaging
+  * access pattern. Correctness never depends on the clamp: Spark keeps
+  * every predicate as a residual filter, so these tests assert BOTH
+  * the row values and the plan/partition shape. */
+class FitsCutoutSpec extends SparkTestBase {
+
+  private val width = 16
+
+  /** deterministic single-part image: line i pixel c = i*1000 + c */
+  private def writeImage(dir: String, nLines: Int,
+      extra: Map[String, String] = Map.empty): Unit = {
+    import spark.implicits._
+    val src = (0 until nLines).map(r =>
+      (r.toLong, (0 until width).map(c => r * 1000 + c).toArray))
+      .toDF("ImgIndex", "Image")
+    val w = src.coalesce(1).write.format("fits").option("image", true)
+    extra.foldLeft(w) { case (wr, (k, v)) => wr.option(k, v) }
+      .mode("overwrite").save(dir)
+  }
+
+  /** plain image writes land in the primary HDU (0); compressed
+    * writes are ZIMAGE bintable extensions (1) */
+  private def readImage(dir: String, hdu: Int = 0): DataFrame =
+    spark.read.format("fits").option("hdu", hdu).load(dir)
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def withTinyPartitions[A](bytes: Long)(body: => A): A = {
+    val key = "spark.sql.files.maxPartitionBytes"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, bytes.toString)
+    try body
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("plain image: ImgIndex BETWEEN prunes partitions exactly") {
+    val dir = Files.createTempDirectory("fits-cut").toString + "/img"
+    writeImage(dir, nLines = 240)
+    // 16 int pixels = 64 B/line; 10 lines per partition
+    withTinyPartitions(640) {
+      val full = readImage(dir)
+      assert(full.rdd.getNumPartitions == 24)
+      val cut = full.filter(col("ImgIndex").between(100, 119))
+      assert(planOf(cut).contains("lines=[100,119]"), planOf(cut))
+      // fixed-width rows: the clamp is exact — 20 lines = 2 partitions
+      assert(cut.rdd.getNumPartitions == 2, cut.rdd.getNumPartitions)
+      val rows = cut.collect()
+      assert(rows.length == 20)
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (100L to 119L))
+      rows.foreach { r =>
+        val i = r.getLong(1)
+        assert(r.getSeq[Int](0) == (0 until width).map(c => i * 1000 + c))
+      }
+    }
+  }
+
+  test("single-line EqualTo plans one partition") {
+    val dir = Files.createTempDirectory("fits-cut").toString + "/img1"
+    writeImage(dir, nLines = 240)
+    withTinyPartitions(640) {
+      val one = readImage(dir).filter(col("ImgIndex") === 7)
+      assert(planOf(one).contains("lines=[7,7]"), planOf(one))
+      assert(one.rdd.getNumPartitions == 1)
+      val r = one.collect()
+      assert(r.length == 1 && r.head.getLong(1) == 7L)
+    }
+  }
+
+  test("contradictory range plans zero partitions, returns zero rows") {
+    val dir = Files.createTempDirectory("fits-cut").toString + "/img0"
+    writeImage(dir, nLines = 24)
+    val none = readImage(dir)
+      .filter(col("ImgIndex") > 10 && col("ImgIndex") < 5)
+    assert(none.rdd.getNumPartitions == 0)
+    assert(none.count() == 0)
+  }
+
+  test("compressed image: clamp widens to tile-row bands, values exact") {
+    val dir = Files.createTempDirectory("fits-cut").toString + "/fz"
+    // 2D tiles 8x4: bands of 4 lines; cutting [5..6] must read band
+    // [4..8) and the residual filter must trim it back to 2 rows
+    writeImage(dir, nLines = 64,
+      extra = Map("compress" -> "RICE_1", "compresstile" -> "8x4"))
+    val cut = readImage(dir, hdu = 1).filter(col("ImgIndex").between(5, 6))
+    assert(planOf(cut).contains("lines=[5,6]"), planOf(cut))
+    val rows = cut.collect()
+    assert(rows.map(_.getLong(1)).sorted.toSeq == Seq(5L, 6L))
+    rows.foreach { r =>
+      val i = r.getLong(1)
+      assert(r.getSeq[Int](0) == (0 until width).map(c => i * 1000 + c))
+    }
+    // band pruning is real: a one-band cutout of a 16-band image plans
+    // a single partition when partitions are one band each
+    withTinyPartitions(width * 4L * 4) {
+      val one = readImage(dir, hdu = 1).filter(col("ImgIndex").between(5, 6))
+      assert(one.rdd.getNumPartitions == 1, one.rdd.getNumPartitions)
+      assert(readImage(dir, hdu = 1).rdd.getNumPartitions == 16)
+    }
+  }
+
+  test("user-renamed index column still prunes (positional binding)") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("fits-cut").toString + "/ren"
+    writeImage(dir, nLines = 48)
+    val renamed = spark.read.format("fits").option("hdu", 0)
+      .schema(StructType(Seq(
+        StructField("px", ArrayType(IntegerType)),
+        StructField("line", LongType))))
+      .load(dir)
+      .filter(col("line") < 10)
+    assert(planOf(renamed).contains("lines=[0,9]"), planOf(renamed))
+    assert(renamed.collect().map(_.getLong(1)).sorted.toSeq == (0L until 10L))
+  }
+
+  test("disjunctions and pixel predicates stay residual-only") {
+    val dir = Files.createTempDirectory("fits-cut").toString + "/or"
+    writeImage(dir, nLines = 48)
+    val df = readImage(dir)
+      .filter(col("ImgIndex") < 5 || col("Image")(0) === 40000)
+    assert(!planOf(df).contains("lines="), planOf(df))
+    // rows 0..4 plus row 40 (pixel0 = 40*1000)
+    assert(df.collect().map(_.getLong(1)).sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L, 4L, 40L))
+  }
+
+  test("bintable scans never carry a line range") {
+    val res = "/root/reference/src/test/resources"
+    val df = spark.read.format("fits").option("hdu", 1)
+      .load(s"$res/test_file.fits").filter(col("Index") < 100)
+    assert(!planOf(df).contains("lines="), planOf(df))
+    assert(df.count() == 100)
+  }
+
+  test("multi-file image read prunes per file (per-file line indices)") {
+    val base = Files.createTempDirectory("fits-cut").toString
+    writeImage(s"$base/a", nLines = 32)
+    writeImage(s"$base/b", nLines = 32)
+    val df = spark.read.format("fits").option("hdu", 0)
+      .load(s"$base/a,$base/b").filter(col("ImgIndex") < 3)
+    assert(planOf(df).contains("lines=[0,2]"), planOf(df))
+    val idx = df.collect().map(_.getLong(1)).sorted.toSeq
+    assert(idx == Seq(0L, 0L, 1L, 1L, 2L, 2L))
+  }
+
+  test("pushed range shrinks reported statistics (join-planning honesty)") {
+    val dir = Files.createTempDirectory("fits-cut").toString + "/st"
+    writeImage(dir, nLines = 240)
+    val cut = readImage(dir).filter(col("ImgIndex").between(0, 9))
+    val scanStats = cut.queryExecution.optimizedPlan.collectLeaves()
+      .head.stats
+    // 10 lines * 64 B of pixels (+ index) — far under the full 240
+    assert(scanStats.sizeInBytes < 240L * 64,
+      s"stats not range-aware: ${scanStats.sizeInBytes}")
+  }
+}
