@@ -16,6 +16,52 @@ import org.apache.spark.sql.SparkSession
   * storage across the run; monotone growth fingers the leaking query.
   */
 object Bench {
+
+  /** The connector-throughput probe fields every full run emits; also
+    * the basis of the history-median degradation check below. */
+  private[graft] val ProbeFields = Seq(
+    "fits_scan_mb_s", "fits_varlen_mb_s", "fits_hcomp_mb_s",
+    "fits_write_mb_s")
+
+  /** Extracts the probe fields from a summary JSON line (our own
+    * format — the same extractor reads the current run's fragment and
+    * the committed history lines, so the two sides of the median
+    * comparison can never parse differently). */
+  private[graft] def probeValues(json: String): Map[String, Double] =
+    ProbeFields.flatMap { f =>
+      ("\"" + f + "\":(-?[0-9.]+)").r.findFirstMatchIn(json)
+        .map(m => f -> m.group(1).toDouble)
+    }.toMap
+
+  /** Probe-vs-history degradation check (r15 verdict ask #3: the
+    * driver's r15 run had every probe ~5× down on unchanged code —
+    * pure-CPU HCOMPRESS included — yet `degraded:false`, because the
+    * load-average heuristic alone never tripped). A probe falling
+    * below `factor` × its median over the LABELED, non-degraded
+    * committed history is machine noise by construction: the probes
+    * measure fixed synthetic workloads that only a code change or a
+    * co-loaded host can move, and a code change would be visible in
+    * the diff. factor = 0.4, not the nominal 0.5: healthy committed
+    * runs dip to 0.48× median (varlen after cold start, write under
+    * canary page-cache pressure), so 0.5 would false-positive on
+    * history the builder already adjudicated green. Returns the
+    * lagging field names so the artifact can say WHICH probe tripped. */
+  private[graft] def laggingProbes(history: Seq[String],
+      current: Map[String, Double], factor: Double = 0.4): Seq[String] = {
+    val basis = history
+      .filter(l => l.contains("\"degraded\":false") &&
+        !l.contains("\"run\":\"unlabeled\""))
+      .map(probeValues)
+    ProbeFields.flatMap { f =>
+      val hist = basis.flatMap(_.get(f)).sorted
+      current.get(f) match {
+        case Some(c) if hist.nonEmpty && c < factor * hist(hist.length / 2) =>
+          Some(f)
+        case _ => None
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -214,9 +260,26 @@ object Bench {
     // and the full line is ~3.1 KB — r8's summary arrived with its head
     // truncated and parsed as null for the eighth round running. The
     // file is immune to that window AND to sbt log framing.
-    val degraded = loadPre > machineCpus * 0.25 || loadMax > machineCpus * 1.25
+    // Degradation: load heuristics (pre-run busy / mid-run over-
+    // subscribed) OR any throughput probe below 0.4× its labeled-run
+    // history median (see laggingProbes — the r15 driver run was ~5×
+    // down on every probe with load_pre 5.4/32 and still flew the
+    // false flag). The probe check is the decisive one; the lagging
+    // probe names ship in the artifact so a reader sees the evidence.
+    val historyLines =
+      try {
+        val p = java.nio.file.Paths.get("BENCH_HISTORY.jsonl")
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.readAllLines(p).asScala.toSeq
+        } else Seq.empty
+      } catch { case _: Throwable => Seq.empty }
+    val lagging = laggingProbes(historyLines, probeValues(fits))
+    val degraded = loadPre > machineCpus * 0.25 ||
+      loadMax > machineCpus * 1.25 || lagging.nonEmpty
+    val laggingJson = lagging.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadFields =
-      f""""load_pre":$loadPre%.1f,"load_max":$loadMax%.1f,"machine_cpus":$machineCpus,"degraded":$degraded"""
+      f""""load_pre":$loadPre%.1f,"load_max":$loadMax%.1f,"machine_cpus":$machineCpus,"degraded":$degraded,"degraded_probes":$laggingJson"""
     // run label + timestamp make bench artifacts historically
     // comparable (r12 verdict ask #4): BENCH_SUMMARY.json is
     // latest-run-wins, so every full record is ALSO appended to

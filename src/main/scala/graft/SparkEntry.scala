@@ -39,6 +39,15 @@ object SparkEntry {
   def ccBackedQueries: Set[String] =
     operators.Dedup.ccBacked ++ operators.TextOps.ccBacked
 
+  /** Undeclared diagnostic dumps: run and materialized by Verify next
+    * to the declared dumps (as `<base-key>_diag`), never hash-checked —
+    * they exist so a red declared row carries its own diagnosis in the
+    * artifact (r15: a canary recall breach reported only "missing=1").
+    * Key convention: `<declared-key>_diag`; Verify uses the prefix to
+    * scope subset runs. */
+  def diagnostics: Map[String, (SparkSession, String) => DataFrame] =
+    operators.Similarity.diagnostics
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

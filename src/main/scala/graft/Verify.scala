@@ -63,6 +63,30 @@ object Verify {
       operators.Streaming.dropSinkTables(spark)
       err
     }
+    // Diagnostic dumps (never hash-checked): run whenever their base
+    // declared key (`<base>_diag` → `<base>`) is in this run, so a red
+    // declared row's artifact set carries its own diagnosis. They live
+    // in a SIBLING `<dumpDir>_diag/` directory, not in the dump dir —
+    // the driver (and selfcheck) enumerate top-level dump dirs as
+    // declared keys, and a diag dir there would read as a phantom
+    // rows-only key. Best-effort by design — a crashed diagnostic is
+    // reported on stderr but must not fail the gate or land in
+    // errors.json (the driver reads that file as per-DECLARED-key
+    // errors).
+    val diagDir = dumpDir + "_diag"
+    SparkEntry.diagnostics.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val base = name.stripSuffix("_diag")
+      if (only.forall(_.contains(base)))
+        try {
+          fn(spark, sfDir).coalesce(1).write
+            .mode("overwrite").parquet(s"$diagDir/$name")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] diagnostic $name failed " +
+            s"(non-fatal): ${e.getMessage}")
+        } finally {
+          spark.catalog.clearCache()
+        }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

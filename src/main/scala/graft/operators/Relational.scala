@@ -861,6 +861,67 @@ object Relational {
       .orderBy(col("doc_id"))
   }
 
+  /** Driver-checked key for the image-cutout (line-range) pushdown —
+    * r15's only operator shipped with spec tests alone (verdict ask
+    * #4): write a reference image whose line→doc binding is
+    * DETERMINISTIC, read back a line band with an `ImgIndex` range
+    * predicate, and hash-oracle every surviving line (its index, its
+    * id pixels, its payload pixels) against DuckDB replaying the same
+    * band with `row_number`. The range predicate folds into the scan
+    * planner's [lo,hi] byte clamp (exact for plain images) — partitions
+    * planned < full scan is asserted in RelationalSpec; correctness
+    * never depends on the clamp since every predicate stays residual.
+    *
+    * Determinism setup: a cutout gate needs a defined total line order,
+    * so the reference image is written as ONE sorted partition — the
+    * corpus is bounded to replica 0 (`doc_id < 1M`, the planted-key
+    * convention) so this setup stays CONSTANT-size at every canary
+    * scale; the operator under test is the pruned read, not the write.
+    * Line encoding is [[q34_fits_tilecomp]]'s: pixels 0..3 carry doc_id
+    * base-32768, pixels 4+ the doc's ASCII bytes, zero-padded. */
+  val q35_fits_cutout: Q = (s, dir) => {
+    val width = 640
+    val payload = width - 4
+    val (cutLo, cutHi) = (100L, 299L) // within the 500-doc sf0.01 corpus
+    val lines = {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 1000000L)
+        .repartition(1).sortWithinPartitions(col("doc_id")).as[(Long, String)]
+        .map { case (id, text) =>
+          val b = text.getBytes("UTF-8")
+          val arr = new Array[Short](width)
+          arr(0) = ((id >> 45) & 0x7fff).toShort
+          arr(1) = ((id >> 30) & 0x7fff).toShort
+          arr(2) = ((id >> 15) & 0x7fff).toShort
+          arr(3) = (id & 0x7fff).toShort
+          var j = 0
+          val n = math.min(b.length, payload)
+          while (j < n) { arr(4 + j) = (b(j) & 0xff).toShort; j += 1 }
+          Tuple1(arr)
+        }.toDF("Image")
+    }
+    val out = fitsScratch(s, dir, "q35")
+    lines.write.format("fits").option("image", true)
+      .mode("overwrite").save(out)
+    // plain image → primary HDU; the between() lands in the planner as
+    // a [100,299] line clamp AND stays residual
+    val cut = s.read.format("fits").option("hdu", 0).load(out)
+      .filter(col("ImgIndex").between(cutLo, cutHi))
+      .select(col("ImgIndex").as("img_line"),
+        col("Image").cast("array<long>").as("px"))
+    cut.select(
+      col("img_line"),
+      (element_at(col("px"), lit(1)) * lit(1L << 45) +
+        element_at(col("px"), lit(2)) * lit(1L << 30) +
+        element_at(col("px"), lit(3)) * lit(1L << 15) +
+        element_at(col("px"), lit(4))).as("doc_id"),
+      array_join(slice(col("px"), 5, payload).cast("array<string>"), ",")
+        .as("px_csv"))
+      .orderBy(col("img_line"))
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -910,6 +971,7 @@ object Relational {
     "q32_fits_roundtrip" -> q32_fits_roundtrip,
     "q33_fits_varlen" -> q33_fits_varlen,
     "q34_fits_tilecomp" -> q34_fits_tilecomp,
+    "q35_fits_cutout" -> q35_fits_cutout,
   )
 
   /** DuckDB-compatible oracle SQL. Keys mirror `queries`; column aliases
@@ -948,6 +1010,20 @@ object Relational {
         |              ELSE 0 END AS BIGINT)), ',') AS px_csv
         |FROM (SELECT doc_id, substr(text, 1, 636) AS t FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // the cutout band replays by row_number over the same bounded,
+    // doc_id-sorted corpus: line index, id pixels (via doc_id), and
+    // every payload pixel of every surviving line
+    "q35_fits_cutout" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 636) AS t,
+        |         row_number() OVER (ORDER BY doc_id) - 1 AS img_line
+        |  FROM documents WHERE doc_id < 1000000)
+        |SELECT img_line, doc_id,
+        |  array_to_string(list_transform(range(1, 637),
+        |    j -> CAST(CASE WHEN j <= len(t) THEN ord(substr(t, j, 1))
+        |              ELSE 0 END AS BIGINT)), ',') AS px_csv
+        |FROM d WHERE img_line BETWEEN 100 AND 299
+        |ORDER BY img_line""".stripMargin,
     "q19_approx_gate" ->
       """SELECT DISTINCT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
         |  AS o_year, o_orderpriority

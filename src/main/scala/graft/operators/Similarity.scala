@@ -112,6 +112,8 @@ object Similarity {
     (SparkSession, String), org.apache.spark.ml.clustering.KMeansModel]()
   private val ivfIndexMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
+  private val ivfMassMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Map[Int, Long]]()
 
   /** Drops this session's memoized IVF quantizers (driver-resident
     * centroid tables; small, but the map holds strong session keys and
@@ -122,6 +124,8 @@ object Similarity {
     import scala.jdk.CollectionConverters._
     ivfMemo.keySet.asScala.filter(_._1 eq s).toList
       .foreach(ivfMemo.remove)
+    ivfMassMemo.keySet.asScala.filter(_._1 eq s).toList
+      .foreach(ivfMassMemo.remove)
     ivfIndexMemo.keySet.asScala.filter(_._1 eq s).toList
       .foreach { k =>
         Option(ivfIndexMemo.remove(k)).foreach(deleteRecursively)
@@ -179,6 +183,56 @@ object Similarity {
       out
     })
 
+  /** Bucket occupancy of the on-disk IVF index (bucket → row count),
+    * memoized per (session, corpus). k rows total — computed with one
+    * metadata-cheap aggregation over the bucketed parquet and cached on
+    * the driver, exactly like the centroid table. The probe planner
+    * needs it for the min-probe-mass guard below. */
+  private[operators] def ivfBucketMass(s: SparkSession, dir: String,
+      k: Int): Map[Int, Long] =
+    ivfMassMemo.computeIfAbsent((s, dir), { _ =>
+      s.read.parquet(ivfIndexPath(s, dir, k))
+        .groupBy(col("bucket")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    })
+
+  /** Fraction of total corpus mass a probe must cover. 4/16 of a
+    * BALANCED index — the r15 10× canary showed why probe count alone
+    * is not a contract: the rebuilt quantizer handed one query two
+    * near-empty nearest cells and its entire exact top-10 sat in
+    * unprobed cells (recall 0/10, a floor breach). Mass, not cell
+    * count, is what bounds the residual the probe can miss. */
+  private val MinProbeMassFrac = 0.25
+
+  /** Probe-cell selection with a min-mass guard (r15 verdict ask #1):
+    * walk cells in ascending centroid distance and keep taking until
+    * BOTH (a) at least `minProbe` cells are probed and (b) the probed
+    * cells hold at least `minMassFrac` of the corpus — then keep
+    * taking any cell TIED with the last admitted distance, so the
+    * cutoff never splits equidistant centroids arbitrarily. On a
+    * balanced index this degenerates to a fixed cells-count probe; on
+    * a skewed one it expands past empty/tiny cells instead of
+    * "probing" them and missing everything. Pure function — unit-gated
+    * in SimilaritySpec. */
+  private[operators] def selectProbes(byDist: Seq[(Int, Double)],
+      mass: Map[Int, Long], minProbe: Int,
+      minMassFrac: Double): Seq[Int] = {
+    val total = math.max(1L, mass.values.sum)
+    val picked = Seq.newBuilder[Int]
+    var n = 0
+    var cum = 0L
+    var lastDist = Double.NaN
+    byDist.foreach { case (b, d) =>
+      if (n < minProbe || cum < minMassFrac * total || d == lastDist) {
+        picked += b
+        n += 1
+        cum += mass.getOrElse(b, 0L)
+        lastDist = d
+      }
+    }
+    picked.result()
+  }
+
   /** Builds (and memoizes) the IVF index for `dir` ahead of time,
     * returning the build seconds. The bench calls this in warmup so
     * `sim_ivf_topk` measures what the 100 TB design promises — the
@@ -191,11 +245,13 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN: coarse k-means quantization of the
-    * corpus, queries probe their 2 nearest centroids and rank only
-    * those buckets — the other standard scale path besides LSH. The
-    * centroid table is tiny (k × dim) and driver-resident; the corpus
-    * is read from the persisted bucket-partitioned index, so the probe
-    * filter prunes the scan to 2/k of the data (plan-asserted in
+    * corpus; queries probe their nearest centroids in distance order
+    * until the probed cells hold ≥ [[MinProbeMassFrac]] of the corpus
+    * (min 2 cells, ties included) and rank only those buckets — the
+    * other standard scale path besides LSH. The centroid table is tiny
+    * (k × dim) and driver-resident; the corpus is read from the
+    * persisted bucket-partitioned index, so the probe filter prunes the
+    * scan to ~1/4 of the data on a balanced index (plan-asserted in
     * SimilaritySpec). */
   val sim_ivf_topk: Q = (s, dir) =>
     ivfRank(s, dir, embs(s, dir).filter(col("vec_id") < NQueries)
@@ -210,14 +266,18 @@ object Similarity {
     val model = ivfModel(s, dir, k)
     val bucketed = s.read.parquet(ivfIndexPath(s, dir, k))
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
-    // queries → their nProbe nearest centroids (driver-side: k×q tiny)
+    val mass = ivfBucketMass(s, dir, k)
+    // queries → nearest centroids under the min-mass guard (driver-side:
+    // k×q tiny). Distance ties order by bucket id so the probe set is
+    // deterministic before selectProbes widens over exact ties.
     val queryRows = queryDf.collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val probes = queryRows.flatMap { case (qid, qv) =>
-      centroids.zipWithIndex
+      val byDist = centroids.zipWithIndex
         .map { case (c, i) => (i, dist2(qv, c)) }
-        .sortBy(_._2).take(nProbe)
-        .map { case (i, _) => (qid, i) }
+        .sortBy { case (i, d) => (d, i) }
+      selectProbes(byDist, mass, nProbe, MinProbeMassFrac)
+        .map(b => (qid, b))
     }
     val probeDf = s.createDataFrame(
       s.sparkContext.parallelize(probes.toSeq.map(p => (p._1, p._2)), 1))
@@ -428,9 +488,12 @@ object Similarity {
     recallGate(s, dir, sim_lsh_topk(s, dir), LshRecallFloorHits)
 
   /** IVF twin of [[sim_lsh_recall]] — floor is lower because the probe
-    * reads only nProbe/k = 2/16 of a corpus whose neighbors are spread
-    * near-uniformly across Voronoi cells (random vectors): expected
-    * recall ≈ probed fraction of the residual mass, worst case ~0.2. */
+    * reads only ~[[MinProbeMassFrac]] of a corpus whose neighbors are
+    * spread near-uniformly across Voronoi cells (random vectors):
+    * expected recall ≈ probed fraction of the residual mass. The probe
+    * is MASS-guarded, not cell-count-guarded, since r16 — the r15 10×
+    * canary breached this very floor when a refit quantizer handed one
+    * query two near-empty nearest cells. */
   val sim_ivf_recall: Q = (s, dir) =>
     recallGate(s, dir, sim_ivf_topk(s, dir), IvfRecallFloorHits)
 
@@ -478,6 +541,21 @@ object Similarity {
     plantedGate(ivfRank(s, dir, embs(s, dir).filter(plantedQueryPred)
       .select((col("vec_id") + PlantedIdOffset).as("q_id"),
         col("embedding").as("q_emb"))))
+
+  /** Undeclared diagnostic dumps (r15 verdict ask #5): the raw
+    * per-query (q_id, hits) recall audit behind each `sim_*_recall`
+    * gate. Verify writes them beside the declared dumps as
+    * `<key>_diag`, so a red recall row in a driver/canary artifact
+    * carries its own diagnosis — which query collapsed, and how far —
+    * instead of just "missing=1". Not part of `queries`: hits are
+    * corpus-dependent, so there is nothing to oracle; the gate itself
+    * is the declared, hash-checked surface. */
+  val diagnostics: Map[String, Q] = Map(
+    "sim_lsh_recall_diag" -> ((s, dir) =>
+      annOverlap(s, dir, sim_lsh_topk(s, dir)).orderBy(col("q_id"))),
+    "sim_ivf_recall_diag" -> ((s, dir) =>
+      annOverlap(s, dir, sim_ivf_topk(s, dir)).orderBy(col("q_id"))),
+  )
 
   val queries: Map[String, Q] = Map(
     "sim_topk" -> sim_topk,

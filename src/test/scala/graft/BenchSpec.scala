@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench `degraded` heuristic (r15 verdict ask #3): the driver's
+  * r15 artifact shipped every throughput probe ~5× down on unchanged
+  * code with `degraded:false`, because load average alone never
+  * tripped. These tests replay that exact run against the committed
+  * labeled history and require the flag to trip — and require healthy
+  * history (including its honest 0.48× dips) NOT to trip it. Pure
+  * functions, no SparkSession.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  // shapes lifted from BENCH_HISTORY.jsonl (labeled, degraded:false)
+  private def line(run: String, degraded: Boolean, scan: Double,
+      varlen: Double, hcomp: Double, write: Double): String =
+    s"""{"metric":"total","run":"$run","degraded":$degraded,""" +
+      s""""fits_scan_mb_s":$scan,"fits_varlen_mb_s":$varlen,""" +
+      s""""fits_hcomp_mb_s":$hcomp,"fits_write_mb_s":$write}"""
+
+  private val history = Seq(
+    line("r14-base", degraded = false, 1965.2, 2089.6, 302.7, 749.1),
+    line("r14-base2", degraded = false, 2386.5, 2167.0, 368.6, 825.7),
+    line("r15-base2", degraded = false, 2220.2, 2112.8, 389.4, 665.3),
+    line("r15-base3", degraded = false, 2227.3, 1874.7, 366.9, 741.3),
+    line("r15-base4", degraded = false, 1654.8, 1987.1, 335.5, 560.8),
+    // the r15 false-negative itself: unlabeled AND mislabeled clean —
+    // both filters must keep it out of the median basis
+    line("unlabeled", degraded = false, 437.2, 1772.2, 46.6, 447.9),
+    // a correctly-flagged run is excluded by the degraded filter
+    line("r13-canary100x", degraded = true, 100.0, 100.0, 10.0, 10.0),
+  )
+
+  test("probeValues extracts every probe field from a summary line") {
+    val v = Bench.probeValues(history.head)
+    assert(v == Map("fits_scan_mb_s" -> 1965.2, "fits_varlen_mb_s" -> 2089.6,
+      "fits_hcomp_mb_s" -> 302.7, "fits_write_mb_s" -> 749.1))
+    // partial lines (failed probes omit their fields) parse partially
+    assert(Bench.probeValues("""{"fits_scan_mb_s":12.5}""") ==
+      Map("fits_scan_mb_s" -> 12.5))
+    assert(Bench.probeValues("{}") == Map.empty)
+  }
+
+  test("the r15 degraded run trips the history-median check") {
+    // the exact probe values the driver's r15 artifact carried with
+    // degraded:false — scan 0.20× and hcomp 0.13× of the labeled median
+    val r15 = Map("fits_scan_mb_s" -> 437.2, "fits_varlen_mb_s" -> 1772.2,
+      "fits_hcomp_mb_s" -> 46.6, "fits_write_mb_s" -> 447.9)
+    val lagging = Bench.laggingProbes(history, r15)
+    assert(lagging.contains("fits_scan_mb_s"), lagging)
+    assert(lagging.contains("fits_hcomp_mb_s"), lagging)
+    // varlen/write were within normal noise that run — a tripped flag
+    // must name only the probes that actually collapsed
+    assert(!lagging.contains("fits_varlen_mb_s"), lagging)
+  }
+
+  test("healthy runs — including honest 0.48x dips — do not trip") {
+    // every labeled history run must pass against the basis it's in
+    history.filter(l => l.contains("\"degraded\":false") &&
+        !l.contains("unlabeled")).foreach { l =>
+      val lagging = Bench.laggingProbes(history, Bench.probeValues(l))
+      assert(lagging.isEmpty, s"$l -> $lagging")
+    }
+    // the documented calibration case: varlen at 0.48x median (the
+    // r14-dev-smoke cold start) stays green under factor 0.4
+    val dip = Map("fits_scan_mb_s" -> 1678.1, "fits_varlen_mb_s" -> 1017.5,
+      "fits_hcomp_mb_s" -> 250.5, "fits_write_mb_s" -> 601.9)
+    assert(Bench.laggingProbes(history, dip).isEmpty)
+  }
+
+  test("empty or unusable history disables the check, never crashes") {
+    val cur = Map("fits_scan_mb_s" -> 1.0)
+    assert(Bench.laggingProbes(Seq.empty, cur).isEmpty)
+    assert(Bench.laggingProbes(Seq("not json at all"), cur).isEmpty)
+    // history of only unlabeled/degraded runs contributes no basis
+    assert(Bench.laggingProbes(Seq(
+      line("unlabeled", degraded = false, 2000, 2000, 300, 700),
+      line("x", degraded = true, 2000, 2000, 300, 700)), cur).isEmpty)
+    // a probe missing from the current run (probe crashed → field
+    // absent) is not judged
+    assert(Bench.laggingProbes(history,
+      Map("fits_varlen_mb_s" -> 2000.0)).isEmpty)
+  }
+}

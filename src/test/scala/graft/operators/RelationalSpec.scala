@@ -169,4 +169,58 @@ class RelationalSpec extends SparkTestBase {
     assert(byId(7L) == (Seq("65", "66") ++ Seq.fill(634)("0")).mkString(","))
     assert(byId(big) == Seq.fill(636)("120").mkString(","), "truncated doc")
   }
+
+  test("q35 cutout: band selection exact, pruning real, canary ids pinned to replica 0") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the declared band is [100,299]: every surviving line is the
+    // doc_id-sorted corpus's 100th..299th doc, payload pixels exact
+    val out = Relational.q35_fits_cutout(spark, sf001).collect()
+    assert(out.length == 200, out.length)
+    assert(out.map(_.getLong(0)).toSeq == (100L to 299L), "line band")
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    out.foreach { r =>
+      val (wantId, wantText) = docs(r.getLong(0).toInt)
+      assert(r.getLong(1) == wantId, s"id pixels at line ${r.getLong(0)}")
+      val px = r.getString(2).split(',').map(_.toInt)
+      val bytes = wantText.getBytes("UTF-8")
+      assert(px.length == 636)
+      px.zipWithIndex.foreach { case (p, j) =>
+        val want = if (j < bytes.length) bytes(j) & 0xff else 0
+        assert(p == want, s"pixel $j of line ${r.getLong(0)}")
+      }
+    }
+    // pruning is real: the cutout's scan plans fewer partitions than
+    // the full image under small partition sizing (exact [lo,hi] byte
+    // clamp for plain images — the operator this key puts on the
+    // driver-checked surface)
+    val key = "spark.sql.files.maxPartitionBytes"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, (640 * 2 * 50).toString) // 50 lines/partition
+    try {
+      val img = spark.read.format("fits").option("hdu", 0)
+        .load(Relational.fitsScratch(spark, sf001, "q35"))
+      val full = img.rdd.getNumPartitions
+      val cut = img.filter(col("ImgIndex").between(100L, 299L))
+      val cutParts = cut.rdd.getNumPartitions
+      assert(cutParts < full, s"cutout $cutParts !< full $full")
+      assert(cut.queryExecution.executedPlan.toString
+        .contains("lines=[100,299]"))
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    // canary semantics: on a replicated corpus only replica-0 ids feed
+    // the reference image, so line->doc binding is scale-independent
+    val dir = java.nio.file.Files.createTempDirectory("q35c").toString
+    val canaryish = (0L until 150L).map(i => (i, s"doc $i")) ++
+      (0L until 150L).map(i => (100000000L + i, s"replica doc $i"))
+    canaryish.toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val c = Relational.q35_fits_cutout(spark, dir).collect()
+    // 150 replica-0 docs -> lines 0..149; the band keeps [100,149]
+    assert(c.map(_.getLong(1)).toSeq == (100L to 149L), "replica-0 only")
+  }
 }

@@ -48,7 +48,7 @@ class SimilaritySpec extends SparkTestBase {
     val ivf = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (exact & ivf).size.toDouble / exact.size
     info(s"IVF recall vs brute force: $recall")
-    assert(recall >= 0.2, s"recall=$recall") // 2/16 buckets probed
+    assert(recall >= 0.2, s"recall=$recall") // mass-guarded ~25% probe
   }
 
   test("recall keys pass every query at the declared floors; a collapsed ANN fails them") {
@@ -94,6 +94,61 @@ class SimilaritySpec extends SparkTestBase {
     // and the index holds the whole corpus exactly once
     assert(all.count() ==
       spark.read.parquet(s"$sf001/embeddings.parquet").count())
+  }
+
+  test("selectProbes: min-mass guard expands past tiny cells, ties probe together") {
+    // nearest two cells are nearly empty (the r15 10x-canary failure
+    // shape): a 2-cell probe covers 5% of the corpus and the guard
+    // must keep walking to the 25% mass floor
+    val skewed = Map(0 -> 0L, 1 -> 5L, 2 -> 45L, 3 -> 50L)
+    assert(Similarity.selectProbes(
+      Seq((0, 0.1), (1, 0.2), (2, 0.3), (3, 0.4)), skewed, 2, 0.25) ==
+      Seq(0, 1, 2))
+    // balanced index: degenerates to a fixed probe count at the floor
+    val balanced = (0 until 16).map(i => i -> 10L).toMap
+    assert(Similarity.selectProbes(
+      (0 until 16).map(i => (i, 0.1 * (i + 1))), balanced, 2, 0.25) ==
+      Seq(0, 1, 2, 3))
+    // an exact distance tie at the cutoff never splits: both tied
+    // cells are probed
+    assert(Similarity.selectProbes(
+      Seq((7, 0.1), (3, 0.2), (5, 0.2), (9, 0.9)),
+      Map(7 -> 50L, 3 -> 30L, 5 -> 10L, 9 -> 10L), 1, 0.6) ==
+      Seq(7, 3, 5))
+    // degenerate index (one cell holds everything): the guard probes
+    // through to the heavy cell instead of stopping on empties
+    assert(Similarity.selectProbes(
+      Seq((0, 0.1), (1, 0.2), (2, 0.3)),
+      Map(0 -> 0L, 1 -> 0L, 2 -> 100L), 2, 0.25) == Seq(0, 1, 2))
+  }
+
+  test("IVF recall gate holds on a 10x-replicated corpus (r15 canary regression)") {
+    import org.apache.spark.sql.functions._
+    // mirror CanaryGen's embedding replication exactly: ids shift by
+    // replica*100M, vectors rotate by `replica` positions (an isometry
+    // — within-replica cosines preserved, cross-replica ~0). The r15
+    // failure mode was the quantizer REFIT over this corpus handing
+    // one query near-empty nearest cells; the mass guard must hold the
+    // recall floor for every query on the rebuilt index.
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val dim = e.selectExpr("size(embedding)").head.getInt(0)
+    val reps = (0 until 10).map { r =>
+      val k = r % dim
+      e.withColumn("vec_id", col("vec_id") + lit(r * 100000000L))
+        .withColumn("embedding", expr(
+          s"concat(slice(embedding, $k + 1, size(embedding) - $k), " +
+            s"slice(embedding, 1, $k))"))
+    }.reduce(_ unionByName _)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-reps").toString
+    reps.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ivf = Similarity.sim_ivf_recall(spark, dir).collect()
+      .map(_.getLong(0)).toSeq
+    assert(ivf == Seq(0L, 1L, 2L, 3L, 4L), s"ivf recall gate at 10x: $ivf")
+    // and the diagnostic audit emits one row per query with its hits
+    val diag = Similarity.diagnostics("sim_ivf_recall_diag")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(diag.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L), diag.toSeq)
+    assert(diag.forall(_._2 >= 1), s"per-query hits: ${diag.toSeq}")
   }
 
   test("int8 quantization is exact; its top-k tracks the float baseline") {

@@ -1,0 +1,172 @@
+#!/usr/bin/env python3
+"""Round close-out gate: read the COMMITTED artifacts at HEAD, emit the
+closing-evidence block from them, and exit nonzero if ANY gate is red.
+
+Why this exists (r15 verdict ask #2): two consecutive rounds shipped a
+hand-written close-out narrative that had drifted from the committed
+artifacts by final commit — r14's red q33 and r15's red
+CANARY_sf1_values.json both rode into history under an "all green"
+claim. The fix is mechanical: the numbers in COVERAGE.md's close-out
+block must BE this script's output, and the builder must see a nonzero
+exit for any red `ok`/`degraded`/leak/copy flag before committing.
+
+Checks (each one that is missing is reported, not silently skipped):
+  - CANARY_sf1.json / CANARY_sf10.json          -> ok == true
+  - CANARY_sf1_values.json / CANARY_sf10_values.json -> ok == true
+  - BENCH_SUMMARY.json  -> degraded == false, failed == [], labeled run
+  - LEAKCHECK.json      -> n_hits == 0
+  - COPYCHECK.json      -> flagged == []
+  - optional --verify <selfcheck artifact> -> ok == true
+  - optional --tests <sbt test log>        -> parses "Tests: succeeded N,
+    failed M" lines; M must be 0 on every suite block
+
+Usage: closeout.py [--verify selfcheck.json] [--tests sbt_test.log]
+Run it from the repo root. Output is the close-out markdown on stdout;
+paste it verbatim into COVERAGE.md.
+"""
+import json
+import os
+import re
+import sys
+
+
+def load(path):
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    verify_path = tests_path = None
+    i = 0
+    while i < len(args):
+        if args[i] == "--verify":
+            verify_path = args[i + 1]; i += 2
+        elif args[i] == "--tests":
+            tests_path = args[i + 1]; i += 2
+        else:
+            print(f"unknown arg {args[i]}", file=sys.stderr)
+            return 2
+
+    red = []     # gate failures -> nonzero exit
+    lines = []   # the close-out block
+
+    # --- tests ---------------------------------------------------------
+    if tests_path and os.path.exists(tests_path):
+        log = open(tests_path, errors="replace").read()
+        totals = re.findall(
+            r"Tests: succeeded (\d+), failed (\d+), canceled (\d+)", log)
+        suites = len(re.findall(r"^\[info\] \w+Spec:", log, re.M))
+        if not totals:
+            red.append(f"--tests {tests_path}: no 'Tests:' summary found")
+        else:
+            succ = sum(int(a) for a, b, c in totals)
+            fail = sum(int(b) for a, b, c in totals)
+            if fail:
+                red.append(f"sbt test: {fail} FAILED")
+            lines.append(
+                f"- `sbt test`: **{succ}/{succ + fail} green, "
+                f"{suites} suites** (script-counted from {tests_path}).")
+    else:
+        lines.append("- `sbt test`: NOT CHECKED (pass --tests <log>).")
+        red.append("no sbt test log provided")
+
+    # --- verify/selfcheck ---------------------------------------------
+    if verify_path:
+        v = load(verify_path)
+        if v is None:
+            red.append(f"--verify {verify_path}: missing")
+        else:
+            n = len(v.get("queries", {}))
+            bad = [k for k, q in v.get("queries", {}).items()
+                   if not q.get("match", False)]
+            if not v.get("ok", False):
+                red.append(f"selfcheck {verify_path}: ok=false ({bad})")
+            lines.append(
+                f"- Full Verify + DuckDB selfcheck: **{n - len(bad)}/{n} "
+                f"green** ({verify_path}{'' if not bad else f'; RED: {bad}'}).")
+    else:
+        lines.append("- Verify/selfcheck: NOT CHECKED "
+                     "(pass --verify <artifact>).")
+        red.append("no selfcheck artifact provided")
+
+    # --- canaries ------------------------------------------------------
+    for path, what in [("CANARY_sf1.json", "10x ratio canary"),
+                       ("CANARY_sf10.json", "100x ratio canary"),
+                       ("CANARY_sf1_values.json", "10x planted values"),
+                       ("CANARY_sf10_values.json", "100x planted values")]:
+        d = load(path)
+        if d is None:
+            red.append(f"{path}: missing")
+            lines.append(f"- {what}: **MISSING** ({path}).")
+            continue
+        ok = d.get("ok", False)
+        if not ok:
+            detail = ""
+            if "queries" in d and isinstance(d["queries"], dict):
+                bad = [k for k, q in d["queries"].items()
+                       if isinstance(q, dict) and q.get("match") is False]
+                over = d.get("queries_over_ratio", [])
+                vac = d.get("queries_vacuous", [])
+                miss = d.get("queries_missing_from_canary", [])
+                detail = f" RED: match-fail={bad} over={over} " \
+                         f"vacuous={vac} missing={miss}"
+            red.append(f"{path}: ok=false.{detail}")
+        n = len(d.get("queries", {}))
+        lines.append(f"- {what}: **ok={str(ok).lower()}** over {n} keys "
+                     f"({path}).")
+
+    # --- bench summary -------------------------------------------------
+    b = load("BENCH_SUMMARY.json")
+    if b is None:
+        red.append("BENCH_SUMMARY.json: missing")
+        lines.append("- Bench: **MISSING** (BENCH_SUMMARY.json).")
+    else:
+        deg = b.get("degraded", True)
+        degp = b.get("degraded_probes", [])
+        run = b.get("run", "unlabeled")
+        failed = b.get("failed", [])
+        if deg:
+            red.append(f"BENCH_SUMMARY.json: degraded=true (probes={degp})")
+        if failed:
+            red.append(f"BENCH_SUMMARY.json: failed={failed}")
+        if run == "unlabeled":
+            red.append("BENCH_SUMMARY.json: run is unlabeled — commit a "
+                       "labeled quiet run (SPARK_GRAFT_RUN=...)")
+        scan = b.get("fits_scan_mb_s")
+        per_task = f"{scan / 32:.0f}" if scan else "?"
+        lines.append(
+            f"- Quiet base bench: **{b.get('value', -1):.1f} s / "
+            f"{len(b.get('queries', {}))} keys** (run `{run}`, "
+            f"degraded={str(deg).lower()}); scan probe "
+            f"{scan} MB/s ≈ {per_task} MB/s/task vs the reference's "
+            f"16 MB/s/task.")
+
+    # --- leak / copy ---------------------------------------------------
+    leak = load("LEAKCHECK.json")
+    if leak is None or leak.get("n_hits", 1) != 0:
+        red.append(f"LEAKCHECK.json: {leak and leak.get('n_hits')} hits")
+    copy = load("COPYCHECK.json")
+    if copy is None or copy.get("flagged"):
+        red.append(f"COPYCHECK.json: flagged={copy and copy.get('flagged')}")
+    lines.append(
+        f"- LEAKCHECK {0 if leak is None else leak.get('n_hits')} hits; "
+        f"COPYCHECK flagged={[] if copy is None else copy.get('flagged')}.")
+
+    print("### Round closing evidence (script-emitted by tools/closeout.py "
+          "from the artifacts at HEAD)\n")
+    print("\n".join(lines))
+    if red:
+        print("\nRED GATES — DO NOT COMMIT THIS AS A CLEAN ROUND:",
+              file=sys.stderr)
+        for r in red:
+            print(f"  !! {r}", file=sys.stderr)
+        return 1
+    print("\nAll gates green.", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -208,6 +208,20 @@ def main(sf_dir, out_dir, artifact=None):
             detail = (f"missing={len(wset - gset)} "
                       f"extra={len(gset - wset)} "
                       f"(want {len(want)} rows, got {len(got)})")
+            # r15 lesson: a red recall row said only "missing=1" and the
+            # diagnosis had to be re-derived by hand. Verify dumps the
+            # per-query (q_id, hits) audit as <key>_diag — fold it into
+            # the failure detail so the artifact names the collapsed
+            # query and its hit count.
+            diag_dir = f"{out_dir.rstrip('/')}_diag/{name}_diag"
+            if os.path.isdir(diag_dir):
+                try:
+                    diag_rows = con.execute(
+                        f"SELECT * FROM read_parquet('{diag_dir}/*.parquet') "
+                        f"ORDER BY ALL").fetchall()
+                    detail += f"; diag={diag_rows}"
+                except Exception as dex:
+                    detail += f"; diag unreadable: {dex}"
         print(f"{'ok  ' if ok else 'FAIL'} {name}: {len(got)} rows "
               f"[{mode}] {'' if ok else detail}")
         if not ok:
