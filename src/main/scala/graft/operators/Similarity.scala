@@ -152,9 +152,22 @@ object Similarity {
     ivfMemo.computeIfAbsent((s, dir), { _ =>
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
+      // Deterministic fit input: lowest-100k vec_ids, one partition,
+      // sorted. A bare limit() takes whatever rows arrive first, and
+      // k-means' seeded random init samples BY PARTITION — so the same
+      // logical corpus laid out as 1 file vs 64 files used to converge
+      // to a different quantizer (the r15 canary-relayout recall flip).
+      // TakeOrderedAndProject keeps this cheap at any corpus size (per-
+      // task top-k, no full sort), and one ≤100k-row partition makes
+      // the seeded fit bit-reproducible. First-N-by-id is a fine
+      // sample for a COARSE quantizer (ids carry no geometry here); a
+      // production build would use a seeded reservoir sample with the
+      // same single-partition discipline.
       val sample = embs(s, dir)
-        .select(array_to_vector(col("embedding")).as("fv"))
+        .orderBy(col("vec_id"))
         .limit(100000)
+        .select(array_to_vector(col("embedding")).as("fv"))
+        .coalesce(1)
       // random init + few iterations: a coarse quantizer only needs
       // roughly balanced Voronoi cells, not converged clusters, and
       // k-means|| init alone costs ~2k Spark jobs' worth of passes
@@ -196,13 +209,19 @@ object Similarity {
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     })
 
-  /** Fraction of total corpus mass a probe must cover. 4/16 of a
-    * BALANCED index — the r15 10× canary showed why probe count alone
-    * is not a contract: the rebuilt quantizer handed one query two
-    * near-empty nearest cells and its entire exact top-10 sat in
+  /** Fraction of total corpus mass a probe must cover (~5-6/16 cells
+    * of a BALANCED index). The r15 10× canary showed why probe count
+    * alone is not a contract: the rebuilt quantizer handed one query
+    * two near-empty nearest cells and its entire exact top-10 sat in
     * unprobed cells (recall 0/10, a floor breach). Mass, not cell
-    * count, is what bounds the residual the probe can miss. */
-  private val MinProbeMassFrac = 0.25
+    * count, is what bounds the residual the probe can miss. 1/3 and
+    * not the minimal 1/4: at 1/4 the 10× canary's worst query landed
+    * EXACTLY on the 1-hit floor (measured 4/8/1/3/6 across the five
+    * audit queries) — near-orthogonal random corpora scatter a query's
+    * top-10 almost uniformly across cells, so the expected overlap is
+    * ≈ probed mass × k and the floor needs real margin against index-
+    * rebuild variance, not a coin flip. */
+  private val MinProbeMassFrac = 1.0 / 3
 
   /** Probe-cell selection with a min-mass guard (r15 verdict ask #1):
     * walk cells in ascending centroid distance and keep taking until

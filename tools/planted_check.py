@@ -63,6 +63,19 @@ CHECKS = {
     "sim_lsh_recall": ("full", """
         SELECT vec_id AS q_id FROM embeddings
         WHERE vec_id < 5 ORDER BY q_id""", None),
+    # cutout band over the replica-0 (doc_id < 1M) reference image:
+    # constant-size at every canary scale, every pixel value-checked
+    "q35_fits_cutout": ("full", """
+        WITH d AS (
+          SELECT doc_id, substr(text, 1, 636) AS t,
+                 row_number() OVER (ORDER BY doc_id) - 1 AS img_line
+          FROM documents WHERE doc_id < 1000000)
+        SELECT img_line, doc_id,
+          array_to_string(list_transform(range(1, 637),
+            j -> CAST(CASE WHEN j <= len(t) THEN ord(substr(t, j, 1))
+                      ELSE 0 END AS BIGINT)), ',') AS px_csv
+        FROM d WHERE img_line BETWEEN 100 AND 299
+        ORDER BY img_line""", None),
     "sim_ivf_recall": ("full", """
         SELECT vec_id AS q_id FROM embeddings
         WHERE vec_id < 5 ORDER BY q_id""", None),
