@@ -922,6 +922,46 @@ object Relational {
       .orderBy(col("img_line"))
   }
 
+  /** Driver-checked key for the `SupportsMetadataColumns` surface (r16):
+    * `events` goes through the FITS writer as an 8-part multi-file
+    * table, comes back with `_file_path`/`_hdu`/`_row_index` selected,
+    * and the metadata is verified through aggregate INVARIANTS the
+    * DuckDB oracle can state without knowing the file layout: per
+    * source file the row indices must be exactly 0..cnt−1 (so
+    * Σ(max+1) = Σ distinct = Σ cnt = total rows) and every row must
+    * come from HDU 1 (the writer's bintable extension). Any wrong,
+    * shifted, or duplicated metadata value breaks one of the emitted
+    * totals; the event_id/user_id sums tie the data content in too.
+    *
+    * Scale shape: one write + one read pass, then a two-level
+    * aggregation whose first level is keyed on file path — at 100 TB
+    * that is one group per part file (map-side partial applies), and
+    * the final rollup is a single-row reduce. */
+  val q36_fits_metadata: Q = (s, dir) => {
+    val src = t(s, dir, "events")
+      .select($"event_id", $"user_id")
+    val out = fitsScratch(s, dir, "q36")
+    src.repartition(8, $"event_id")
+      .write.format("fits").mode("overwrite").save(out)
+    val back = s.read.format("fits").option("hdu", 1).load(out)
+      .select($"event_id", $"user_id", col("_file_path").as("fp"),
+        col("_hdu").as("hdu"), col("_row_index").as("ri"))
+    back.groupBy($"fp").agg(
+        count(lit(1)).as("cnt"),
+        min($"ri").as("mn"), max($"ri").as("mx"),
+        countDistinct($"ri").as("nd"),
+        min($"hdu").as("hmn"), max($"hdu").as("hmx"),
+        sum($"event_id").as("sid"), sum($"user_id").as("suid"))
+      .agg(
+        sum($"cnt").cast(LongType).as("n_rows"),
+        sum($"mx" + lit(1L)).cast(LongType).as("rows_via_index"),
+        sum($"nd").cast(LongType).as("rows_via_distinct"),
+        sum(when($"mn" === 0L && $"hmn" === 1 && $"hmx" === 1, lit(0L))
+          .otherwise(lit(1L))).cast(LongType).as("bad_files"),
+        sum($"sid").cast(LongType).as("sum_event_id"),
+        sum($"suid").cast(LongType).as("sum_user_id"))
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -972,6 +1012,7 @@ object Relational {
     "q33_fits_varlen" -> q33_fits_varlen,
     "q34_fits_tilecomp" -> q34_fits_tilecomp,
     "q35_fits_cutout" -> q35_fits_cutout,
+    "q36_fits_metadata" -> q36_fits_metadata,
   )
 
   /** DuckDB-compatible oracle SQL. Keys mirror `queries`; column aliases
@@ -1024,6 +1065,17 @@ object Relational {
         |              ELSE 0 END AS BIGINT)), ',') AS px_csv
         |FROM d WHERE img_line BETWEEN 100 AND 299
         |ORDER BY img_line""".stripMargin,
+    // the metadata invariants collapse to count(*) when (and only
+    // when) every file's _row_index set is exactly 0..cnt-1 and every
+    // row reports _hdu = 1 — the oracle needs no layout knowledge
+    "q36_fits_metadata" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS rows_via_index,
+        |  CAST(count(*) AS BIGINT) AS rows_via_distinct,
+        |  CAST(0 AS BIGINT) AS bad_files,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_user_id
+        |FROM events""".stripMargin,
     "q19_approx_gate" ->
       """SELECT DISTINCT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
         |  AS o_year, o_orderpriority

@@ -219,9 +219,15 @@ final case class FitsResolution(options: Map[String, String]) {
 
 final class FitsTable(res: FitsResolution, userSchema: Option[StructType])
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"fits:${res.pathSpec}"
   override def schema(): StructType = userSchema.getOrElse(res.inferredSchema)
+  /** Hidden provenance columns (`_file_path`, `_hdu`, `_row_index`) —
+    * see [[FitsMetadata]]. Selectable by name, never inferred. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    FitsMetadata.columnsFor(schema())
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
@@ -240,14 +246,25 @@ final class FitsScanBuilder(res: FitsResolution, tableSchema: StructType)
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownFilters {
   private var required: StructType = tableSchema
+  private var metaCols: Array[String] = Array.empty
   private var countStarPushed = false
   private var limit: Option[Long] = None
   private var accepted: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
   private var lineRange: Option[(Long, Long)] = None
+  private var rowRange: Option[(Long, Long)] = None
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // metadata columns ([[FitsMetadata]]) arrive in the required schema
+    // by name; split them out so positional data binding stays intact —
+    // a data column that shares the name stays data (it shadows the
+    // metadata column at the table level already)
+    val dataNames = tableSchema.fieldNames.toSet
+    val (meta, data) = requiredSchema.fields.partition(f =>
+      !dataNames.contains(f.name) && FitsMetadata.kindOf(f.name) >= 0)
+    required = StructType(data)
+    metaCols = meta.map(_.name)
+  }
 
   /** Rows are fixed-width, so LIMIT n maps exactly to the first n rows
     * of the first file(s): plan only that byte range. Partial pushdown
@@ -278,40 +295,60 @@ final class FitsScanBuilder(res: FitsResolution, tableSchema: StructType)
     * re-evaluates the full predicate on emitted rows (band-aligned
     * clamps on compressed images legitimately emit a few extra edge
     * lines). */
+  /** Folds index-bounding conjuncts on `col` into one [lo, hi] range;
+    * returns the range (if any bound tightened) and the filters it
+    * understood (reported as accepted — they STILL stay residual). */
+  private def foldRange(col: String,
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : (Option[(Long, Long)], Array[org.apache.spark.sql.sources.Filter]) = {
+    import org.apache.spark.sql.sources._
+    var lo = 0L
+    var hi = Long.MaxValue
+    def asLong(v: Any): Option[Long] = v match {
+      case n: java.lang.Number => Some(n.longValue())
+      case _ => None
+    }
+    val acc = Array.newBuilder[Filter]
+    filters.foreach {
+      case f @ EqualTo(`col`, v) => asLong(v).foreach { x =>
+        lo = math.max(lo, x); hi = math.min(hi, x); acc += f }
+      case f @ GreaterThan(`col`, v) => asLong(v).foreach { x =>
+        if (x < Long.MaxValue) lo = math.max(lo, x + 1); acc += f }
+      case f @ GreaterThanOrEqual(`col`, v) => asLong(v).foreach { x =>
+        lo = math.max(lo, x); acc += f }
+      case f @ LessThan(`col`, v) => asLong(v).foreach { x =>
+        if (x > Long.MinValue) hi = math.min(hi, x - 1) else hi = -1
+        acc += f }
+      case f @ LessThanOrEqual(`col`, v) => asLong(v).foreach { x =>
+        hi = math.min(hi, x); acc += f }
+      case f @ In(`col`, vs) if vs.nonEmpty =>
+        val xs = vs.flatMap(asLong)
+        if (xs.length == vs.length) {
+          lo = math.max(lo, xs.min); hi = math.min(hi, xs.max); acc += f
+        }
+      case f @ IsNotNull(`col`) => acc += f // emitted indices are never null
+      case _ => () // unsupported shape: residual-only, no pruning
+    }
+    (if (lo > 0L || hi < Long.MaxValue) Some((lo, hi)) else None,
+      acc.result())
+  }
+
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
-    import org.apache.spark.sql.sources._
+    val acc = Array.newBuilder[org.apache.spark.sql.sources.Filter]
     lineIndexCol.foreach { col =>
-      var lo = 0L
-      var hi = Long.MaxValue
-      def asLong(v: Any): Option[Long] = v match {
-        case n: java.lang.Number => Some(n.longValue())
-        case _ => None
-      }
-      val acc = Array.newBuilder[Filter]
-      filters.foreach {
-        case f @ EqualTo(`col`, v) => asLong(v).foreach { x =>
-          lo = math.max(lo, x); hi = math.min(hi, x); acc += f }
-        case f @ GreaterThan(`col`, v) => asLong(v).foreach { x =>
-          if (x < Long.MaxValue) lo = math.max(lo, x + 1); acc += f }
-        case f @ GreaterThanOrEqual(`col`, v) => asLong(v).foreach { x =>
-          lo = math.max(lo, x); acc += f }
-        case f @ LessThan(`col`, v) => asLong(v).foreach { x =>
-          if (x > Long.MinValue) hi = math.min(hi, x - 1) else hi = -1
-          acc += f }
-        case f @ LessThanOrEqual(`col`, v) => asLong(v).foreach { x =>
-          hi = math.min(hi, x); acc += f }
-        case f @ In(`col`, vs) if vs.nonEmpty =>
-          val xs = vs.flatMap(asLong)
-          if (xs.length == vs.length) {
-            lo = math.max(lo, xs.min); hi = math.min(hi, xs.max); acc += f
-          }
-        case f @ IsNotNull(`col`) => acc += f // emitted indices are never null
-        case _ => () // unsupported shape: residual-only, no pruning
-      }
-      accepted = acc.result()
-      if (lo > 0L || hi < Long.MaxValue) lineRange = Some((lo, hi))
+      val (r, a) = foldRange(col, filters)
+      lineRange = r; acc ++= a
     }
+    // `_row_index` bounds prune EVERY HDU type — rows are fixed width,
+    // so "rows N..M of a 100 GB table" plans only those bytes (exact
+    // for tables and plain images, tile-band-widened for compressed).
+    // A data column shadowing the name keeps data semantics: no clamp.
+    if (!tableSchema.fieldNames.contains(FitsMetadata.RowIndex)) {
+      val (r, a) = foldRange(FitsMetadata.RowIndex, filters)
+      rowRange = r; acc ++= a
+    }
+    accepted = acc.result().distinct
     filters
   }
 
@@ -331,7 +368,8 @@ final class FitsScanBuilder(res: FitsResolution, tableSchema: StructType)
 
   override def build(): Scan =
     if (countStarPushed) new FitsCountScan(res)
-    else new FitsScan(res, tableSchema, required, limit, lineRange)
+    else new FitsScan(res, tableSchema, required, limit, lineRange,
+      metaCols, rowRange)
 }
 
 /** Metadata-only COUNT(*): one row per file carrying its HDU row count. */
@@ -385,10 +423,31 @@ final case class FitsCountPartition(nRows: Long) extends InputPartition
 
 final class FitsScan(res: FitsResolution, tableSchema: StructType,
     required: StructType, limit: Option[Long] = None,
-    lineRange: Option[(Long, Long)] = None)
+    lineRange: Option[(Long, Long)] = None,
+    metaCols: Array[String] = Array.empty,
+    rowRange: Option[(Long, Long)] = None)
     extends Scan with Batch with SupportsReportStatistics with Logging {
 
-  override def readSchema(): StructType = required
+  /** The line/row range this HDU's partitions clamp to: image HDUs
+    * intersect the `ImgIndex` range with any `_row_index` range; every
+    * other HDU type is prunable by `_row_index` alone. */
+  private def rangeFor(meta: HduMeta): Option[(Long, Long)] = {
+    val img = meta match {
+      case _: HduMeta.Image | _: HduMeta.CompImage => lineRange
+      case _ => None
+    }
+    (img, rowRange) match {
+      case (Some((a, b)), Some((c, d))) =>
+        Some((math.max(a, c), math.min(b, d)))
+      case (x, None) => x
+      case (None, y) => y
+    }
+  }
+
+  /** Data columns first, then any requested metadata columns — Spark
+    * re-projects to the query's order by name. */
+  override def readSchema(): StructType =
+    StructType(required.fields ++ metaCols.map(FitsMetadata.fieldFor))
   override def toBatch: Batch = this
 
   /** Exact row count and data size from HDU metadata (headers only, no
@@ -422,11 +481,11 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
     var remaining = limit.getOrElse(Long.MaxValue)
     var rows = 0L
     var bytes = 0L
-    // a pushed line range reads only its overlap with each image HDU
-    def rangedRows(m: HduMeta): Long = (m, lineRange) match {
-      case (_: HduMeta.Image | _: HduMeta.CompImage, Some((lo, hi))) =>
+    // a pushed line/row range reads only its overlap with each HDU
+    def rangedRows(m: HduMeta): Long = rangeFor(m) match {
+      case Some((lo, hi)) =>
         math.max(0L, math.min(m.nRows - 1, hi) - math.max(0L, lo) + 1)
-      case _ => m.nRows
+      case None => m.nRows
     }
     metas.foreach { m =>
       val take = math.min(rangedRows(m), remaining)
@@ -452,7 +511,8 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
     s"FITS ${res.pathSpec} hdu=${res.hduSpec} " +
       s"cols=${required.fieldNames.mkString(",")}" +
       limit.map(l => s" limit=$l").getOrElse("") +
-      lineRange.map { case (lo, hi) => s" lines=[$lo,$hi]" }.getOrElse("")
+      lineRange.map { case (lo, hi) => s" lines=[$lo,$hi]" }.getOrElse("") +
+      rowRange.map { case (lo, hi) => s" rows=[$lo,$hi]" }.getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] =
     planFor(res.files)
@@ -490,11 +550,11 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
             s"differs from first file's ${firstSchema.simpleString}; skipping")
           None
         } else if (meta.isReadable && meta.nRows > 0 && meta.rowBytes > 0)
-          Some((path, hdus(idx).bounds, meta))
+          Some((path, hdus(idx).bounds, meta, idx))
         else None
       }
     }
-    val totalBytes = readable.map { case (_, b, _) => b.dataBytes }.sum
+    val totalBytes = readable.map { case (_, b, _, _) => b.dataBytes }.sum
     val minParts = math.max(1,
       conf.filesMinPartitionNum
         .getOrElse(session.sparkContext.defaultParallelism))
@@ -503,8 +563,8 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
     val parts = Array.newBuilder[InputPartition]
     var remaining = limit.getOrElse(Long.MaxValue)
     readable.iterator.takeWhile(_ => remaining > 0)
-      .foreach { case (path, bounds, meta) =>
-        val sliced = slice(path, bounds, meta, positions, targetBytes)
+      .foreach { case (path, bounds, meta, idx) =>
+        val sliced = slice(path, bounds, meta, positions, targetBytes, idx)
         sliced.iterator.takeWhile(_ => remaining > 0).foreach { p =>
           val take = math.min(p.numRows, remaining)
           parts += (if (take == p.numRows) p else p.copy(numRows = take))
@@ -543,9 +603,11 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
     * first band's descriptor row; `numRows`/`firstRowIndex` count
     * lines. */
   private def slice(path: Path, bounds: HduBounds, meta: HduMeta,
-      positions: Array[Int], maxPartBytes: Long): Seq[FitsInputPartition] = {
+      positions: Array[Int], maxPartBytes: Long,
+      hduIdx: Int): Seq[FitsInputPartition] = {
     val rowBytes = meta.rowBytes
     val spec = DecodeSpec.of(meta, positions)
+    val metaKinds = metaCols.map(FitsMetadata.kindOf)
     meta match {
       case c: HduMeta.CompImage =>
         val lineBytes = math.max(1L, c.lineElems.toLong * c.elem.width)
@@ -557,7 +619,7 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
         // partition keeps the planner's invariant (starts at a band's
         // descriptor row, ends at a band boundary or the image end);
         // the residual filter drops the few band-edge lines.
-        val (start, end) = lineRange match {
+        val (start, end) = rangeFor(meta) match {
           case Some((lo, hi)) if hi < math.max(0L, lo) => (0L, 0L)
           case Some((lo, hi)) =>
             val s = math.min(c.nLines, math.max(0L, lo) / c.tileH * c.tileH)
@@ -572,7 +634,7 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
             path.toString,
             bounds.dataStart + firstLine / c.tileH * bandRowBytes,
             n, firstLine, rowBytes,
-            res.recordLength.getOrElse(4 << 20), spec)
+            res.recordLength.getOrElse(4 << 20), spec, hduIdx, metaKinds)
         }
       case _ =>
         // Heap-backed tables (surviving P/Q columns) weigh each row by
@@ -589,14 +651,16 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
             math.max(rowBytes.toLong, bounds.dataBytes / meta.nRows)
           else rowBytes.toLong
         val rowsPerPart = math.max(1L, maxPartBytes / effRowBytes)
-        // Pushed line range (plain image HDUs only — rows are fixed
-        // width, so the clamp is exact): plan bytes for [lo, hi] alone.
-        // Bintables never carry a range (builder gates on meta type).
-        val (start, end) = (meta, lineRange) match {
-          case (_: HduMeta.Image, Some((lo, hi))) =>
+        // Pushed line/row range — rows are fixed width here (the row
+        // area of a heap-backed table included), so the clamp is
+        // exact: plan bytes for [lo, hi] alone. `ImgIndex` ranges only
+        // ever bind to image HDUs; `_row_index` ranges reach any type.
+        val (start, end) = rangeFor(meta) match {
+          case Some((lo, hi)) if hi < math.max(0L, lo) => (0L, 0L)
+          case Some((lo, hi)) =>
             (math.min(meta.nRows, math.max(0L, lo)),
               if (hi >= meta.nRows - 1) meta.nRows else hi + 1)
-          case _ => (0L, meta.nRows)
+          case None => (0L, meta.nRows)
         }
         (start until end by rowsPerPart).map { firstRow =>
           val n = math.min(rowsPerPart, end - firstRow)
@@ -604,7 +668,7 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
             path.toString,
             bounds.dataStart + firstRow * rowBytes,
             n, firstRow, rowBytes,
-            res.recordLength.getOrElse(4 << 20), spec)
+            res.recordLength.getOrElse(4 << 20), spec, hduIdx, metaKinds)
         }
     }
   }
@@ -620,8 +684,20 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
   }
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new FitsMicroBatchStream(this, res)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // Streaming builds the scan with NO pruneColumns call, and when a
+    // query references ANY metadata column the analyzer appends ALL of
+    // them to the relation output (AddMetadataColumns →
+    // withMetadataColumns appends the full metadataOutput, declaration
+    // order). So the streaming scan emits data + every metadata column
+    // unconditionally: that positionally matches both output shapes —
+    // when none were requested the trailing vectors are simply never
+    // read (batch columns are accessed by output position only), and
+    // the cost is three near-free vectors per batch.
+    val withMeta = new FitsScan(res, tableSchema, required, limit,
+      lineRange, FitsMetadata.columnsFor(tableSchema).map(_.name()))
+    new FitsMicroBatchStream(withMeta, res)
+  }
 }
 
 /** Offset of the FITS micro-batch stream: the set of files already
@@ -759,7 +835,9 @@ final case class FitsInputPartition(
     firstRowIndex: Long,
     rowBytes: Int,
     bufferBytes: Int,
-    spec: DecodeSpec) extends InputPartition
+    spec: DecodeSpec,
+    hduIndex: Int = 0,
+    metaKinds: Array[Int] = Array.empty) extends InputPartition
 
 final class FitsPartitionReaderFactory(confProps: Array[(String, String)])
     extends PartitionReaderFactory {
@@ -770,8 +848,12 @@ final class FitsPartitionReaderFactory(confProps: Array[(String, String)])
     c
   }
 
-  override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
-    new FitsPartitionReader(p.asInstanceOf[FitsInputPartition], hadoopConf)
+  override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val fp = p.asInstanceOf[FitsInputPartition]
+    val inner = new FitsPartitionReader(fp, hadoopConf)
+    if (fp.metaKinds.isEmpty) inner
+    else new FitsMetadata.RowReader(inner, fp)
+  }
 
   /** Everything except bit-field (`nX`) and TNULL-vector columns reads
     * vectorized (ColumnarBatch → the same ColumnarToRow path as Spark's
@@ -795,6 +877,10 @@ final class FitsPartitionReaderFactory(confProps: Array[(String, String)])
     case _ => false
   }
 
-  override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new FitsColumnarReader(p.asInstanceOf[FitsInputPartition], hadoopConf)
+  override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val fp = p.asInstanceOf[FitsInputPartition]
+    val inner = new FitsColumnarReader(fp, hadoopConf)
+    if (fp.metaKinds.isEmpty) inner
+    else new FitsMetadata.BatchReader(inner, fp)
+  }
 }

@@ -183,8 +183,11 @@ final class FitsPartitionReader(part: FitsInputPartition,
 
   override def next(): Boolean = {
     if (emitted >= part.numRows) return false
-    // the comp path reads per band inside get() — no chunk fill
-    if (!isComp && rowInChunk >= chunkRows) fill()
+    // the comp path reads per band inside get() — no chunk fill; an
+    // empty projection (metadata-only select over a bintable) emits
+    // numRows empty rows without touching the data bytes at all
+    val noIo = bintableCols != null && bintableCols.isEmpty
+    if (!isComp && !noIo && rowInChunk >= chunkRows) fill()
     true
   }
 

@@ -167,4 +167,57 @@ class FitsCutoutSpec extends SparkTestBase {
     assert(scanStats.sizeInBytes < 240L * 64,
       s"stats not range-aware: ${scanStats.sizeInBytes}")
   }
+
+  // ------------------------------------------ _row_index table cutouts
+
+  /** deterministic single-part bintable: row i = (i, i*3) */
+  private def writeTable(dir: String, n: Int): Unit = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, i * 3L)).toDF("id", "v")
+      .coalesce(1).write.format("fits").mode("overwrite").save(dir)
+  }
+
+  test("bintable: _row_index range prunes partitions exactly") {
+    val dir = Files.createTempDirectory("fits-cut").toString + "/tbl"
+    writeTable(dir, n = 240)
+    withTinyPartitions(160) { // 16 B rows → 10 rows per partition
+      val full = spark.read.format("fits").option("hdu", 1).load(dir)
+      assert(full.rdd.getNumPartitions == 24)
+      val cut = full.select(col("id"), col("v"),
+          col("_row_index").as("ri"))
+        .filter(col("_row_index").between(100, 119))
+      assert(planOf(cut).contains("rows=[100,119]"), planOf(cut))
+      assert(cut.rdd.getNumPartitions == 2, cut.rdd.getNumPartitions)
+      val rows = cut.collect()
+      assert(rows.length == 20)
+      // the clamp must not shift row identity: ri == id by construction
+      rows.foreach(r => assert(r.getLong(2) == r.getLong(0) &&
+        r.getLong(1) == r.getLong(0) * 3))
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (100L to 119L))
+    }
+  }
+
+  test("bintable: contradictory _row_index range plans zero partitions") {
+    val dir = Files.createTempDirectory("fits-cut").toString + "/tbl0"
+    writeTable(dir, n = 24)
+    val none = spark.read.format("fits").option("hdu", 1).load(dir)
+      .filter(col("_row_index") > 10 && col("_row_index") < 5)
+    assert(none.rdd.getNumPartitions == 0)
+    assert(none.count() == 0)
+  }
+
+  test("a data column named _row_index shadows the clamp (data semantics)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fits-cut").toString + "/shadow"
+    // data values are NOT the physical row order: descending
+    (0 until 40).map(i => (i.toLong, (39 - i).toLong))
+      .toDF("id", "_row_index")
+      .coalesce(1).write.format("fits").mode("overwrite").save(dir)
+    val df = spark.read.format("fits").option("hdu", 1).load(dir)
+      .filter(col("_row_index") < 5)
+    assert(!planOf(df).contains("rows="), planOf(df))
+    // rows with DATA value < 5 live at the physical END of the file —
+    // a clamp would have dropped them
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == (35L to 39L))
+  }
 }
