@@ -148,12 +148,30 @@ def main() -> int:
     leak = load("LEAKCHECK.json")
     if leak is None or leak.get("n_hits", 1) != 0:
         red.append(f"LEAKCHECK.json: {leak and leak.get('n_hits')} hits")
+    # COPYCHECK.json is written by the DRIVER after the round closes —
+    # it is never present at builder commit time, so missing is a note,
+    # not a red gate (a present-and-flagged one still is).
     copy = load("COPYCHECK.json")
-    if copy is None or copy.get("flagged"):
-        red.append(f"COPYCHECK.json: flagged={copy and copy.get('flagged')}")
+    if copy is not None and copy.get("flagged"):
+        red.append(f"COPYCHECK.json: flagged={copy.get('flagged')}")
     lines.append(
         f"- LEAKCHECK {0 if leak is None else leak.get('n_hits')} hits; "
-        f"COPYCHECK flagged={[] if copy is None else copy.get('flagged')}.")
+        + ("COPYCHECK pending (driver-side artifact)." if copy is None
+           else f"COPYCHECK flagged={copy.get('flagged')}."))
+
+    # --- generated docs stay in sync with the registries ---------------
+    import subprocess
+    here = os.path.dirname(os.path.abspath(__file__))
+    gen = subprocess.run(
+        [sys.executable, os.path.join(here, "gen_docs.py"), "--check"],
+        capture_output=True, text=True)
+    if gen.returncode != 0:
+        red.append("docs/operator-reference.md is stale — run "
+                   "tools/gen_docs.py")
+    lines.append(
+        "- docs/operator-reference.md "
+        + ("in sync with the query registries." if gen.returncode == 0
+           else "STALE."))
 
     print("### Round closing evidence (script-emitted by tools/closeout.py "
           "from the artifacts at HEAD)\n")

@@ -126,6 +126,18 @@ CHECKS = {
                       ELSE 0 END AS BIGINT)), ',') AS px_csv
         FROM (SELECT doc_id, substr(text, 1, 636) AS t FROM documents)
         ORDER BY doc_id""", None),
+    # metadata-column invariants (r16): the emitted totals collapse to
+    # count(*)/sums only when every file's _row_index set is dense
+    # 0..cnt-1 and every row reports _hdu = 1 — layout-independent,
+    # one aggregation scan, valid at any scale
+    "q36_fits_metadata": ("full", """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(*) AS BIGINT) AS rows_via_index,
+          CAST(count(*) AS BIGINT) AS rows_via_distinct,
+          CAST(0 AS BIGINT) AS bad_files,
+          CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+          CAST(sum(user_id) AS BIGINT) AS sum_user_id
+        FROM events""", None),
     "q31_bloom": ("full", """
         SELECT o_orderkey FROM orders
         WHERE o_custkey IN (SELECT c_custkey FROM customer
