@@ -456,10 +456,18 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
     * FITS auto-broadcasts exactly like a parquet one would. The size is
     * scaled down to the pruned column fraction so projection-heavy
     * plans see the bytes they will actually move. */
+  /** One header walk per file PER SCAN, shared by estimateStatistics
+    * and planInputPartitions — both run during planning of the same
+    * query, and at a 100k-file archive a second full walk doubles the
+    * driver's planning IO for nothing (headers are immutable within a
+    * query by the standard file-source contract). */
+  @transient private lazy val scanFileMetas: Seq[(Path, Vector[Hdu])] =
+    FitsFiles.parMap(res.files, 16)(p => p -> res.scanFile(p))
+
   private lazy val stats: (Long, Long) = {
     // targetMeta (not raw meta): the `columns` option reorders/prunes
     // the column set that tableSchema's positions refer to
-    val metas = FitsFiles.parMap(res.files, 16)(p => p -> res.scanFile(p))
+    val metas = scanFileMetas
       .collect { case (p, hdus)
         if { val i = res.hduIndexFor(hdus); i >= 0 && i < hdus.length } =>
         res.targetMeta(hdus, p)
@@ -531,9 +539,12 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
 
     // Per-file structural scans, parallelized on the driver: one header
     // walk (a few KB of reads) per file. The reference re-walks every
-    // file inside every task instead (FitsLib.scala:181-202).
+    // file inside every task instead (FitsLib.scala:181-202). The batch
+    // path reuses the walk estimateStatistics already did; the
+    // micro-batch stream passes per-batch file subsets and walks those.
     val fileMetas: Seq[(Path, Vector[Hdu])] =
-      FitsFiles.parMap(files, 16)(p => p -> res.scanFile(p))
+      if (files eq res.files) scanFileMetas
+      else FitsFiles.parMap(files, 16)(p => p -> res.scanFile(p))
 
     val firstSchema = res.inferredSchema
     // Same split sizing as Spark's own file sources: honor
