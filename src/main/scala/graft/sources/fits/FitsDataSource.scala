@@ -247,7 +247,6 @@ final class FitsScanBuilder(res: FitsResolution, tableSchema: StructType)
     with SupportsPushDownFilters {
   private var required: StructType = tableSchema
   private var metaCols: Array[String] = Array.empty
-  private var countStarPushed = false
   private var limit: Option[Long] = None
   private var accepted: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
@@ -355,32 +354,73 @@ final class FitsScanBuilder(res: FitsResolution, tableSchema: StructType)
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     accepted
 
-  /** `COUNT(*)` with no grouping is answered from HDU metadata (NAXIS2
-    * row counts) — zero data bytes read, at any scale. Partial-pushdown
-    * protocol: the scan emits per-file counts, Spark sums them. */
+  /** Metadata-answerable aggregates push down (zero data bytes read at
+    * any scale): `COUNT(*)`, and `MIN`/`MAX` of the line-index column
+    * of an image HDU or of `_row_index` on any HDU — per file those
+    * are just 0 and NAXIS2−1. Partial-pushdown protocol: the scan
+    * emits per-file partial rows, Spark combines them. Spark only
+    * offers the aggregation when every filter was fully pushed; this
+    * source keeps all filters residual, so any filtered query
+    * correctly falls back to the row scan. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    val ok = aggregation.groupByExpressions().isEmpty &&
-      aggregation.aggregateExpressions().length == 1 &&
-      aggregation.aggregateExpressions().head.isInstanceOf[CountStar]
-    if (ok) countStarPushed = true
+    if (aggregation.groupByExpressions().nonEmpty) return false
+    def idxKind(e: org.apache.spark.sql.connector.expressions.Expression,
+        k: Int): Int = e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames().length == 1 =>
+        val n = nr.fieldNames().head
+        val isImgLine = lineIndexCol.contains(n)
+        val isMetaIdx = n == FitsMetadata.RowIndex &&
+          !tableSchema.fieldNames.contains(n)
+        if (isImgLine || isMetaIdx) k else -1
+      case _ => -1
+    }
+    import org.apache.spark.sql.connector.expressions.aggregate.{Max, Min}
+    val kinds = aggregation.aggregateExpressions().map {
+      case _: CountStar => FitsAggScan.KindCount
+      case m: Min => idxKind(m.column(), FitsAggScan.KindMinIdx)
+      case m: Max => idxKind(m.column(), FitsAggScan.KindMaxIdx)
+      case _ => -1
+    }
+    val ok = kinds.nonEmpty && kinds.forall(_ >= 0)
+    if (ok) aggKinds = kinds
     ok
   }
+  private var aggKinds: Array[Int] = Array.empty
 
   override def build(): Scan =
-    if (countStarPushed) new FitsCountScan(res)
+    if (aggKinds.nonEmpty) new FitsAggScan(res, aggKinds)
     else new FitsScan(res, tableSchema, required, limit, lineRange,
       metaCols, rowRange)
 }
 
-/** Metadata-only COUNT(*): one row per file carrying its HDU row count. */
-final class FitsCountScan(res: FitsResolution) extends Scan with Batch
-    with Logging {
+object FitsAggScan {
+  val KindCount = 0
+  val KindMinIdx = 1
+  val KindMaxIdx = 2
+}
+
+/** Metadata-only aggregates: one partial row per file, derived from
+  * header metadata alone — COUNT(*) = NAXIS2, MIN(index) = 0,
+  * MAX(index) = NAXIS2−1. Zero-row files are skipped entirely, so an
+  * all-empty archive yields zero partitions and Spark's final
+  * aggregate correctly returns count 0 / null extrema. */
+final class FitsAggScan(res: FitsResolution, kinds: Array[Int])
+    extends Scan with Batch with Logging {
+  import FitsAggScan._
   override def readSchema(): StructType =
-    StructType(Seq(org.apache.spark.sql.types.StructField(
-      "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
+    StructType(kinds.zipWithIndex.map { case (k, i) =>
+      org.apache.spark.sql.types.StructField(
+        k match {
+          case KindCount => "count(*)"
+          case KindMinIdx => s"min_idx_$i"
+          case _ => s"max_idx_$i"
+        },
+        org.apache.spark.sql.types.LongType, nullable = false)
+    }.toSeq)
   override def toBatch: Batch = this
   override def description(): String =
-    s"FITS ${res.pathSpec} hdu=${res.hduSpec} [metadata-only count]"
+    s"FITS ${res.pathSpec} hdu=${res.hduSpec} [metadata-only aggregate]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val firstSchema = res.inferredSchema
@@ -397,7 +437,9 @@ final class FitsCountScan(res: FitsResolution) extends Scan with Batch
           if (res.mode == "FAILFAST") throw new IllegalArgumentException(
             s"$path HDU ${res.hduSpec} schema differs from first file's")
           None
-        } else Some(FitsCountPartition(meta.nRows): InputPartition)
+        } else if (meta.nRows == 0 && kinds.exists(_ != KindCount))
+          None // no rows: must not fabricate 0/−1 extrema
+        else Some(FitsAggPartition(meta.nRows, kinds): InputPartition)
       }
     }
   }
@@ -407,19 +449,24 @@ final class FitsCountScan(res: FitsResolution) extends Scan with Batch
       override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
         new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
           private var done = false
-          private val count = p.asInstanceOf[FitsCountPartition].nRows
+          private val part = p.asInstanceOf[FitsAggPartition]
           override def next(): Boolean = !done
           override def get(): org.apache.spark.sql.catalyst.InternalRow = {
             done = true
             new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-              Array[Any](count))
+              part.kinds.map[Any] {
+                case KindCount => part.nRows
+                case KindMinIdx => 0L
+                case _ => part.nRows - 1
+              })
           }
           override def close(): Unit = ()
         }
     }
 }
 
-final case class FitsCountPartition(nRows: Long) extends InputPartition
+final case class FitsAggPartition(nRows: Long, kinds: Array[Int])
+    extends InputPartition
 
 final class FitsScan(res: FitsResolution, tableSchema: StructType,
     required: StructType, limit: Option[Long] = None,
