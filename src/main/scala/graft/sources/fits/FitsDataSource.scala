@@ -294,43 +294,10 @@ final class FitsScanBuilder(res: FitsResolution, tableSchema: StructType)
     * re-evaluates the full predicate on emitted rows (band-aligned
     * clamps on compressed images legitimately emit a few extra edge
     * lines). */
-  /** Folds index-bounding conjuncts on `col` into one [lo, hi] range;
-    * returns the range (if any bound tightened) and the filters it
-    * understood (reported as accepted — they STILL stay residual). */
   private def foldRange(col: String,
       filters: Array[org.apache.spark.sql.sources.Filter])
-      : (Option[(Long, Long)], Array[org.apache.spark.sql.sources.Filter]) = {
-    import org.apache.spark.sql.sources._
-    var lo = 0L
-    var hi = Long.MaxValue
-    def asLong(v: Any): Option[Long] = v match {
-      case n: java.lang.Number => Some(n.longValue())
-      case _ => None
-    }
-    val acc = Array.newBuilder[Filter]
-    filters.foreach {
-      case f @ EqualTo(`col`, v) => asLong(v).foreach { x =>
-        lo = math.max(lo, x); hi = math.min(hi, x); acc += f }
-      case f @ GreaterThan(`col`, v) => asLong(v).foreach { x =>
-        if (x < Long.MaxValue) lo = math.max(lo, x + 1); acc += f }
-      case f @ GreaterThanOrEqual(`col`, v) => asLong(v).foreach { x =>
-        lo = math.max(lo, x); acc += f }
-      case f @ LessThan(`col`, v) => asLong(v).foreach { x =>
-        if (x > Long.MinValue) hi = math.min(hi, x - 1) else hi = -1
-        acc += f }
-      case f @ LessThanOrEqual(`col`, v) => asLong(v).foreach { x =>
-        hi = math.min(hi, x); acc += f }
-      case f @ In(`col`, vs) if vs.nonEmpty =>
-        val xs = vs.flatMap(asLong)
-        if (xs.length == vs.length) {
-          lo = math.max(lo, xs.min); hi = math.min(hi, xs.max); acc += f
-        }
-      case f @ IsNotNull(`col`) => acc += f // emitted indices are never null
-      case _ => () // unsupported shape: residual-only, no pruning
-    }
-    (if (lo > 0L || hi < Long.MaxValue) Some((lo, hi)) else None,
-      acc.result())
-  }
+      : (Option[(Long, Long)], Array[org.apache.spark.sql.sources.Filter]) =
+    FitsScanBuilder.foldRange(col, filters)
 
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
@@ -392,6 +359,48 @@ final class FitsScanBuilder(res: FitsResolution, tableSchema: StructType)
     if (aggKinds.nonEmpty) new FitsAggScan(res, aggKinds)
     else new FitsScan(res, tableSchema, required, limit, lineRange,
       metaCols, rowRange)
+}
+
+object FitsScanBuilder {
+  /** Folds index-bounding conjuncts on `col` into one [lo, hi] range;
+    * returns the range (if any bound tightened) and the filters it
+    * understood (reported as accepted — they STILL stay residual).
+    * Shared by the static pushdown (builder) and runtime filtering
+    * (scan), so both prune with identical semantics. */
+  private[fits] def foldRange(col: String,
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : (Option[(Long, Long)], Array[org.apache.spark.sql.sources.Filter]) = {
+    import org.apache.spark.sql.sources._
+    var lo = 0L
+    var hi = Long.MaxValue
+    def asLong(v: Any): Option[Long] = v match {
+      case n: java.lang.Number => Some(n.longValue())
+      case _ => None
+    }
+    val acc = Array.newBuilder[Filter]
+    filters.foreach {
+      case f @ EqualTo(`col`, v) => asLong(v).foreach { x =>
+        lo = math.max(lo, x); hi = math.min(hi, x); acc += f }
+      case f @ GreaterThan(`col`, v) => asLong(v).foreach { x =>
+        if (x < Long.MaxValue) lo = math.max(lo, x + 1); acc += f }
+      case f @ GreaterThanOrEqual(`col`, v) => asLong(v).foreach { x =>
+        lo = math.max(lo, x); acc += f }
+      case f @ LessThan(`col`, v) => asLong(v).foreach { x =>
+        if (x > Long.MinValue) hi = math.min(hi, x - 1) else hi = -1
+        acc += f }
+      case f @ LessThanOrEqual(`col`, v) => asLong(v).foreach { x =>
+        hi = math.min(hi, x); acc += f }
+      case f @ In(`col`, vs) if vs.nonEmpty =>
+        val xs = vs.flatMap(asLong)
+        if (xs.length == vs.length) {
+          lo = math.max(lo, xs.min); hi = math.min(hi, xs.max); acc += f
+        }
+      case f @ IsNotNull(`col`) => acc += f // emitted indices are never null
+      case _ => () // unsupported shape: residual-only, no pruning
+    }
+    (if (lo > 0L || hi < Long.MaxValue) Some((lo, hi)) else None,
+      acc.result())
+  }
 }
 
 object FitsAggScan {
@@ -473,22 +482,60 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
     lineRange: Option[(Long, Long)] = None,
     metaCols: Array[String] = Array.empty,
     rowRange: Option[(Long, Long)] = None)
-    extends Scan with Batch with SupportsReportStatistics with Logging {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering with Logging {
+
+  /** Runtime (DPP-style) pruning: a join whose key is the image
+    * line-index column or `_row_index` hands this scan the build
+    * side's value set at execution time; its [min, max] envelope
+    * clamps the planned byte ranges exactly like a static cutout.
+    * Returning a superset of matching rows is fine — the join
+    * re-evaluates equality — so the envelope (not the exact set) is
+    * all the pruner needs. The "fetch these 50 alert lines from a
+    * 100 GB exposure" pattern becomes a byte-ranged read. */
+  private var runtimeRange: Option[(Long, Long)] = None
+  /** Whether the image line-index column (positionally bound field 1)
+    * exists for this scan's HDU type — mirrors the builder's gate. */
+  private val imgLineCol: Option[String] = res.firstMeta match {
+    case _: HduMeta.Image | _: HduMeta.CompImage
+        if tableSchema.length == 2 => Some(tableSchema.fields(1).name)
+    case _ => None
+  }
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // only columns present in THIS scan's output — Spark resolves each
+    // one against the relation and errors on absent names: the image
+    // line column qualifies only if it survived pruning, _row_index
+    // only if the query requested it (it is never shadowed there:
+    // metaCols excludes data-shadowed names by construction)
+    val img = imgLineCol.filter(required.fieldNames.contains)
+    val metaIdx = metaCols.find(_ == FitsMetadata.RowIndex)
+    (img.toSeq ++ metaIdx).map(
+      org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+  }
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Unit = {
+    val cols = filterAttributes().map(_.fieldNames().head)
+    val folded = cols.flatMap(c => FitsScanBuilder.foldRange(c, filters)._1)
+    // intersect everything that arrived (multiple runtime filters AND)
+    runtimeRange = folded.foldLeft(runtimeRange) {
+      case (None, r) => Some(r)
+      case (Some((a, b)), (c, d)) =>
+        Some((math.max(a, c), math.min(b, d)))
+    }
+  }
 
   /** The line/row range this HDU's partitions clamp to: image HDUs
     * intersect the `ImgIndex` range with any `_row_index` range; every
-    * other HDU type is prunable by `_row_index` alone. */
+    * other HDU type is prunable by `_row_index` alone. Runtime-filter
+    * envelopes intersect on top of the statically pushed ranges. */
   private def rangeFor(meta: HduMeta): Option[(Long, Long)] = {
     val img = meta match {
       case _: HduMeta.Image | _: HduMeta.CompImage => lineRange
       case _ => None
     }
-    (img, rowRange) match {
-      case (Some((a, b)), Some((c, d))) =>
-        Some((math.max(a, c), math.min(b, d)))
-      case (x, None) => x
-      case (None, y) => y
-    }
+    Seq(img, rowRange, runtimeRange).flatten
+      .reduceOption((a, b) => (math.max(a._1, b._1), math.min(a._2, b._2)))
   }
 
   /** Data columns first, then any requested metadata columns — Spark

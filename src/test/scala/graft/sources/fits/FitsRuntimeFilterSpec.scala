@@ -1,0 +1,116 @@
+package graft.sources.fits
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Runtime (DPP-style) filtering: a join keyed on the image line index
+  * or `_row_index` hands the scan the build side's values at execution
+  * time, and the scan clamps its planned byte ranges to the value
+  * envelope — "fetch these alert lines from a 100 GB exposure" reads
+  * only the covered bands. The envelope is an optimization, never a
+  * correctness dependency: the join itself re-evaluates equality. */
+class FitsRuntimeFilterSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val width = 16
+
+  private def writeImage(dir: String, nLines: Int): Unit = {
+    val src = (0 until nLines).map(r =>
+      (r.toLong, (0 until width).map(c => r * 1000 + c).toArray))
+      .toDF("ImgIndex", "Image")
+    src.coalesce(1).write.format("fits").option("image", true)
+      .mode("overwrite").save(dir)
+  }
+
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** The scan's output-rows metric from the FINAL (adaptive) plan. */
+  private def scanOutputRows(df: DataFrame): Long = {
+    def find(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        find(s.plan)
+      case b: BatchScanExec => Seq(b)
+      case other =>
+        other.children.flatMap(find) ++
+          other.subqueries.flatMap(find)
+    }
+    val scans = find(df.queryExecution.executedPlan)
+      .filter(_.toString.contains("FITS"))
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    scans.map(_.metrics("numOutputRows").value).sum
+  }
+
+  test("join on ImgIndex runtime-prunes the scanned bands") {
+    val dir = Files.createTempDirectory("fits-rtf").toString + "/img"
+    writeImage(dir, nLines = 240)
+    val keysDir = Files.createTempDirectory("fits-rtf").toString + "/keys"
+    // a real table with a selective predicate — the shape PartitionPruning
+    // looks for on the build side
+    spark.range(240).select($"id".as("k"), ($"id" % 17).as("tag"))
+      .write.mode("overwrite").parquet(keysDir)
+    withConf(
+      "spark.sql.files.maxPartitionBytes" -> "640", // 10 lines/partition
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true") {
+      val img = spark.read.format("fits").option("hdu", 0).load(dir)
+      val keys = spark.read.parquet(keysDir)
+        .filter($"tag" === 3 && $"k".between(100, 119))
+      // broadcast the KEY side: at archive scale the image is always
+      // the probe side, and DPP prunes the probe side only
+      val joined = img.join(broadcast(keys), img("ImgIndex") === keys("k"))
+        .select($"ImgIndex", $"Image")
+      val rows = joined.collect()
+      // correctness first: exactly the matching lines, right pixels
+      val expected = (100 to 119).filter(_ % 17 == 3)
+      assert(rows.map(_.getLong(0)).sorted.toSeq ==
+        expected.map(_.toLong))
+      rows.foreach { r =>
+        val i = r.getLong(0)
+        assert(r.getSeq[Int](1) == (0 until width).map(c => i * 1000 + c))
+      }
+      // pruning: the scan must emit only the clamped band, not all 240
+      val scanned = scanOutputRows(joined)
+      assert(scanned < 240, s"runtime filter did not prune: $scanned")
+    }
+  }
+
+  test("join on _row_index runtime-prunes a bintable scan") {
+    val dir = Files.createTempDirectory("fits-rtf").toString + "/tbl"
+    spark.range(500).select($"id", ($"id" * 3).as("v"))
+      .coalesce(1).write.format("fits").mode("overwrite").save(dir)
+    val keysDir = Files.createTempDirectory("fits-rtf").toString + "/k2"
+    spark.range(500).select($"id".as("k"), ($"id" % 13).as("tag"))
+      .write.mode("overwrite").parquet(keysDir)
+    withConf(
+      "spark.sql.files.maxPartitionBytes" -> "800", // 50 rows/partition
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true") {
+      val tbl = spark.read.format("fits").option("hdu", 1).load(dir)
+        .select($"id", $"v", $"_row_index".as("ri"))
+      val keys = spark.read.parquet(keysDir)
+        .filter($"tag" === 5 && $"k".between(200, 249))
+      val joined = tbl.join(broadcast(keys), tbl("ri") === keys("k"))
+        .select($"id", $"v", $"ri")
+      val rows = joined.collect()
+      val expected = (200 to 249).filter(_ % 13 == 5)
+      assert(rows.map(_.getLong(2)).sorted.toSeq == expected.map(_.toLong))
+      rows.foreach(r => assert(r.getLong(1) == r.getLong(0) * 3))
+      val scanned = scanOutputRows(joined)
+      assert(scanned < 500, s"runtime filter did not prune: $scanned")
+    }
+  }
+}
