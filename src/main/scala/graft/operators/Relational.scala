@@ -922,6 +922,62 @@ object Relational {
       .orderBy(col("img_line"))
   }
 
+  /** Driver-checked key for the runtime-filtering surface (r16,
+    * `SupportsRuntimeFiltering`): a bounded `documents` slice written
+    * to FITS as ONE sorted partition (so `_row_index` = dense rank of
+    * doc_id — the q35 determinism setup), read back and joined against
+    * a small arithmetic key set on `_row_index` with the key side
+    * broadcast. When Spark injects the DPP subquery the scan clamps
+    * its planned bytes to the key envelope; either way the join
+    * re-checks equality, and the oracle replays the whole thing with
+    * row_number — so this key gates the CORRECTNESS half of the
+    * contract (pruning never changes the result), while the
+    * partition-level pruning assertions live in FitsRuntimeFilterSpec.
+    *
+    * Scale shape: broadcast join, corpus side never shuffles; with
+    * pruning active the corpus side reads only the envelope bytes. */
+  val q37_fits_rtjoin: Q = (s, dir) => {
+    val src = t(s, dir, "documents")
+      .select($"doc_id", $"lang")
+      .filter($"doc_id" < 1000000L)
+      .repartition(1).sortWithinPartitions($"doc_id")
+    val out = fitsScratch(s, dir, "q37")
+    src.write.format("fits").mode("overwrite").save(out)
+    val back = s.read.format("fits").option("hdu", 1).load(out)
+      .select($"doc_id", $"lang", col("_row_index").as("ri"))
+    val keys = s.range(50, 150).filter($"id" % 7 === 3)
+    back.join(broadcast(keys), back("ri") === keys("id"))
+      .select($"doc_id", $"lang", $"ri")
+      .orderBy($"ri")
+  }
+
+  /** Driver-checked key for the metadata-answered aggregates (r16):
+    * ungrouped COUNT(*) and MIN/MAX of `_row_index` over a FITS table
+    * answer from NAXIS2 alone (FitsAggScan — zero data bytes read),
+    * cross-checked against a full-scan count over the same read so the
+    * key fails if the header-derived numbers ever diverge from the
+    * data. The oracle needs only count(*). */
+  val q38_fits_extent: Q = (s, dir) => {
+    // bounded corpus (replica-0 convention) + ONE part file: the
+    // global max(_row_index) equals rows−1 only within a single file,
+    // and the bound keeps this setup constant-size at any canary scale
+    val src = t(s, dir, "events").select($"event_id")
+      .filter($"event_id" < 1000000L)
+    val out = fitsScratch(s, dir, "q38")
+    src.repartition(1)
+      .write.format("fits").mode("overwrite").save(out)
+    val back = s.read.format("fits").option("hdu", 1).load(out)
+    // metadata-only plan (asserted in FitsCountPushdownSpec)
+    val meta = back.agg(
+      count(lit(1)).as("n_rows"),
+      (max(col("_row_index")) + lit(1L)).as("n_via_max"))
+    // full-scan cross-check ties headers to data
+    val scanned = back.select($"event_id")
+      .agg(count(lit(1)).cast(LongType).as("n_scanned"))
+    meta.crossJoin(scanned)
+      .select($"n_rows", $"n_via_max", $"n_scanned")
+  }
+
   /** Driver-checked key for the `SupportsMetadataColumns` surface (r16):
     * `events` goes through the FITS writer as an 8-part multi-file
     * table, comes back with `_file_path`/`_hdu`/`_row_index` selected,
@@ -1013,6 +1069,8 @@ object Relational {
     "q34_fits_tilecomp" -> q34_fits_tilecomp,
     "q35_fits_cutout" -> q35_fits_cutout,
     "q36_fits_metadata" -> q36_fits_metadata,
+    "q37_fits_rtjoin" -> q37_fits_rtjoin,
+    "q38_fits_extent" -> q38_fits_extent,
   )
 
   /** DuckDB-compatible oracle SQL. Keys mirror `queries`; column aliases
@@ -1076,6 +1134,22 @@ object Relational {
         |  CAST(sum(event_id) AS BIGINT) AS sum_event_id,
         |  CAST(sum(user_id) AS BIGINT) AS sum_user_id
         |FROM events""".stripMargin,
+    // the runtime-filtered join replays as row_number over the same
+    // bounded sorted corpus — pruning must never change the result
+    "q37_fits_rtjoin" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (ORDER BY doc_id) - 1 AS ri
+        |  FROM documents WHERE doc_id < 1000000)
+        |SELECT doc_id, lang, ri FROM d
+        |WHERE ri BETWEEN 50 AND 149 AND ri % 7 = 3
+        |ORDER BY ri""".stripMargin,
+    // header-derived extent == data extent == count(*), single file
+    "q38_fits_extent" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_via_max,
+        |  CAST(count(*) AS BIGINT) AS n_scanned
+        |FROM events WHERE event_id < 1000000""".stripMargin,
     "q19_approx_gate" ->
       """SELECT DISTINCT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
         |  AS o_year, o_orderpriority

@@ -194,7 +194,10 @@ class PlanQualitySpec extends SparkTestBase {
       })).flatMap(sweep)
 
     val bnljDeclared =
-      Set("sim_topk", "sim_topk_int8", "sim_lsh_recall", "sim_ivf_recall")
+      // the sim_* keys broadcast the query side by design; q38 cross-
+      // joins two SINGLE-ROW aggregates (metadata extent × scan count)
+      Set("sim_topk", "sim_topk_int8", "sim_lsh_recall", "sim_ivf_recall",
+        "q38_fits_extent")
     graft.SparkEntry.queries.foreach { case (name, q) =>
       val nodes = sweep(q(spark, sf0001).queryExecution.executedPlan)
       withClue(s"$name: ") {

@@ -138,6 +138,24 @@ CHECKS = {
           CAST(sum(event_id) AS BIGINT) AS sum_event_id,
           CAST(sum(user_id) AS BIGINT) AS sum_user_id
         FROM events""", None),
+    # runtime-filtered join (r16): bounded sorted corpus, row_number
+    # replay — pruning must never change the result; valid at any scale
+    # because doc_id < 1M pins replica 0 (CanaryGen key-shift)
+    "q37_fits_rtjoin": ("full", """
+        WITH d AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (ORDER BY doc_id) - 1 AS ri
+          FROM documents WHERE doc_id < 1000000)
+        SELECT doc_id, lang, ri FROM d
+        WHERE ri BETWEEN 50 AND 149 AND ri % 7 = 3
+        ORDER BY ri""", None),
+    # metadata-answered extent (r16): header-derived count/max vs a
+    # full-scan count over a bounded single-file corpus
+    "q38_fits_extent": ("full", """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(*) AS BIGINT) AS n_via_max,
+          CAST(count(*) AS BIGINT) AS n_scanned
+        FROM events WHERE event_id < 1000000""", None),
     "q31_bloom": ("full", """
         SELECT o_orderkey FROM orders
         WHERE o_custkey IN (SELECT c_custkey FROM customer
