@@ -47,10 +47,20 @@ object Bench {
     * history the builder already adjudicated green. Returns the
     * lagging field names so the artifact can say WHICH probe tripped. */
   private[graft] def laggingProbes(history: Seq[String],
-      current: Map[String, Double], factor: Double = 0.4): Seq[String] = {
+      current: Map[String, Double], factor: Double = 0.4,
+      machineCpus: Int = Runtime.getRuntime.availableProcessors())
+      : Seq[String] = {
+    // median basis is scoped to runs from the SAME machine shape: the
+    // committed history encodes the driver box's throughput, and on a
+    // materially smaller host every healthy probe would sit below
+    // 0.4x that median forever (degraded runs are excluded from the
+    // basis, so the history could never adapt — a permanently
+    // unpassable gate). machine_cpus is in every history line; with
+    // no same-shape history the check abstains rather than misfires.
     val basis = history
       .filter(l => l.contains("\"degraded\":false") &&
-        !l.contains("\"run\":\"unlabeled\""))
+        !l.contains("\"run\":\"unlabeled\"") &&
+        l.contains(s""""machine_cpus":$machineCpus"""))
       .map(probeValues)
     ProbeFields.flatMap { f =>
       val hist = basis.flatMap(_.get(f)).sorted

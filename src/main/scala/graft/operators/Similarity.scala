@@ -108,12 +108,16 @@ object Similarity {
     rankTopK(scored)
   }
 
+  // keys are (session, corpus, k): the quantizer, index layout, and
+  // bucket-occupancy map all depend on the cell count — a (session,
+  // corpus) key would silently serve one k's artifacts to another k's
+  // probe planner and defeat the min-mass recall guard (r16 review)
   private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), org.apache.spark.ml.clustering.KMeansModel]()
+    (SparkSession, String, Int), org.apache.spark.ml.clustering.KMeansModel]()
   private val ivfIndexMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), String]()
+    (SparkSession, String, Int), String]()
   private val ivfMassMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Map[Int, Long]]()
+    (SparkSession, String, Int), Map[Int, Long]]()
 
   /** Drops this session's memoized IVF quantizers (driver-resident
     * centroid tables; small, but the map holds strong session keys and
@@ -130,6 +134,8 @@ object Similarity {
       .foreach { k =>
         Option(ivfIndexMemo.remove(k)).foreach(deleteRecursively)
       }
+    overlapMemo.keySet.asScala.filter(_._1 eq s).toList
+      .foreach(overlapMemo.remove)
   }
 
   private def deleteRecursively(path: String): Unit = {
@@ -149,7 +155,7 @@ object Similarity {
     * the driver inside the model, exactly like a persisted index. */
   private def ivfModel(s: SparkSession, dir: String,
       k: Int): org.apache.spark.ml.clustering.KMeansModel =
-    ivfMemo.computeIfAbsent((s, dir), { _ =>
+    ivfMemo.computeIfAbsent((s, dir, k), { _ =>
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       // Deterministic fit input: lowest-100k vec_ids, one partition,
@@ -185,7 +191,7 @@ object Similarity {
     * job writing to the warehouse instead. */
   private[operators] def ivfIndexPath(s: SparkSession, dir: String,
       k: Int): String =
-    ivfIndexMemo.computeIfAbsent((s, dir), { _ =>
+    ivfIndexMemo.computeIfAbsent((s, dir, k), { _ =>
       import org.apache.spark.ml.functions.array_to_vector
       val out = java.nio.file.Files.createTempDirectory("graft-ivf-index")
         .toString
@@ -197,13 +203,13 @@ object Similarity {
     })
 
   /** Bucket occupancy of the on-disk IVF index (bucket → row count),
-    * memoized per (session, corpus). k rows total — computed with one
+    * memoized per (session, corpus, k). k rows total — computed with one
     * metadata-cheap aggregation over the bucketed parquet and cached on
     * the driver, exactly like the centroid table. The probe planner
     * needs it for the min-probe-mass guard below. */
   private[operators] def ivfBucketMass(s: SparkSession, dir: String,
       k: Int): Map[Int, Long] =
-    ivfMassMemo.computeIfAbsent((s, dir), { _ =>
+    ivfMassMemo.computeIfAbsent((s, dir, k), { _ =>
       s.read.parquet(ivfIndexPath(s, dir, k))
         .groupBy(col("bucket")).count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -489,12 +495,40 @@ object Similarity {
   private val LshRecallFloorHits = 3
   private val IvfRecallFloorHits = 1
 
-  private def recallGate(s: SparkSession, dir: String, ann: DataFrame,
-      floor: Int): DataFrame =
-    annOverlap(s, dir, ann)
+  /** The declared recall keys PUBLISH their (q_id, hits) audit here as
+    * a side effect of computing it, so the `<key>_diag` dumps (which
+    * Verify writes right after the declared pass) can reuse the rows
+    * instead of re-running the whole ANN pipeline — the two heaviest
+    * keys in the suite used to execute twice per Verify run. Write-
+    * only for the keys themselves: every recallGate call recomputes
+    * from scratch (bench reps stay honest), ≤ NQueries rows live on
+    * the driver, and evictMemo drops them with the other session
+    * state. */
+  private val overlapMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), Array[(Long, Long)]]()
+
+  private def recallGate(s: SparkSession, dir: String, family: String,
+      ann: DataFrame, floor: Int): DataFrame = {
+    val rows = annOverlap(s, dir, ann)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    overlapMemo.put((s, dir, family), rows)
+    import s.implicits._
+    rows.toSeq.toDF("q_id", "hits")
       .filter(col("hits") >= floor)
       .select(col("q_id"))
       .orderBy(col("q_id"))
+  }
+
+  /** Diag path: reuse the audit the declared key just published, or
+    * compute it fresh when the diag runs standalone. */
+  private def overlapFor(s: SparkSession, dir: String, family: String,
+      ann: => DataFrame): DataFrame =
+    Option(overlapMemo.get((s, dir, family))) match {
+      case Some(rows) =>
+        import s.implicits._
+        rows.toSeq.toDF("q_id", "hits")
+      case None => annOverlap(s, dir, ann)
+    }
 
   /** Driver-checkable ANN recall contract (r8 verdict ask #5): emits
     * the q_ids whose LSH top-K overlaps the exact top-K in at least
@@ -504,7 +538,7 @@ object Similarity {
     * `sim_lsh_topk` contract (recall asserted only in ScalaTest) into
     * an oracled row the driver hashes. */
   val sim_lsh_recall: Q = (s, dir) =>
-    recallGate(s, dir, sim_lsh_topk(s, dir), LshRecallFloorHits)
+    recallGate(s, dir, "lsh", sim_lsh_topk(s, dir), LshRecallFloorHits)
 
   /** IVF twin of [[sim_lsh_recall]] — floor is lower because the probe
     * reads only ~[[MinProbeMassFrac]] of a corpus whose neighbors are
@@ -514,7 +548,7 @@ object Similarity {
     * canary breached this very floor when a refit quantizer handed one
     * query two near-empty nearest cells. */
   val sim_ivf_recall: Q = (s, dir) =>
-    recallGate(s, dir, sim_ivf_topk(s, dir), IvfRecallFloorHits)
+    recallGate(s, dir, "ivf", sim_ivf_topk(s, dir), IvfRecallFloorHits)
 
   // ------------------------------------------------- planted ANN gates
 
@@ -571,9 +605,9 @@ object Similarity {
     * is the declared, hash-checked surface. */
   val diagnostics: Map[String, Q] = Map(
     "sim_lsh_recall_diag" -> ((s, dir) =>
-      annOverlap(s, dir, sim_lsh_topk(s, dir)).orderBy(col("q_id"))),
+      overlapFor(s, dir, "lsh", sim_lsh_topk(s, dir)).orderBy(col("q_id"))),
     "sim_ivf_recall_diag" -> ((s, dir) =>
-      annOverlap(s, dir, sim_ivf_topk(s, dir)).orderBy(col("q_id"))),
+      overlapFor(s, dir, "ivf", sim_ivf_topk(s, dir)).orderBy(col("q_id"))),
   )
 
   val queries: Map[String, Q] = Map(

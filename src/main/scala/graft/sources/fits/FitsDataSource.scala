@@ -215,6 +215,21 @@ final case class FitsResolution(options: Map[String, String]) {
 
   def inferredSchema: StructType = firstMeta.schema
   def tableSchema: StructType = inferredSchema
+
+  /** Name of the line-index column when the target HDU is an image —
+    * resolved POSITIONALLY (field 1 of the two-field image schema), the
+    * same binding `columns`/user schemas use, so a user-renamed index
+    * column still prunes. Bintables never qualify: a data column that
+    * merely happens to be named `ImgIndex` carries values unrelated to
+    * row position, and pruning on it would drop wrong rows. ONE
+    * definition shared by the static pushdown (builder) and runtime
+    * filtering (scan): the two prune paths must gate identically or
+    * runtime pruning silently stops matching what the builder folds. */
+  def lineIndexColIn(schema: StructType): Option[String] = firstMeta match {
+    case _: HduMeta.Image | _: HduMeta.CompImage
+        if schema.length == 2 => Some(schema.fields(1).name)
+    case _ => None
+  }
 }
 
 final class FitsTable(res: FitsResolution, userSchema: Option[StructType])
@@ -273,17 +288,9 @@ final class FitsScanBuilder(res: FitsResolution, tableSchema: StructType)
     true
   }
 
-  /** Name of the line-index column when the target HDU is an image —
-    * resolved POSITIONALLY (field 1 of the two-field image schema), the
-    * same binding `columns`/user schemas use, so a user-renamed index
-    * column still prunes. Bintables never qualify: a data column that
-    * merely happens to be named `ImgIndex` carries values unrelated to
-    * row position, and pruning on it would drop wrong rows. */
-  private lazy val lineIndexCol: Option[String] = res.firstMeta match {
-    case _: HduMeta.Image | _: HduMeta.CompImage
-        if tableSchema.length == 2 => Some(tableSchema.fields(1).name)
-    case _ => None
-  }
+  /** See [[FitsResolution.lineIndexColIn]] — shared with FitsScan. */
+  private lazy val lineIndexCol: Option[String] =
+    res.lineIndexColIn(tableSchema)
 
   /** Image-cutout pushdown: conjuncts that bound the line-index column
     * of an image HDU (`ImgIndex =, <, <=, >, >=, IN`) fold into one
@@ -494,13 +501,8 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
     * all the pruner needs. The "fetch these 50 alert lines from a
     * 100 GB exposure" pattern becomes a byte-ranged read. */
   private var runtimeRange: Option[(Long, Long)] = None
-  /** Whether the image line-index column (positionally bound field 1)
-    * exists for this scan's HDU type — mirrors the builder's gate. */
-  private val imgLineCol: Option[String] = res.firstMeta match {
-    case _: HduMeta.Image | _: HduMeta.CompImage
-        if tableSchema.length == 2 => Some(tableSchema.fields(1).name)
-    case _ => None
-  }
+  /** See [[FitsResolution.lineIndexColIn]] — shared with the builder. */
+  private val imgLineCol: Option[String] = res.lineIndexColIn(tableSchema)
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     // only columns present in THIS scan's output — Spark resolves each

@@ -16,6 +16,7 @@ class BenchSpec extends AnyFunSuite {
   private def line(run: String, degraded: Boolean, scan: Double,
       varlen: Double, hcomp: Double, write: Double): String =
     s"""{"metric":"total","run":"$run","degraded":$degraded,""" +
+      s""""machine_cpus":32,""" +
       s""""fits_scan_mb_s":$scan,"fits_varlen_mb_s":$varlen,""" +
       s""""fits_hcomp_mb_s":$hcomp,"fits_write_mb_s":$write}"""
 
@@ -47,7 +48,7 @@ class BenchSpec extends AnyFunSuite {
     // degraded:false — scan 0.20× and hcomp 0.13× of the labeled median
     val r15 = Map("fits_scan_mb_s" -> 437.2, "fits_varlen_mb_s" -> 1772.2,
       "fits_hcomp_mb_s" -> 46.6, "fits_write_mb_s" -> 447.9)
-    val lagging = Bench.laggingProbes(history, r15)
+    val lagging = Bench.laggingProbes(history, r15, machineCpus = 32)
     assert(lagging.contains("fits_scan_mb_s"), lagging)
     assert(lagging.contains("fits_hcomp_mb_s"), lagging)
     // varlen/write were within normal noise that run — a tripped flag
@@ -59,14 +60,14 @@ class BenchSpec extends AnyFunSuite {
     // every labeled history run must pass against the basis it's in
     history.filter(l => l.contains("\"degraded\":false") &&
         !l.contains("unlabeled")).foreach { l =>
-      val lagging = Bench.laggingProbes(history, Bench.probeValues(l))
+      val lagging = Bench.laggingProbes(history, Bench.probeValues(l), machineCpus = 32)
       assert(lagging.isEmpty, s"$l -> $lagging")
     }
     // the documented calibration case: varlen at 0.48x median (the
     // r14-dev-smoke cold start) stays green under factor 0.4
     val dip = Map("fits_scan_mb_s" -> 1678.1, "fits_varlen_mb_s" -> 1017.5,
       "fits_hcomp_mb_s" -> 250.5, "fits_write_mb_s" -> 601.9)
-    assert(Bench.laggingProbes(history, dip).isEmpty)
+    assert(Bench.laggingProbes(history, dip, machineCpus = 32).isEmpty)
   }
 
   test("empty or unusable history disables the check, never crashes") {
@@ -76,10 +77,16 @@ class BenchSpec extends AnyFunSuite {
     // history of only unlabeled/degraded runs contributes no basis
     assert(Bench.laggingProbes(Seq(
       line("unlabeled", degraded = false, 2000, 2000, 300, 700),
-      line("x", degraded = true, 2000, 2000, 300, 700)), cur).isEmpty)
+      line("x", degraded = true, 2000, 2000, 300, 700)), cur,
+      machineCpus = 32).isEmpty)
+    // history from a DIFFERENT machine shape contributes no basis: a
+    // smaller host must not be judged against the driver box's medians
+    // (that would make the close-out gate permanently unpassable there)
+    assert(Bench.laggingProbes(history,
+      Map("fits_scan_mb_s" -> 100.0), machineCpus = 8).isEmpty)
     // a probe missing from the current run (probe crashed → field
     // absent) is not judged
     assert(Bench.laggingProbes(history,
-      Map("fits_varlen_mb_s" -> 2000.0)).isEmpty)
+      Map("fits_varlen_mb_s" -> 2000.0), machineCpus = 32).isEmpty)
   }
 }

@@ -136,13 +136,19 @@ def main() -> int:
             red.append("BENCH_SUMMARY.json: run is unlabeled — commit a "
                        "labeled quiet run (SPARK_GRAFT_RUN=...)")
         scan = b.get("fits_scan_mb_s")
-        per_task = f"{scan / 32:.0f}" if scan else "?"
+        # a crashed probe omits its field (supported case, BenchSpec):
+        # say so explicitly and go red — never render "None MB/s" into
+        # an otherwise-green evidence block
+        if scan is None:
+            red.append("BENCH_SUMMARY.json: fits_scan_mb_s probe absent")
+            probe_txt = "scan probe ABSENT (probe crashed?)"
+        else:
+            probe_txt = (f"scan probe {scan} MB/s ≈ {scan / 32:.0f} "
+                         f"MB/s/task vs the reference's 16 MB/s/task")
         lines.append(
             f"- Quiet base bench: **{b.get('value', -1):.1f} s / "
             f"{len(b.get('queries', {}))} keys** (run `{run}`, "
-            f"degraded={str(deg).lower()}); scan probe "
-            f"{scan} MB/s ≈ {per_task} MB/s/task vs the reference's "
-            f"16 MB/s/task.")
+            f"degraded={str(deg).lower()}); {probe_txt}.")
 
     # --- leak / copy ---------------------------------------------------
     leak = load("LEAKCHECK.json")
@@ -154,8 +160,11 @@ def main() -> int:
     copy = load("COPYCHECK.json")
     if copy is not None and copy.get("flagged"):
         red.append(f"COPYCHECK.json: flagged={copy.get('flagged')}")
+    # a MISSING leak check must never read as "0 hits" in the pasted
+    # evidence block — that is exactly the drift this script prevents
     lines.append(
-        f"- LEAKCHECK {0 if leak is None else leak.get('n_hits')} hits; "
+        ("- LEAKCHECK **MISSING**; " if leak is None
+         else f"- LEAKCHECK {leak.get('n_hits')} hits; ")
         + ("COPYCHECK pending (driver-side artifact)." if copy is None
            else f"COPYCHECK flagged={copy.get('flagged')}."))
 
