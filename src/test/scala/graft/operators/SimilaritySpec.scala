@@ -96,6 +96,63 @@ class SimilaritySpec extends SparkTestBase {
       spark.read.parquet(s"$sf001/embeddings.parquet").count())
   }
 
+  test("IVF probe planner is distributed: a 1e5-row query TABLE runs " +
+      "with no driver materialization of the query frame") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import org.apache.spark.sql.functions._
+    // 500 corpus vectors × 200 replicas = 100 000 queries with distinct
+    // ids, declared lazily over the parquet scan — the frame itself is
+    // ~28 MB of vectors and must NEVER be collected to the driver. The
+    // r16 implementation collected it in the probe planner; this test
+    // is the regression gate for the distributed rewrite.
+    val reps = 200
+    val e = graft.Tables.load(spark, sf001, "embeddings")
+    val queries = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(spark.range(reps).select(col("id").as("rep")))
+      .select((col("vec_id") * reps + col("rep") + 2000000000L).as("q_id"),
+        col("embedding").as("q_emb"))
+    val maxTaskResult = new java.util.concurrent.atomic.AtomicLong
+    val totalResult = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) {
+          val r = t.taskMetrics.resultSize
+          totalResult.addAndGet(r)
+          maxTaskResult.getAndAccumulate(r, math.max(_, _))
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // table-scale strategy: salted shuffle join, zero broadcasts —
+      // a broadcast exchange would collect its build side driver-side
+      spark.conf.set("spark.graft.sim.ivf.shuffleJoin", "true")
+      val df = Similarity.ivfRank(spark, sf001, queries)
+      // plan shape: the probe side derives from the query TABLE's scan
+      // (no pre-materialized local/RDD relation, the old signature)
+      val plan = df.queryExecution.optimizedPlan
+      val materialized = plan.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+            if l.data.length > 1000 => l
+      }
+      assert(materialized.isEmpty, s"query frame was materialized: $plan")
+      // every query finds its full top-10 (probed mass ≥ 1/3 of 500)
+      assert(df.count() === reps * 500L * 10)
+      // listener events drain asynchronously
+      Thread.sleep(3000)
+      // the 28 MB query frame never rode a task result to the driver:
+      // the largest single task result stays metadata-sized, and the
+      // whole pipeline's result traffic is far below the frame size
+      assert(maxTaskResult.get() < (1L << 20),
+        s"a task shipped ${maxTaskResult.get()} bytes to the driver")
+      assert(totalResult.get() < (16L << 20),
+        s"total driver result traffic ${totalResult.get()} bytes")
+    } finally {
+      spark.conf.unset("spark.graft.sim.ivf.shuffleJoin")
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("selectProbes: min-mass guard expands past tiny cells, ties probe together") {
     // nearest two cells are nearly empty (the r15 10x-canary failure
     // shape): a 2-cell probe covers 5% of the corpus and the guard
