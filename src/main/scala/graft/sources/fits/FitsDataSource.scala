@@ -408,6 +408,126 @@ object FitsScanBuilder {
     (if (lo > 0L || hi < Long.MaxValue) Some((lo, hi)) else None,
       acc.result())
   }
+
+  /** Folds index conjuncts on `col` into a SORTED, DISJOINT run list —
+    * the runtime-filter variant of [[foldRange]]. An `In` value set
+    * (the shape a DPP-style join filter arrives as) keeps its gaps: 50
+    * alert lines scattered across a 100 GB exposure prune to ≤50 byte
+    * ranges instead of one whole-file envelope. Range conjuncts fold
+    * exactly as in foldRange and INTERSECT the runs. None = no
+    * understood conjunct (no pruning); Some(empty) = provably no rows. */
+  private[fits] def foldRuns(col: String,
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Option[Vector[(Long, Long)]] = {
+    import org.apache.spark.sql.sources._
+    def asLong(v: Any): Option[Long] = v match {
+      case n: java.lang.Number => Some(n.longValue())
+      case _ => None
+    }
+    var acc: Option[Vector[(Long, Long)]] = None
+    def add(runs: Vector[(Long, Long)]): Unit =
+      acc = Some(acc.fold(runs)(RowRuns.intersect(_, runs)))
+    filters.foreach {
+      case In(`col`, vs) if vs.nonEmpty =>
+        val xs = vs.flatMap(asLong)
+        if (xs.length == vs.length) add(RowRuns.fromPoints(xs.toSeq))
+      case EqualTo(`col`, v) => asLong(v).foreach(x =>
+        add(if (x >= 0) Vector((x, x)) else Vector.empty))
+      case GreaterThan(`col`, v) => asLong(v).foreach(x =>
+        add(if (x < Long.MaxValue) Vector((math.max(0L, x + 1), Long.MaxValue))
+          else Vector.empty))
+      case GreaterThanOrEqual(`col`, v) => asLong(v).foreach(x =>
+        add(Vector((math.max(0L, x), Long.MaxValue))))
+      case LessThan(`col`, v) => asLong(v).foreach(x =>
+        add(if (x > 0) Vector((0L, x - 1)) else Vector.empty))
+      case LessThanOrEqual(`col`, v) => asLong(v).foreach(x =>
+        add(if (x >= 0) Vector((0L, x)) else Vector.empty))
+      case _ => () // unsupported shape: residual-only, no pruning
+    }
+    acc.map(RowRuns.cap(_))
+  }
+}
+
+/** Sorted-disjoint inclusive [lo, hi] run-list algebra for row/line
+  * pruning. Runs are always a SUPERSET contract: a reader may emit
+  * extra rows (the join/filter re-evaluates), never fewer. */
+private[fits] object RowRuns {
+  /** Planner cap: beyond this, closest runs merge — bounds the planned
+    * partition count (and the per-scan metadata) no matter how many
+    * distinct keys the build side hands over. 64 preserves the sparse
+    * "N alert lines" shape while keeping task metadata trivial. */
+  val MaxRuns = 64
+
+  /** Distinct points → coalesced inclusive runs (adjacent ints merge).
+    * Negative points are dropped: row/line indices start at 0. */
+  def fromPoints(points: Seq[Long]): Vector[(Long, Long)] = {
+    val xs = points.filter(_ >= 0).distinct.sorted
+    val out = Vector.newBuilder[(Long, Long)]
+    var i = 0
+    while (i < xs.length) {
+      val lo = xs(i)
+      var hi = lo
+      while (i + 1 < xs.length && xs(i + 1) == hi + 1) { i += 1; hi = xs(i) }
+      out += ((lo, hi))
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Sort + merge overlapping/adjacent runs. */
+  def coalesce(runs: Vector[(Long, Long)]): Vector[(Long, Long)] = {
+    val sorted = runs.filter(r => r._2 >= r._1).sortBy(_._1)
+    val out = Vector.newBuilder[(Long, Long)]
+    var cur: Option[(Long, Long)] = None
+    sorted.foreach { case (lo, hi) =>
+      cur match {
+        case Some((a, b)) if lo <= b + 1 || b == Long.MaxValue =>
+          cur = Some((a, math.max(b, hi)))
+        case Some(prev) => out += prev; cur = Some((lo, hi))
+        case None => cur = Some((lo, hi))
+      }
+    }
+    cur.foreach(out += _)
+    out.result()
+  }
+
+  /** Intersection of two sorted-disjoint run lists (linear merge). */
+  def intersect(a: Vector[(Long, Long)], b: Vector[(Long, Long)])
+      : Vector[(Long, Long)] = {
+    val out = Vector.newBuilder[(Long, Long)]
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val lo = math.max(a(i)._1, b(j)._1)
+      val hi = math.min(a(i)._2, b(j)._2)
+      if (lo <= hi) out += ((lo, hi))
+      if (a(i)._2 < b(j)._2) i += 1 else j += 1
+    }
+    out.result()
+  }
+
+  /** Bounds the run count by merging the runs separated by the
+    * SMALLEST gaps first — a correct superset that re-reads the fewest
+    * skipped rows. Falls back toward the envelope as max shrinks. */
+  def cap(runs: Vector[(Long, Long)], max: Int = MaxRuns)
+      : Vector[(Long, Long)] = {
+    if (runs.length <= max) runs
+    else {
+      // gaps between consecutive runs, largest kept: keep the max-1
+      // largest gaps open, merge across the rest
+      val gaps = runs.sliding(2).zipWithIndex.collect {
+        case (Vector(a, b), idx) => (b._1 - a._2, idx)
+      }.toVector.sortBy(-_._1).take(max - 1).map(_._2).toSet
+      val out = Vector.newBuilder[(Long, Long)]
+      var cur = runs.head
+      runs.indices.drop(1).foreach { i =>
+        if (gaps.contains(i - 1)) { out += cur; cur = runs(i) }
+        else cur = (cur._1, runs(i)._2)
+      }
+      out += cur
+      out.result()
+    }
+  }
 }
 
 object FitsAggScan {
@@ -494,13 +614,22 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
 
   /** Runtime (DPP-style) pruning: a join whose key is the image
     * line-index column or `_row_index` hands this scan the build
-    * side's value set at execution time; its [min, max] envelope
-    * clamps the planned byte ranges exactly like a static cutout.
-    * Returning a superset of matching rows is fine — the join
-    * re-evaluates equality — so the envelope (not the exact set) is
-    * all the pruner needs. The "fetch these 50 alert lines from a
-    * 100 GB exposure" pattern becomes a byte-ranged read. */
-  private var runtimeRange: Option[(Long, Long)] = None
+    * side's value set at execution time, and the value set folds into
+    * a SORTED RUN LIST (≤ [[RowRuns.MaxRuns]], closest runs merged
+    * beyond that) that clamps the planned byte ranges exactly like a
+    * static cutout — per run. Returning a superset of matching rows is
+    * fine — the join re-evaluates equality — so runs (not the exact
+    * set) are all the pruner needs. The "fetch these 50 alert lines
+    * from a 100 GB exposure" pattern becomes ≤50 byte-ranged reads,
+    * even when the lines span the whole file (the r16 envelope-only
+    * fold degenerated to a full scan there). */
+  private var runtimeRuns: Option[Vector[(Long, Long)]] = None
+  /** (planned data bytes, total data bytes) of the last partition plan
+    * — numRows × rowBytes per planned slice (for tile-compressed
+    * images the row unit is the descriptor row, so this is a relative
+    * pruning measure there, exact elsewhere). Test/telemetry surface
+    * for the skipped-bytes accounting. */
+  @volatile private[fits] var lastPlanSummary: Option[(Long, Long)] = None
   /** See [[FitsResolution.lineIndexColIn]] — shared with the builder. */
   private val imgLineCol: Option[String] = res.lineIndexColIn(tableSchema)
   override def filterAttributes()
@@ -518,26 +647,25 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter])
       : Unit = {
     val cols = filterAttributes().map(_.fieldNames().head)
-    val folded = cols.flatMap(c => FitsScanBuilder.foldRange(c, filters)._1)
+    val folded = cols.flatMap(c => FitsScanBuilder.foldRuns(c, filters))
     // intersect everything that arrived (multiple runtime filters AND)
-    runtimeRange = folded.foldLeft(runtimeRange) {
-      case (None, r) => Some(r)
-      case (Some((a, b)), (c, d)) =>
-        Some((math.max(a, c), math.min(b, d)))
-    }
+    runtimeRuns = (runtimeRuns.toSeq ++ folded)
+      .reduceOption(RowRuns.intersect)
   }
 
-  /** The line/row range this HDU's partitions clamp to: image HDUs
+  /** The line/row runs this HDU's partitions clamp to: image HDUs
     * intersect the `ImgIndex` range with any `_row_index` range; every
     * other HDU type is prunable by `_row_index` alone. Runtime-filter
-    * envelopes intersect on top of the statically pushed ranges. */
-  private def rangeFor(meta: HduMeta): Option[(Long, Long)] = {
+    * run lists intersect on top of the statically pushed ranges.
+    * None = unconstrained; Some(empty) = provably zero rows. */
+  private def runsFor(meta: HduMeta): Option[Vector[(Long, Long)]] = {
     val img = meta match {
       case _: HduMeta.Image | _: HduMeta.CompImage => lineRange
       case _ => None
     }
-    Seq(img, rowRange, runtimeRange).flatten
-      .reduceOption((a, b) => (math.max(a._1, b._1), math.min(a._2, b._2)))
+    val statics = Seq(img, rowRange).flatten
+      .map(r => Vector(r).filter(x => x._2 >= x._1))
+    (statics ++ runtimeRuns.toSeq).reduceOption(RowRuns.intersect)
   }
 
   /** Data columns first, then any requested metadata columns — Spark
@@ -585,10 +713,11 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
     var remaining = limit.getOrElse(Long.MaxValue)
     var rows = 0L
     var bytes = 0L
-    // a pushed line/row range reads only its overlap with each HDU
-    def rangedRows(m: HduMeta): Long = rangeFor(m) match {
-      case Some((lo, hi)) =>
+    // a pushed line/row run list reads only its overlap with each HDU
+    def rangedRows(m: HduMeta): Long = runsFor(m) match {
+      case Some(runs) => runs.iterator.map { case (lo, hi) =>
         math.max(0L, math.min(m.nRows - 1, hi) - math.max(0L, lo) + 1)
+      }.sum
       case None => m.nRows
     }
     metas.foreach { m =>
@@ -616,7 +745,15 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
       s"cols=${required.fieldNames.mkString(",")}" +
       limit.map(l => s" limit=$l").getOrElse("") +
       lineRange.map { case (lo, hi) => s" lines=[$lo,$hi]" }.getOrElse("") +
-      rowRange.map { case (lo, hi) => s" rows=[$lo,$hi]" }.getOrElse("")
+      rowRange.map { case (lo, hi) => s" rows=[$lo,$hi]" }.getOrElse("") +
+      // runtime-filter visibility (r16 verdict ask #7): a scan pruned
+      // at runtime is distinguishable in the UI/explain output from an
+      // unpruned one — first runs shown, remainder counted
+      runtimeRuns.map { rs =>
+        val shown = rs.take(8).map { case (a, b) => s"[$a,$b]" }.mkString(",")
+        val more = if (rs.length > 8) s"+${rs.length - 8} more" else ""
+        s" runtimeRuns=$shown$more"
+      }.getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] =
     planFor(res.files)
@@ -679,6 +816,17 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
         }
       }
     val out = parts.result()
+    // skipped-bytes accounting for pruned plans: planned vs total data
+    // bytes, recorded for tests/telemetry and logged whenever a
+    // runtime run list actually clamped the scan
+    val plannedBytes = out.iterator.collect {
+      case p: FitsInputPartition => p.numRows * p.rowBytes
+    }.sum
+    lastPlanSummary = Some((plannedBytes, totalBytes))
+    if (runtimeRuns.nonEmpty)
+      logInfo(s"FITS runtime pruning: planned $plannedBytes of " +
+        s"$totalBytes data bytes (${out.length} partitions, " +
+        s"${runtimeRuns.map(_.length).getOrElse(0)} runs)")
     if (res.verbose) {
       // reference parity (A18): file list + target-HDU header dump
       logInfo(s"FITS files (${res.files.length}): " +
@@ -722,26 +870,33 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
           c.tileH * c.tileH
         val linesPerPart = math.max(c.tileH.toLong, aligned)
         val bandRowBytes = c.nTileCols.toLong * rowBytes
-        // Pushed line range, widened to whole tile-row bands so every
-        // partition keeps the planner's invariant (starts at a band's
-        // descriptor row, ends at a band boundary or the image end);
-        // the residual filter drops the few band-edge lines.
-        val (start, end) = rangeFor(meta) match {
-          case Some((lo, hi)) if hi < math.max(0L, lo) => (0L, 0L)
-          case Some((lo, hi)) =>
-            val s = math.min(c.nLines, math.max(0L, lo) / c.tileH * c.tileH)
-            val e = if (hi >= c.nLines - 1) c.nLines
-              else math.min(c.nLines, (hi / c.tileH + 1) * c.tileH)
-            (s, e)
-          case None => (0L, c.nLines)
+        // Pushed line runs, each widened to whole tile-row bands so
+        // every partition keeps the planner's invariant (starts at a
+        // band's descriptor row, ends at a band boundary or the image
+        // end); the residual filter drops the few band-edge lines.
+        // Widened runs that land in the same band COALESCE, so no band
+        // is ever planned twice (duplicate rows would break the join).
+        val runs: Vector[(Long, Long)] = runsFor(meta) match {
+          case None => if (c.nLines > 0) Vector((0L, c.nLines - 1)) else Vector.empty
+          case Some(rs) => RowRuns.coalesce(rs.flatMap { case (lo, hi) =>
+            if (hi < math.max(0L, lo) || c.nLines == 0) None
+            else {
+              val s = math.min(c.nLines - 1, math.max(0L, lo) / c.tileH * c.tileH)
+              val e = math.min(c.nLines - 1, (hi / c.tileH + 1) * c.tileH - 1)
+              if (e >= s) Some((s, e)) else None
+            }
+          })
         }
-        (start until end by linesPerPart).map { firstLine =>
-          val n = math.min(linesPerPart, end - firstLine)
-          FitsInputPartition(
-            path.toString,
-            bounds.dataStart + firstLine / c.tileH * bandRowBytes,
-            n, firstLine, rowBytes,
-            res.recordLength.getOrElse(4 << 20), spec, hduIdx, metaKinds)
+        runs.flatMap { case (rLo, rHiInc) =>
+          val end = rHiInc + 1
+          (rLo until end by linesPerPart).map { firstLine =>
+            val n = math.min(linesPerPart, end - firstLine)
+            FitsInputPartition(
+              path.toString,
+              bounds.dataStart + firstLine / c.tileH * bandRowBytes,
+              n, firstLine, rowBytes,
+              res.recordLength.getOrElse(4 << 20), spec, hduIdx, metaKinds)
+          }
         }
       case _ =>
         // Heap-backed tables (surviving P/Q columns) weigh each row by
@@ -758,24 +913,31 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
             math.max(rowBytes.toLong, bounds.dataBytes / meta.nRows)
           else rowBytes.toLong
         val rowsPerPart = math.max(1L, maxPartBytes / effRowBytes)
-        // Pushed line/row range — rows are fixed width here (the row
-        // area of a heap-backed table included), so the clamp is
-        // exact: plan bytes for [lo, hi] alone. `ImgIndex` ranges only
-        // ever bind to image HDUs; `_row_index` ranges reach any type.
-        val (start, end) = rangeFor(meta) match {
-          case Some((lo, hi)) if hi < math.max(0L, lo) => (0L, 0L)
-          case Some((lo, hi)) =>
-            (math.min(meta.nRows, math.max(0L, lo)),
-              if (hi >= meta.nRows - 1) meta.nRows else hi + 1)
-          case None => (0L, meta.nRows)
+        // Pushed line/row runs — rows are fixed width here (the row
+        // area of a heap-backed table included), so each run's clamp
+        // is exact: plan bytes for its [lo, hi] alone. `ImgIndex`
+        // ranges only ever bind to image HDUs; `_row_index` ranges
+        // reach any type. Runs are sorted-disjoint by construction, so
+        // partitions never overlap (no duplicate rows).
+        val runs: Vector[(Long, Long)] = runsFor(meta) match {
+          case None =>
+            if (meta.nRows > 0) Vector((0L, meta.nRows - 1)) else Vector.empty
+          case Some(rs) => rs
         }
-        (start until end by rowsPerPart).map { firstRow =>
-          val n = math.min(rowsPerPart, end - firstRow)
-          FitsInputPartition(
-            path.toString,
-            bounds.dataStart + firstRow * rowBytes,
-            n, firstRow, rowBytes,
-            res.recordLength.getOrElse(4 << 20), spec, hduIdx, metaKinds)
+        runs.flatMap { case (lo, hi) =>
+          val start = math.min(meta.nRows, math.max(0L, lo))
+          val end =
+            if (hi < start) start
+            else if (hi >= meta.nRows - 1) meta.nRows
+            else hi + 1
+          (start until end by rowsPerPart).map { firstRow =>
+            val n = math.min(rowsPerPart, end - firstRow)
+            FitsInputPartition(
+              path.toString,
+              bounds.dataStart + firstRow * rowBytes,
+              n, firstRow, rowBytes,
+              res.recordLength.getOrElse(4 << 20), spec, hduIdx, metaKinds)
+          }
         }
     }
   }
@@ -802,7 +964,8 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
     // read (batch columns are accessed by output position only), and
     // the cost is three near-free vectors per batch.
     val withMeta = new FitsScan(res, tableSchema, required, limit,
-      lineRange, FitsMetadata.columnsFor(tableSchema).map(_.name()))
+      lineRange, FitsMetadata.columnsFor(tableSchema).map(_.name()),
+      rowRange)
     new FitsMicroBatchStream(withMeta, res)
   }
 }

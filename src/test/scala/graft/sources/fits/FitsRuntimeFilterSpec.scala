@@ -89,6 +89,82 @@ class FitsRuntimeFilterSpec extends SparkTestBase {
     }
   }
 
+  test("RowRuns algebra: fromPoints, intersect, coalesce, cap") {
+    assert(RowRuns.fromPoints(Seq(3L, 1L, 2L, 2L, -5L)) == Vector((1L, 3L)))
+    assert(RowRuns.fromPoints(Seq(10L, 1L, 2L, 100L)) ==
+      Vector((1L, 2L), (10L, 10L), (100L, 100L)))
+    assert(RowRuns.intersect(Vector((0L, 10L), (20L, 30L)),
+      Vector((5L, 25L))) == Vector((5L, 10L), (20L, 25L)))
+    assert(RowRuns.intersect(Vector((0L, 10L)), Vector((11L, 12L))).isEmpty)
+    assert(RowRuns.coalesce(Vector((5L, 9L), (0L, 4L), (20L, 22L))) ==
+      Vector((0L, 9L), (20L, 22L)))
+    // cap merges across the SMALLEST gaps first (closest runs)
+    assert(RowRuns.cap(Vector((1L, 3L), (10L, 10L), (100L, 100L)), 2) ==
+      Vector((1L, 10L), (100L, 100L)))
+    // beyond-cap point sets stay a correct superset at exactly max runs
+    val sparse = RowRuns.fromPoints((0 until 200).map(_ * 1000L))
+    val capped = RowRuns.cap(sparse)
+    assert(capped.length == RowRuns.MaxRuns)
+    assert(sparse.forall { case (lo, hi) =>
+      capped.exists(c => c._1 <= lo && hi <= c._2) })
+  }
+
+  test("sparse join keys prune to a RUN LIST: two far-apart keys plan " +
+      "two disjoint partitions, skipped bytes accounted") {
+    val dir = Files.createTempDirectory("fits-rtf").toString + "/sparse"
+    spark.range(5000).select($"id", ($"id" * 3).as("v"))
+      .coalesce(1).write.format("fits").mode("overwrite").save(dir)
+    val keysDir = Files.createTempDirectory("fits-rtf").toString + "/k3"
+    spark.range(5000).select($"id".as("k"), ($"id" % 7).as("tag"))
+      .write.mode("overwrite").parquet(keysDir)
+    withConf(
+      "spark.sql.files.maxPartitionBytes" -> "800", // 50 rows/partition
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true") {
+      val tbl = spark.read.format("fits").option("hdu", 1).load(dir)
+        .select($"id", $"v", $"_row_index".as("ri"))
+      // keys {10, 4800}: the r16 single-envelope fold degenerated this
+      // to a near-full scan ([10, 4800] covers 96% of the file); the
+      // run list reads two 1-row slices
+      val keys = spark.read.parquet(keysDir)
+        .filter($"k".isin(10, 4800))
+      val joined = tbl.join(broadcast(keys), tbl("ri") === keys("k"))
+        .select($"id", $"v", $"ri")
+      val rows = joined.collect()
+      assert(rows.map(_.getLong(2)).sorted.toSeq == Seq(10L, 4800L))
+      rows.foreach(r => assert(r.getLong(1) == r.getLong(0) * 3))
+      // far fewer rows scanned than the 4791-row envelope would read
+      val scanned = scanOutputRows(joined)
+      assert(scanned < 100, s"run-list pruning did not engage: $scanned")
+      // the scan planned exactly the two disjoint single-row slices
+      val fs = findFitsScan(joined)
+      val parts = fs.planInputPartitions().collect {
+        case p: FitsInputPartition => (p.firstRowIndex, p.numRows)
+      }
+      assert(parts.toSeq.sorted == Seq((10L, 1L), (4800L, 1L)),
+        parts.mkString(","))
+      // skipped-bytes accounting: 2 of 5000 rows' bytes planned
+      val (planned, total) = fs.lastPlanSummary.get
+      assert(planned * 100 < total, s"planned=$planned total=$total")
+      // runtime-filter visibility: the description names the runs
+      assert(fs.description().contains("runtimeRuns=[10,10],[4800,4800]"),
+        fs.description())
+    }
+  }
+
+  /** The FITS FitsScan instance from the FINAL (adaptive) plan. */
+  private def findFitsScan(df: DataFrame): FitsScan = {
+    def find(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        find(s.plan)
+      case b: BatchScanExec => Seq(b)
+      case other =>
+        other.children.flatMap(find) ++ other.subqueries.flatMap(find)
+    }
+    find(df.queryExecution.executedPlan)
+      .map(_.scan).collectFirst { case f: FitsScan => f }.get
+  }
+
   test("join on _row_index runtime-prunes a bintable scan") {
     val dir = Files.createTempDirectory("fits-rtf").toString + "/tbl"
     spark.range(500).select($"id", ($"id" * 3).as("v"))
