@@ -48,6 +48,18 @@ object SparkEntry {
   def diagnostics: Map[String, (SparkSession, String) => DataFrame] =
     operators.Similarity.diagnostics
 
+  /** Declared keys that are approximate/non-SQL BY DESIGN (r16 verdict
+    * ask #3): a rows-only check is their CONTRACT — each is paired with
+    * an exact, hash-oracled twin (planted/recall/threshold gates) that
+    * turns red if the underlying operator breaks. Verify writes this
+    * set as `approx_keys.json` next to `oracle_sql.json`, so artifact
+    * readers can report "rows-only-by-design" instead of an error.
+    * Invariant (spec-gated): approxKeys ⊆ queries.keySet and disjoint
+    * from oracleSql.keySet. */
+  def approxKeys: Set[String] =
+    operators.Relational.approxKeys ++ operators.TextOps.approxKeys ++
+      operators.Similarity.approxKeys
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -105,6 +105,17 @@ object Verify {
     // Manifests carry their standard names but live in dumpDir, next to
     // the dumps they describe (full run → outDir, subset → outDir/subset)
     Files.writeString(Paths.get(s"$dumpDir/oracle_sql.json"), json)
+    // Approximate-by-design keys (r16 verdict ask #3): every declared
+    // key with NO oracle must be on this list, so a reader can tell
+    // "rows-only by contract" from "oracle missing by accident". The
+    // invariant is enforced HERE, fail-loud, at every verify run.
+    val approx = SparkEntry.approxKeys
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    require(approx == noOracle,
+      s"approxKeys drift: declared-without-oracle=${(noOracle -- approx).toSeq.sorted.mkString(",")} " +
+        s"approx-with-oracle-or-unknown=${(approx -- noOracle).toSeq.sorted.mkString(",")}")
+    Files.writeString(Paths.get(s"$dumpDir/approx_keys.json"),
+      approx.toSeq.sorted.map(q).mkString("[", ",", "]"))
     // Always written (empty object when clean): a crashed query would
     // otherwise appear in the dump only as a MISSING directory, and a
     // reader of the artifacts alone undercounts the damage (the r10/r11

@@ -1078,6 +1078,10 @@ object Relational {
     * name before hashing). q19_approx intentionally has no oracle —
     * its driver-checkable twin is q19_approx_gate.
     */
+  /** Approximate-by-design key: q19_approx's HLL estimate is rows-only;
+    * its exact multi-threshold twin q19_approx_gate is hash-oracled. */
+  val approxKeys: Set[String] = Set("q19_approx")
+
   val oracles: Map[String, String] = Map(
     "q31_bloom" ->
       """SELECT o_orderkey FROM orders

@@ -661,6 +661,12 @@ object Similarity {
     "sim_approx_planted" -> sim_approx_planted,
   )
 
+  /** Declared keys that are approximate/non-SQL BY DESIGN — a rows-only
+    * check is their contract, not a gap. Each is paired with a green
+    * exact hash-oracled twin (recall/planted gates). */
+  val approxKeys: Set[String] =
+    Set("sim_lsh_topk", "sim_ivf_topk", "sim_approx_join")
+
   val oracles: Map[String, String] = Map(
     "sim_topk" ->
       """SELECT q.vec_id AS q_id,

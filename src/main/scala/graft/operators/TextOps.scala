@@ -655,6 +655,10 @@ object TextOps {
       |FROM r JOIN rare USING (doc_id)
       |WHERE rn = 1 ORDER BY r.doc_id""".stripMargin
 
+  /** Approximate-by-design key: text_langid's heuristic labels are
+    * rows-only; the planted twin text_langid_planted is hash-oracled. */
+  val approxKeys: Set[String] = Set("text_langid")
+
   val oracles: Map[String, String] = Map(
     "text_fingerprint" -> textFingerprintOracle,
     "text_rarity" -> textRarityOracle,

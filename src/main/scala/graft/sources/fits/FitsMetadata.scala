@@ -149,6 +149,12 @@ object FitsMetadata {
       }
       if (rowIdxVec != null) {
         rowIdxVec.reset()
+        // grow to this batch's row count before filling: putLong does
+        // NOT auto-grow, and the initial sizing is only a hint — a
+        // reader emitting a batch larger than the first would
+        // otherwise write past capacity (r16 advice). Constant vectors
+        // need no growth: they hold one value regardless of row index.
+        rowIdxVec.reserve(n)
         var i = 0
         while (i < n) { rowIdxVec.putLong(i, nextRowIdx + i); i += 1 }
       }

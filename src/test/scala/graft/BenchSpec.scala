@@ -89,4 +89,22 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.laggingProbes(history,
       Map("fits_varlen_mb_s" -> 2000.0), machineCpus = 32).isEmpty)
   }
+
+  test("machine-shape match is delimiter-anchored: cpus=8 ignores cpus=80 " +
+      "history; driver-stamped runs contribute no basis") {
+    // r16 advice: a substring match made "machine_cpus":8 also match
+    // "machine_cpus":80 lines — a digit-prefix false positive that
+    // re-admits cross-shape medians
+    val h80 = Seq(
+      """{"run":"big-box","degraded":false,"machine_cpus":80,""" +
+        """"fits_scan_mb_s":5000.0,"fits_varlen_mb_s":5000.0,""" +
+        """"fits_hcomp_mb_s":900.0,"fits_write_mb_s":2000.0}""")
+    assert(Bench.laggingProbes(h80,
+      Map("fits_scan_mb_s" -> 100.0), machineCpus = 8).isEmpty)
+    // the driver's no-env default label is excluded exactly like
+    // "unlabeled": driver runs are co-load-suspect by construction
+    assert(Bench.laggingProbes(
+      Seq(line("driver", degraded = false, 2000, 2000, 300, 700)),
+      Map("fits_scan_mb_s" -> 100.0), machineCpus = 32).isEmpty)
+  }
 }

@@ -45,6 +45,17 @@ class VerifyPathSpec extends SparkTestBase {
     assert(dumped.columns.sorted.toSeq == Seq("a_vid", "b_vid"))
   }
 
+  test("approxKeys is exactly the declared-without-oracle set") {
+    // the contract Verify enforces fail-loud per run: every key with no
+    // oracle is approximate BY DESIGN (and declared so), and no approx
+    // key secretly has an oracle or names an unknown query
+    assert(SparkEntry.approxKeys.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.approxKeys ==
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet,
+      s"drift: ${(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet)
+        .diff(SparkEntry.approxKeys).toSeq.sorted}")
+  }
+
   test("a failing query surfaces through runOne instead of throwing") {
     val out = java.nio.file.Files.createTempDirectory("verify-bad").toString
     // nonexistent sf dir → the query fails; runOne reports name + error

@@ -58,7 +58,11 @@ def main() -> int:
         log = open(tests_path, errors="replace").read()
         totals = re.findall(
             r"Tests: succeeded (\d+), failed (\d+), canceled (\d+)", log)
-        suites = len(re.findall(r"^\[info\] \w+Spec:", log, re.M))
+        # suite count from the SAME parse target as the test count (r16
+        # verdict #6: a name-pattern grep missed non-*Spec suites and
+        # drifted 42-vs-43): sbt's own "Suites: completed N" lines
+        suites = sum(int(n) for n in
+                     re.findall(r"Suites: completed (\d+)", log))
         if not totals:
             red.append(f"--tests {tests_path}: no 'Tests:' summary found")
         else:
@@ -132,8 +136,8 @@ def main() -> int:
             red.append(f"BENCH_SUMMARY.json: degraded=true (probes={degp})")
         if failed:
             red.append(f"BENCH_SUMMARY.json: failed={failed}")
-        if run == "unlabeled":
-            red.append("BENCH_SUMMARY.json: run is unlabeled — commit a "
+        if run in ("unlabeled", "driver"):
+            red.append(f"BENCH_SUMMARY.json: run is '{run}' — commit a "
                        "labeled quiet run (SPARK_GRAFT_RUN=...)")
         scan = b.get("fits_scan_mb_s")
         # a crashed probe omits its field (supported case, BenchSpec):

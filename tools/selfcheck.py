@@ -100,18 +100,41 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
             print(f"ok   {name}: {o.shape[0]} rows x {o.shape[1]} cols")
             verdicts[name] = {"match": True, "rows": int(o.shape[0]),
                               "detail": "hash-equal"}
-    # rows-only queries (no oracle)
+    # rows-only queries (no oracle). approx_keys.json (written by
+    # Verify from SparkEntry.approxKeys) declares which of these are
+    # approximate BY DESIGN — those report as such and land in the
+    # verdicts map; an oracle-less key NOT on the list is a drift error.
     import glob, os
+    approx = set()
+    approx_path = f"{out_dir}/approx_keys.json"
+    if os.path.exists(approx_path):
+        approx = set(json.load(open(approx_path)))
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(d.rstrip("/"))
         if name not in oracle_sql:
             try:
                 n = duckdb.sql(
                     f"SELECT COUNT(*) FROM read_parquet('{d}*.parquet')").fetchone()[0]
-                print(f"ok?  {name}: rows-only, {n} rows")
             except Exception as ex:
                 print(f"FAIL {name}: rows-only read error: {ex}")
                 failures += 1
+                verdicts[name] = {"match": False, "rows": -1,
+                                  "detail": f"rows-only read error: {ex}"}
+                continue
+            if name in approx:
+                print(f"ok   {name}: rows-only-by-design, {n} rows")
+                verdicts[name] = {"match": n > 0, "rows": int(n),
+                                  "detail": "rows_only_by_design"}
+                if n == 0:
+                    print(f"FAIL {name}: rows-only-by-design but EMPTY")
+                    failures += 1
+            elif os.path.exists(approx_path):
+                print(f"FAIL {name}: no oracle and not in approx_keys.json")
+                failures += 1
+                verdicts[name] = {"match": False, "rows": int(n),
+                                  "detail": "undeclared rows-only key"}
+            else:
+                print(f"ok?  {name}: rows-only, {n} rows")
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     if json_out:
         with open(json_out, "w") as f:
