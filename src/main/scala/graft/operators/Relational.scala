@@ -922,6 +922,50 @@ object Relational {
       .orderBy(col("img_line"))
   }
 
+  /** Driver-checked key for the 2-D cutout pushdown (r16 verdict ask
+    * #5): [[q35_fits_cutout]]'s deterministic image, read back with
+    * BOTH cutout axes pushed — an `ImgIndex` line band AND a
+    * `colRange` pixel-column window (payload columns 4..103, i.e. the
+    * first 100 text bytes). The scan emits only the window: lines
+    * outside the band are never planned, and columns outside the
+    * window are never decoded (strided-IO and tile-x variants are
+    * spec-gated in FitsCutoutSpec; this key value-verifies the window
+    * semantics against DuckDB replaying substr(text, 1, 100)). */
+  val q39_fits_cutout2d: Q = (s, dir) => {
+    val width = 640
+    val payload = width - 4
+    val lines = {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 1000000L)
+        .repartition(1).sortWithinPartitions(col("doc_id")).as[(Long, String)]
+        .map { case (id, text) =>
+          val b = text.getBytes("UTF-8")
+          val arr = new Array[Short](width)
+          arr(0) = ((id >> 45) & 0x7fff).toShort
+          arr(1) = ((id >> 30) & 0x7fff).toShort
+          arr(2) = ((id >> 15) & 0x7fff).toShort
+          arr(3) = (id & 0x7fff).toShort
+          var j = 0
+          val n = math.min(b.length, payload)
+          while (j < n) { arr(4 + j) = (b(j) & 0xff).toShort; j += 1 }
+          Tuple1(arr)
+        }.toDF("Image")
+    }
+    val out = fitsScratch(s, dir, "q39")
+    lines.write.format("fits").option("image", true)
+      .mode("overwrite").save(out)
+    s.read.format("fits").option("hdu", 0)
+      .option("colRange", "4:103") // text bytes 1..100 of each doc
+      .load(out)
+      .filter(col("ImgIndex").between(100, 299))
+      .select(col("ImgIndex").as("img_line"),
+        array_join(col("Image").cast("array<long>").cast("array<string>"),
+          ",").as("px_csv"))
+      .orderBy(col("img_line"))
+  }
+
   /** Driver-checked key for the runtime-filtering surface (r16,
     * `SupportsRuntimeFiltering`): a bounded `documents` slice written
     * to FITS as ONE sorted partition (so `_row_index` = dense rank of
@@ -1071,6 +1115,7 @@ object Relational {
     "q36_fits_metadata" -> q36_fits_metadata,
     "q37_fits_rtjoin" -> q37_fits_rtjoin,
     "q38_fits_extent" -> q38_fits_extent,
+    "q39_fits_cutout2d" -> q39_fits_cutout2d,
   )
 
   /** DuckDB-compatible oracle SQL. Keys mirror `queries`; column aliases
@@ -1116,6 +1161,17 @@ object Relational {
     // the cutout band replays by row_number over the same bounded,
     // doc_id-sorted corpus: line index, id pixels (via doc_id), and
     // every payload pixel of every surviving line
+    "q39_fits_cutout2d" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 100) AS t,
+        |         row_number() OVER (ORDER BY doc_id) - 1 AS img_line
+        |  FROM documents WHERE doc_id < 1000000)
+        |SELECT img_line,
+        |  array_to_string(list_transform(range(1, 101),
+        |    j -> CAST(CASE WHEN j <= len(t) THEN ord(substr(t, j, 1))
+        |              ELSE 0 END AS BIGINT)), ',') AS px_csv
+        |FROM d WHERE img_line BETWEEN 100 AND 299
+        |ORDER BY img_line""".stripMargin,
     "q35_fits_cutout" ->
       """WITH d AS (
         |  SELECT doc_id, substr(text, 1, 636) AS t,

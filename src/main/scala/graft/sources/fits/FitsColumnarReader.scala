@@ -29,7 +29,20 @@ final class FitsColumnarReader(part: FitsInputPartition,
   private val path = new Path(part.file)
   private val in = path.getFileSystem(conf).open(path)
 
-  private val rowBytes = part.rowBytes
+  /** Full-line stride in the FILE — always the HDU's row width. */
+  private val srcRowBytes = part.rowBytes
+  /** Buffer stride. For a plain image with a pushed column window
+    * worth strided IO ([[DecodeSpec.Image.ioWindow]]) the buffer holds
+    * only each line's window, packed at window-bytes stride, filled by
+    * one positioned read per line at `winOffBytes` into the line; for
+    * everything else the two strides coincide and chunks fill with one
+    * big sequential read. */
+  private val (winOffBytes, rowBytes) = part.spec match {
+    case img: DecodeSpec.Image if img.ioWindow =>
+      (img.colLo.toLong * img.elem.width, img.windowBytes)
+    case _ => (0L, part.rowBytes)
+  }
+  private def ioWindowed: Boolean = rowBytes != srcRowBytes || winOffBytes > 0
   // IO chunk is independent of the batch size: one large positioned
   // read feeds many ColumnarBatches (a 4-byte-row table would otherwise
   // do 16 KB reads). For wide rows the batch shrinks with the buffer so
@@ -38,7 +51,7 @@ final class FitsColumnarReader(part: FitsInputPartition,
   private val chunkRowsMax: Int = {
     val byBuffer = math.max(1L, part.bufferBytes.toLong / rowBytes)
     part.spec match {
-      case DecodeSpec.CompImage(m, _) =>
+      case DecodeSpec.CompImage(m, _, _, _) =>
         // numRows counts image LINES here; the buffer holds descriptor
         // TABLE rows and must cover whole tile-row bands
         val bands = (part.numRows + m.tileH - 1) / m.tileH
@@ -62,14 +75,14 @@ final class FitsColumnarReader(part: FitsInputPartition,
     case DecodeSpec.Bintable(cs, _) =>
       StructType(cs.map(c => org.apache.spark.sql.types.StructField(
         c.name, c.tform.sparkType, nullable = true)).toSeq)
-    case DecodeSpec.CompImage(m, fieldKinds) =>
+    case DecodeSpec.CompImage(m, fieldKinds, _, _) =>
       StructType(fieldKinds.map {
         case 0 => org.apache.spark.sql.types.StructField("Image",
           org.apache.spark.sql.types.ArrayType(m.elem.sparkType, true), true)
         case _ => org.apache.spark.sql.types.StructField("ImgIndex",
           org.apache.spark.sql.types.LongType, true)
       }.toSeq)
-    case DecodeSpec.Image(elem, _, fieldKinds) =>
+    case DecodeSpec.Image(elem, _, fieldKinds, _, _, _) =>
       StructType(fieldKinds.map {
         case 0 => org.apache.spark.sql.types.StructField("Image",
           org.apache.spark.sql.types.ArrayType(elem.sparkType, true), true)
@@ -83,11 +96,37 @@ final class FitsColumnarReader(part: FitsInputPartition,
   // window — same IO shape as the row reader, decode into vectors)
 
   private val compMeta: HduMeta.CompImage = part.spec match {
-    case DecodeSpec.CompImage(m, _) => m
+    case DecodeSpec.CompImage(m, _, _, _) => m
     case _ => null
   }
+  // pushed pixel-column window of a tile-compressed image: only tiles
+  // intersecting [compColLo, compColLo+compColN) decompress — the
+  // tile-x half of the 2-D cutout pushdown
+  private val (compColLo, compColN) = part.spec match {
+    case DecodeSpec.CompImage(_, _, lo, n) => (lo, n)
+    case _ => (0, 0)
+  }
+  /** (first pixel column, width) of each tile column of a band. */
+  private val compSpans: Array[(Int, Int)] =
+    if (compMeta == null) Array.empty
+    else {
+      val out = new Array[(Int, Int)](compMeta.nTileCols)
+      var c0 = 0
+      var tc = 0
+      while (tc < compMeta.nTileCols) {
+        val tw = math.min(compMeta.tileWidth, compMeta.lineElems - c0)
+        out(tc) = (c0, tw)
+        c0 += tw
+        tc += 1
+      }
+      out
+    }
+  private def tileSelected(tc: Int): Boolean = {
+    val (c0, tw) = compSpans(tc)
+    c0 < compColLo + compColN && c0 + tw > compColLo
+  }
   private val heapStart: Long = part.spec match {
-    case DecodeSpec.CompImage(m, _) => m.heapStart
+    case DecodeSpec.CompImage(m, _, _, _) => m.heapStart
     case DecodeSpec.Bintable(_, h) => h // −1 when no P/Q col survives
     case _ => -1L
   }
@@ -96,7 +135,7 @@ final class FitsColumnarReader(part: FitsInputPartition,
   // projection-pruned column set already carries only surviving P/Q
   // columns.
   private val varCols: Array[(Int, TForm.VarArr)] = part.spec match {
-    case DecodeSpec.CompImage(m, fieldKinds) if fieldKinds.contains(0) =>
+    case DecodeSpec.CompImage(m, fieldKinds, _, _) if fieldKinds.contains(0) =>
       m.heapCols.toArray
     case DecodeSpec.Bintable(cs, _) => cs.collect {
       case c if c.tform.isInstanceOf[TForm.VarArr] &&
@@ -121,7 +160,13 @@ final class FitsColumnarReader(part: FitsInputPartition,
     var r = 0
     while (r < chunkRows) {
       val base = r * rowBytes
-      var k = 0
+      // tile-x pruning: a compressed chunk's rows are tile descriptors
+      // in row-major band order — rows of window-excluded tile columns
+      // must not widen the coalesced heap span, or the one big heap
+      // read would fetch every pruned tile's payload anyway
+      val skip = compMeta != null &&
+        !tileSelected((r % compMeta.nTileCols).toInt)
+      var k = if (skip) varCols.length else 0
       while (k < varCols.length) {
         val (off, v) = varCols(k)
         val (nd, hoff) = v.descriptor(buf, base + off)
@@ -150,7 +195,7 @@ final class FitsColumnarReader(part: FitsInputPartition,
   private var emitted = 0L
 
   override def next(): Boolean = part.spec match {
-    case DecodeSpec.CompImage(m, fieldKinds) => nextComp(m, fieldKinds)
+    case DecodeSpec.CompImage(m, fieldKinds, _, _) => nextComp(m, fieldKinds)
     case _ => nextRows()
   }
 
@@ -159,8 +204,20 @@ final class FitsColumnarReader(part: FitsInputPartition,
     if (emitted >= chunkStartRow + chunkRows) {
       chunkStartRow = emitted
       chunkRows = math.min(chunkRowsMax.toLong, part.numRows - emitted).toInt
-      in.readFully(part.startByte + chunkStartRow * rowBytes, buf, 0,
-        chunkRows * rowBytes)
+      if (ioWindowed) {
+        // strided window reads: one pread per line, window bytes only
+        // — a 100-px cutout of a 100k-px-wide exposure reads ~0.1% of
+        // each line instead of all of it
+        var r = 0
+        while (r < chunkRows) {
+          in.readFully(
+            part.startByte + (chunkStartRow + r) * srcRowBytes + winOffBytes,
+            buf, r * rowBytes, rowBytes)
+          r += 1
+        }
+      } else
+        in.readFully(part.startByte + chunkStartRow * srcRowBytes, buf, 0,
+          chunkRows * rowBytes)
       coalesceHeap()
     }
     val base = ((emitted - chunkStartRow) * rowBytes).toInt
@@ -176,12 +233,15 @@ final class FitsColumnarReader(part: FitsInputPartition,
         }
       case _: DecodeSpec.CompImage => throw new IllegalStateException(
         "tile-compressed images take nextComp")
-      case DecodeSpec.Image(elem, lineElems, fieldKinds) =>
+      case DecodeSpec.Image(elem, _, fieldKinds, colLo, colN, ioWin) =>
         var c = 0
         while (c < fieldKinds.length) {
           val v = vectors(c)
           v.reset()
-          if (fieldKinds(c) == 0) fillImage(elem, lineElems, v, base, n)
+          // with strided window IO the buffer already holds ONLY the
+          // window, so decode starts at element 0 of each buffered line
+          if (fieldKinds(c) == 0)
+            fillImage(elem, if (ioWin) 0 else colLo, colN, v, base, n)
           else {
             var r = 0
             while (r < n) {
@@ -196,19 +256,22 @@ final class FitsColumnarReader(part: FitsInputPartition,
     true
   }
 
-  /** One image line per row: fixed-length array column. */
-  private def fillImage(elem: ElemType, lineElems: Int,
+  /** One image line per row: fixed-length array column, restricted to
+    * the pushed column window — `dLo` is the first decoded element
+    * WITHIN the buffered line (0 under strided window IO, the window's
+    * colLo otherwise), `colN` the emitted width. */
+  private def fillImage(elem: ElemType, dLo: Int, colN: Int,
       v: OnHeapColumnVector, chunkBase: Int, n: Int): Unit = {
     val child = v.arrayData()
-    child.reserve(n * lineElems)
+    child.reserve(n * colN)
     val w = elem.width
     var r = 0
     while (r < n) {
       val rowOff = chunkBase + r * rowBytes
       var j = 0
-      while (j < lineElems) {
-        val o = rowOff + j * w
-        val idx = r * lineElems + j
+      while (j < colN) {
+        val o = rowOff + (dLo + j) * w
+        val idx = r * colN + j
         elem match {
           case ElemType.L => child.putBoolean(idx, buf(o) == 'T'.toByte)
           case ElemType.B => child.putByte(idx, buf(o))
@@ -224,7 +287,7 @@ final class FitsColumnarReader(part: FitsInputPartition,
         }
         j += 1
       }
-      v.putArray(r, r * lineElems, lineElems)
+      v.putArray(r, r * colN, colN)
       r += 1
     }
   }
@@ -328,33 +391,38 @@ final class FitsColumnarReader(part: FitsInputPartition,
     var c0 = 0
     while (tc < m.nTileCols) {
       val tw = math.min(m.tileWidth, m.lineElems - c0)
-      tiles(tc) = FitsPartitionReader.compTileBytes(m, buf,
-        (rowBase + tc) * rowBytes, heapBuf, heapBase, heapLen, in,
-        heapStart, tw * bandH)
-      m.quant.foreach { q =>
-        val ro = (rowBase + tc) * rowBytes
-        bandScale(tc) =
-          if (q.scaleOff >= 0) java.lang.Double.longBitsToDouble(
-            ElemType.i64(buf, ro + q.scaleOff))
-          else q.scale
-        bandZero(tc) =
-          if (q.zeroOff >= 0) java.lang.Double.longBitsToDouble(
-            ElemType.i64(buf, ro + q.zeroOff))
-          else q.zero
-        if (q.blankOff >= 0) {
-          bandBlank(tc) = ElemType.i32(buf, ro + q.blankOff).toLong
-          bandHasBlank(tc) = true
-        } else {
-          bandHasBlank(tc) = q.blank.isDefined
-          bandBlank(tc) = q.blank.getOrElse(0L)
+      // tile-x pruning: a tile outside the pushed column window never
+      // decompresses (nor preads its payload, nor generates its dither
+      // stream) — fillCompLines skips it symmetrically
+      if (tileSelected(tc)) {
+        tiles(tc) = FitsPartitionReader.compTileBytes(m, buf,
+          (rowBase + tc) * rowBytes, heapBuf, heapBase, heapLen, in,
+          heapStart, tw * bandH)
+        m.quant.foreach { q =>
+          val ro = (rowBase + tc) * rowBytes
+          bandScale(tc) =
+            if (q.scaleOff >= 0) java.lang.Double.longBitsToDouble(
+              ElemType.i64(buf, ro + q.scaleOff))
+            else q.scale
+          bandZero(tc) =
+            if (q.zeroOff >= 0) java.lang.Double.longBitsToDouble(
+              ElemType.i64(buf, ro + q.zeroOff))
+            else q.zero
+          if (q.blankOff >= 0) {
+            bandBlank(tc) = ElemType.i32(buf, ro + q.blankOff).toLong
+            bandHasBlank(tc) = true
+          } else {
+            bandHasBlank(tc) = q.blank.isDefined
+            bandBlank(tc) = q.blank.getOrElse(0L)
+          }
+          if (q.dither > 0) {
+            // 1-based tile sequence number in row-major table order
+            val tileNum = band * m.nTileCols + tc + 1
+            bandRand(tc) = new graft.sources.fits.core.FitsDither
+              .Stream(tileNum, q.ditherSeed).take(tw * bandH)
+          }
         }
-        if (q.dither > 0) {
-          // 1-based tile sequence number in row-major table order
-          val tileNum = band * m.nTileCols + tc + 1
-          bandRand(tc) = new graft.sources.fits.core.FitsDither
-            .Stream(tileNum, q.ditherSeed).take(tw * bandH)
-        }
-      }
+      } else tiles(tc) = null
       c0 += tw
       tc += 1
     }
@@ -363,11 +431,14 @@ final class FitsColumnarReader(part: FitsInputPartition,
   }
 
   /** Fills `n` image lines starting at absolute line `firstLine` from
-    * cached band tiles. A line whose band holds any empty tile yields a
-    * NULL Image cell (no partial lines). */
+    * cached band tiles, restricted to the pushed column window. A line
+    * whose band holds any empty WINDOW-INTERSECTING tile yields a NULL
+    * Image cell (no partial lines); window-excluded tiles are never
+    * decompressed and never consulted. */
   private def fillCompLines(m: HduMeta.CompImage, v: OnHeapColumnVector,
       firstLine: Long, n: Int): Unit = {
-    val width = m.lineElems
+    val width = compColN
+    val colEnd = compColLo + compColN
     val child = v.arrayData()
     child.reserve(n * width)
     val elem = m.elem
@@ -381,7 +452,7 @@ final class FitsColumnarReader(part: FitsInputPartition,
       var anyNull = false
       var tc = 0
       while (tc < bandTiles.length && !anyNull) {
-        if (bandTiles(tc) == null) anyNull = true
+        if (bandTiles(tc) == null && tileSelected(tc)) anyNull = true
         tc += 1
       }
       if (anyNull) v.putNull(r)
@@ -393,52 +464,55 @@ final class FitsColumnarReader(part: FitsInputPartition,
         val base = r * width
         val isFloat = elem == ElemType.E
         val dither = m.quant.get.dither
-        var c0 = 0
         tc = 0
         while (tc < bandTiles.length) {
-          val tile = bandTiles(tc)
-          val tw = math.min(m.tileWidth, width - c0)
-          val srcOff = rowInBand * tw * 4
-          val randBase = rowInBand * tw
-          val rnd = if (dither > 0) bandRand(tc) else null
-          val s = bandScale(tc)
-          val z = bandZero(tc)
-          val hasBlank = bandHasBlank(tc)
-          val blank = bandBlank(tc)
-          var j = 0
-          while (j < tw) {
-            val code = ElemType.i32(tile, srcOff + j * 4)
-            val idx = base + c0 + j
-            if (hasBlank && code.toLong == blank) child.putNull(idx)
-            else if (dither == 2 &&
-                code == graft.sources.fits.core.FitsDither.ZeroVal) {
-              if (isFloat) child.putFloat(idx, 0f)
-              else child.putDouble(idx, 0.0)
-            } else {
-              val v =
-                if (dither > 0) s * (code - rnd(randBase + j) + 0.5) + z
-                else s * code + z
-              if (isFloat) child.putFloat(idx, v.toFloat)
-              else child.putDouble(idx, v)
+          if (tileSelected(tc)) {
+            val tile = bandTiles(tc)
+            val (c0, tw) = compSpans(tc)
+            val srcOff = rowInBand * tw * 4
+            val randBase = rowInBand * tw
+            val rnd = if (dither > 0) bandRand(tc) else null
+            val s = bandScale(tc)
+            val z = bandZero(tc)
+            val hasBlank = bandHasBlank(tc)
+            val blank = bandBlank(tc)
+            var j = math.max(0, compColLo - c0)
+            val jEnd = math.min(tw, colEnd - c0)
+            while (j < jEnd) {
+              val code = ElemType.i32(tile, srcOff + j * 4)
+              val idx = base + c0 + j - compColLo
+              if (hasBlank && code.toLong == blank) child.putNull(idx)
+              else if (dither == 2 &&
+                  code == graft.sources.fits.core.FitsDither.ZeroVal) {
+                if (isFloat) child.putFloat(idx, 0f)
+                else child.putDouble(idx, 0.0)
+              } else {
+                val v =
+                  if (dither > 0) s * (code - rnd(randBase + j) + 0.5) + z
+                  else s * code + z
+                if (isFloat) child.putFloat(idx, v.toFloat)
+                else child.putDouble(idx, v)
+              }
+              j += 1
             }
-            j += 1
           }
-          c0 += tw
           tc += 1
         }
         v.putArray(r, base, width)
       } else {
         val base = r * width
-        var c0 = 0
         tc = 0
         while (tc < bandTiles.length) {
+          if (!tileSelected(tc)) { tc += 1 }
+          else {
           val tile = bandTiles(tc)
-          val tw = math.min(m.tileWidth, width - c0)
+          val (c0, tw) = compSpans(tc)
           val srcOff = rowInBand * tw * w
-          var j = 0
-          while (j < tw) {
+          var j = math.max(0, compColLo - c0)
+          val jEnd = math.min(tw, colEnd - c0)
+          while (j < jEnd) {
             val o = srcOff + j * w
-            val idx = base + c0 + j
+            val idx = base + c0 + j - compColLo
             elem match {
               case ElemType.L => child.putBoolean(idx, tile(o) == 'T'.toByte)
               case ElemType.B => child.putByte(idx, tile(o))
@@ -456,8 +530,8 @@ final class FitsColumnarReader(part: FitsInputPartition,
             }
             j += 1
           }
-          c0 += tw
           tc += 1
+          }
         }
         v.putArray(r, base, width)
       }

@@ -161,6 +161,25 @@ final case class FitsResolution(options: Map[String, String]) {
     ci.get("maxfilespertrigger").map(_.toInt)
   val verbose: Boolean = ci.get("verbose").exists(_.toBoolean)
   val recordLength: Option[Int] = ci.get("recordlength").map(_.toInt)
+  /** Read option (image HDUs): `colRange = "lo:hi"` — an inclusive,
+    * 0-based pixel-COLUMN window pushed into the scan. The second
+    * cutout axis, pairing with the line-range (`ImgIndex` predicate)
+    * pushdown: emitted `Image` arrays hold only the window, plain
+    * images with wide lines read only the window's bytes per line
+    * (strided positioned reads), and tile-compressed images
+    * decompress only the tiles intersecting the window. A 100×100
+    * cutout of a 100k-pixel-wide exposure stops paying for full
+    * lines. */
+  val colRange: Option[(Int, Int)] = ci.get("colrange").map { v =>
+    val p = v.split(":")
+    require(p.length == 2 &&
+      p.forall(x => scala.util.Try(x.trim.toLong).isSuccess),
+      s"colRange must be 'lo:hi' with integers, got '$v'")
+    val (lo, hi) = (p(0).trim.toLong, p(1).trim.toLong)
+    require(lo >= 0 && hi >= lo && hi <= Int.MaxValue,
+      s"colRange needs 0 <= lo <= hi, got '$v'")
+    (lo.toInt, hi.toInt)
+  }
   val columnsOption: Option[Seq[String]] =
     ci.get("columns").map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
 
@@ -267,6 +286,17 @@ final class FitsScanBuilder(res: FitsResolution, tableSchema: StructType)
     Array.empty
   private var lineRange: Option[(Long, Long)] = None
   private var rowRange: Option[(Long, Long)] = None
+
+  // fail-loud at planning time, not mid-task: a column window has no
+  // meaning for a bintable's heterogeneous columns
+  res.colRange.foreach { _ =>
+    res.firstMeta match {
+      case _: HduMeta.Image | _: HduMeta.CompImage => ()
+      case _ => throw new IllegalArgumentException(
+        s"colRange applies to IMAGE HDUs; HDU ${res.hduSpec} of " +
+          s"${res.files.head} is not one")
+    }
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // metadata columns ([[FitsMetadata]]) arrive in the required schema
@@ -705,6 +735,10 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
     def prunedRowBytes(m: HduMeta): Long = (m match {
       case b: HduMeta.Bintable =>
         positions.map(p => b.columns(p).tform.byteWidth).sum.max(1)
+      case i: HduMeta.Image if res.colRange.isDefined =>
+        // pushed column window: the scan moves only the window's bytes
+        val (_, n) = DecodeSpec.window(res.colRange, i.lineElems)
+        math.max(1, n * i.elem.width)
       case other => other.rowBytes
     }).toLong
     // a pushed limit caps the scan at the first `limit` rows in file
@@ -861,7 +895,7 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
       positions: Array[Int], maxPartBytes: Long,
       hduIdx: Int): Seq[FitsInputPartition] = {
     val rowBytes = meta.rowBytes
-    val spec = DecodeSpec.of(meta, positions)
+    val spec = DecodeSpec.of(meta, positions, res.colRange)
     val metaKinds = metaCols.map(FitsMetadata.kindOf)
     meta match {
       case c: HduMeta.CompImage =>
@@ -908,10 +942,17 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
           case DecodeSpec.Bintable(_, h) => h >= 0
           case _ => false
         }
-        val effRowBytes =
-          if (hasHeap && meta.nRows > 0)
-            math.max(rowBytes.toLong, bounds.dataBytes / meta.nRows)
-          else rowBytes.toLong
+        val effRowBytes = spec match {
+          // strided window IO reads only windowBytes per line, so size
+          // partitions by what a task will actually read — the planner
+          // and reader decide ioWindow from the SAME spec
+          case img: DecodeSpec.Image if img.ioWindow =>
+            img.windowBytes.toLong
+          case _ =>
+            if (hasHeap && meta.nRows > 0)
+              math.max(rowBytes.toLong, bounds.dataBytes / meta.nRows)
+            else rowBytes.toLong
+        }
         val rowsPerPart = math.max(1L, maxPartBytes / effRowBytes)
         // Pushed line/row runs — rows are fixed width here (the row
         // area of a heap-backed table included), so each run's clamp
@@ -1075,24 +1116,55 @@ object DecodeSpec {
   final case class Bintable(cols: Array[BintableColumn],
       heapStart: Long = -1L) extends DecodeSpec
   /** Image: which of (Image, ImgIndex) to emit, in output order.
-    * fieldKinds(i): 0 = Image array, 1 = ImgIndex. */
+    * fieldKinds(i): 0 = Image array, 1 = ImgIndex. `colLo`/`colN` are
+    * the pushed pixel-column window (0/lineElems when none): emitted
+    * arrays hold only those elements. `ioWindow` = the per-line byte
+    * savings justify strided positioned reads (one pread per line
+    * instead of one per chunk), decided HERE so the planner and the
+    * reader size partitions and buffers consistently. */
   final case class Image(elem: ElemType, lineElems: Int,
-      fieldKinds: Array[Int]) extends DecodeSpec
+      fieldKinds: Array[Int], colLo: Int, colN: Int,
+      ioWindow: Boolean) extends DecodeSpec {
+    def windowBytes: Int = math.max(1, colN * elem.width)
+  }
   /** Tile-compressed image: the full [[HduMeta.CompImage]] (codec
-    * params + descriptor-column layout) plus Image-style fieldKinds. */
+    * params + descriptor-column layout) plus Image-style fieldKinds
+    * and the pushed pixel-column window — only tiles intersecting
+    * [colLo, colLo+colN) decompress. */
   final case class CompImage(meta: HduMeta.CompImage,
-      fieldKinds: Array[Int]) extends DecodeSpec
+      fieldKinds: Array[Int], colLo: Int, colN: Int) extends DecodeSpec
 
-  def of(meta: HduMeta, positions: Array[Int]): DecodeSpec = meta match {
+  /** Clamps a pushed column window to the line width. */
+  private[fits] def window(colRange: Option[(Int, Int)],
+      lineElems: Int): (Int, Int) = colRange match {
+    case Some((lo, hi)) =>
+      val l = math.min(lo, lineElems)
+      val h = math.min(hi, lineElems - 1)
+      (l, math.max(0, h - l + 1))
+    case None => (0, lineElems)
+  }
+
+  /** Strided reads pay one positioned read per LINE; worth it only
+    * when each line skips enough bytes to beat sequential throughput
+    * (~32 KB of skipped bytes per line ≈ a seek's worth on local
+    * disk, far more conservative than an object store's). */
+  private[fits] val IoWindowMinSkip = 32 * 1024
+
+  def of(meta: HduMeta, positions: Array[Int],
+      colRange: Option[(Int, Int)] = None): DecodeSpec = meta match {
     case b: HduMeta.Bintable =>
       val picked = positions.map(b.columns)
       Bintable(picked,
         if (picked.exists(_.tform.isInstanceOf[TForm.VarArr])) b.heapStart
         else -1L)
     case i: HduMeta.Image =>
-      Image(i.elem, i.lineElems, positions)
+      val (lo, n) = window(colRange, i.lineElems)
+      val skipped = (i.lineElems - n).toLong * i.elem.width
+      Image(i.elem, i.lineElems, positions, lo, n,
+        colRange.isDefined && skipped >= IoWindowMinSkip)
     case c: HduMeta.CompImage =>
-      CompImage(c, positions)
+      val (lo, n) = window(colRange, c.lineElems)
+      CompImage(c, positions, lo, n)
     case HduMeta.Opaque =>
       Bintable(Array.empty)
   }

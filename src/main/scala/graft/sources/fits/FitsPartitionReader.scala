@@ -52,7 +52,7 @@ final class FitsPartitionReader(part: FitsInputPartition,
     * column in this projection). */
   private val heapStart: Long = part.spec match {
     case DecodeSpec.Bintable(_, h) => h
-    case DecodeSpec.CompImage(m, _) => m.heapStart
+    case DecodeSpec.CompImage(m, _, _, _) => m.heapStart
     case _ => -1L
   }
 
@@ -240,16 +240,19 @@ final class FitsPartitionReader(part: FitsInputPartition,
             i += 1
           }
           new GenericInternalRow(values)
-        case DecodeSpec.Image(elem, lineElems, fieldKinds) =>
+        case DecodeSpec.Image(elem, _, fieldKinds, colLo, colN, _) =>
+          // this fallback reader always reads full lines; the pushed
+          // column window applies at decode (the strided-IO variant
+          // lives in the vectorized reader, which images normally take)
           val values = new Array[Any](fieldKinds.length)
           var i = 0
           while (i < fieldKinds.length) {
             values(i) =
               if (fieldKinds(i) == 0) {
-                val arr = new Array[Any](lineElems)
+                val arr = new Array[Any](colN)
                 var j = 0
-                while (j < lineElems) {
-                  arr(j) = elem.decode(buf, base + j * elem.width)
+                while (j < colN) {
+                  arr(j) = elem.decode(buf, base + (colLo + j) * elem.width)
                   j += 1
                 }
                 new GenericArrayData(arr)
@@ -257,7 +260,7 @@ final class FitsPartitionReader(part: FitsInputPartition,
             i += 1
           }
           new GenericInternalRow(values)
-        case DecodeSpec.CompImage(m, fieldKinds) =>
+        case DecodeSpec.CompImage(m, fieldKinds, colLo, colN) =>
           // one emitted row = one IMAGE LINE assembled from the cached
           // tile-row band (row tiling is the 1×width special case)
           val line = part.firstRowIndex + emitted
@@ -268,7 +271,7 @@ final class FitsPartitionReader(part: FitsInputPartition,
           var i = 0
           while (i < fieldKinds.length) {
             values(i) =
-              if (fieldKinds(i) == 0) assembleLine(m, rowInBand)
+              if (fieldKinds(i) == 0) assembleLine(m, rowInBand, colLo, colN)
               else java.lang.Long.valueOf(line)
             i += 1
           }
@@ -339,28 +342,38 @@ final class FitsPartitionReader(part: FitsInputPartition,
     compBand = band
   }
 
-  /** One image line from the cached band's tiles (null if any tile of
-    * the band holds no data). */
-  private def assembleLine(m: HduMeta.CompImage, rowInBand: Int): Any = {
+  /** One image line from the cached band's tiles, restricted to the
+    * pushed column window [colLo, colLo+colN) (null if any tile
+    * INTERSECTING the window holds no data; this fallback reader still
+    * decompresses whole bands — tile skipping lives in the vectorized
+    * reader). */
+  private def assembleLine(m: HduMeta.CompImage, rowInBand: Int,
+      colLo: Int, colN: Int): Any = {
+    val colEnd = colLo + colN
     var tc = 0
+    var c0 = 0
     while (tc < compTiles.length) {
-      if (compTiles(tc) == null) return null
+      val tw = math.min(m.tileWidth, m.lineElems - c0)
+      if (compTiles(tc) == null && c0 < colEnd && c0 + tw > colLo)
+        return null
+      c0 += tw
       tc += 1
     }
     val elem = m.elem
-    val arr = new Array[Any](m.lineElems)
+    val arr = new Array[Any](colN)
     if (m.quant.isDefined) {
       val isFloat = elem == ElemType.E
-      var c0 = 0
+      c0 = 0
       tc = 0
       while (tc < compTiles.length) {
         val tw = math.min(m.tileWidth, m.lineElems - c0)
         val srcOff = rowInBand * tw * 4
         val tile = compTiles(tc)
-        var j = 0
-        while (j < tw) {
+        var j = math.max(0, colLo - c0)
+        val jEnd = math.min(tw, colEnd - c0)
+        while (j < jEnd) {
           val code = ElemType.i32(tile, srcOff + j * 4)
-          arr(c0 + j) =
+          arr(c0 + j - colLo) =
             if (compHasBlank(tc) && code.toLong == compBlank(tc)) null
             else if (isFloat)
               java.lang.Float.valueOf(
@@ -373,15 +386,16 @@ final class FitsPartitionReader(part: FitsInputPartition,
       }
     } else {
       val w = elem.width
-      var c0 = 0
+      c0 = 0
       tc = 0
       while (tc < compTiles.length) {
         val tw = math.min(m.tileWidth, m.lineElems - c0)
         val srcOff = rowInBand * tw * w
         val tile = compTiles(tc)
-        var j = 0
-        while (j < tw) {
-          arr(c0 + j) = elem.decode(tile, srcOff + j * w)
+        var j = math.max(0, colLo - c0)
+        val jEnd = math.min(tw, colEnd - c0)
+        while (j < jEnd) {
+          arr(c0 + j - colLo) = elem.decode(tile, srcOff + j * w)
           j += 1
         }
         c0 += tw

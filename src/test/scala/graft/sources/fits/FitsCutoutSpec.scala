@@ -206,6 +206,147 @@ class FitsCutoutSpec extends SparkTestBase {
     assert(none.count() == 0)
   }
 
+  test("2-D cutout: colRange emits only the window, values exact") {
+    val dir = Files.createTempDirectory("fits-cut").toString + "/col"
+    writeImage(dir, nLines = 40)
+    val cut = spark.read.format("fits").option("hdu", 0)
+      .option("colRange", "3:7").load(dir)
+      .filter(col("ImgIndex").between(10, 19))
+    val rows = cut.collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val i = r.getAs[Long]("ImgIndex")
+      val px = r.getAs[scala.collection.Seq[Int]]("Image")
+      assert(px == (3 to 7).map(c => i.toInt * 1000 + c), s"line $i: $px")
+    }
+    // window clamps beyond the line width; empty window → empty arrays
+    val tail = spark.read.format("fits").option("hdu", 0)
+      .option("colRange", "14:99").load(dir)
+      .filter(col("ImgIndex") === 0).collect()
+    assert(tail.head.getAs[scala.collection.Seq[Int]]("Image") == Seq(14, 15))
+    val none = spark.read.format("fits").option("hdu", 0)
+      .option("colRange", "50:99").load(dir)
+      .filter(col("ImgIndex") === 0).collect()
+    assert(none.head.getAs[scala.collection.Seq[Int]]("Image").isEmpty)
+  }
+
+  test("2-D cutout of a WIDE image reads a tiny fraction of the bytes " +
+      "(strided window IO)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fits-cut").toString + "/wide"
+    // 128 lines x 32768 int pixels = 128 KB/line, 16 MB of data
+    val w = 32768
+    (0 until 128).map(r =>
+      (r.toLong, Array.tabulate(w)(c => r * 1000 + c)))
+      .toDF("ImgIndex", "Image")
+      .coalesce(1).write.format("fits").option("image", true)
+      .mode("overwrite").save(dir)
+    def bytesRead: Long = org.apache.hadoop.fs.FileSystem
+      .getGlobalStorageStatistics.get("file").getLong("bytesRead")
+    // yardstick: a full scan reads all ~16 MB
+    val b0 = bytesRead
+    assert(readImage(dir).collect().length == 128)
+    val fullBytes = bytesRead - b0
+    assert(fullBytes > (12L << 20), s"yardstick read only $fullBytes B")
+    // the 100x50 cutout: window bytes per line (400 B) via one pread
+    // per line — the whole query reads ≪ the full lines it touches
+    val b1 = bytesRead
+    val cut = spark.read.format("fits").option("hdu", 0)
+      .option("colRange", "1000:1099").load(dir)
+      .filter(col("ImgIndex").between(10, 59))
+      .collect()
+    val cutBytes = bytesRead - b1
+    assert(cut.length == 50)
+    cut.foreach { r =>
+      val i = r.getAs[Long]("ImgIndex").toInt
+      val px = r.getAs[scala.collection.Seq[Int]]("Image")
+      assert(px.length == 100)
+      assert(px.zipWithIndex.forall { case (v, j) => v == i * 1000 + 1000 + j })
+    }
+    assert(cutBytes < (2L << 20),
+      s"cutout read $cutBytes B vs full $fullBytes B — window IO not engaged")
+  }
+
+  test("2-D cutout on a tile-compressed image: values exact across " +
+      "tile boundaries, window-only output") {
+    val dir = Files.createTempDirectory("fits-cut").toString + "/zcol"
+    // width 16 with 8x8 tiles -> two tile columns; window 6..12 spans both
+    writeImage(dir, nLines = 32,
+      extra = Map("compress" -> "RICE_1", "compresstile" -> "8x8"))
+    val cut = spark.read.format("fits").option("hdu", 1)
+      .option("colRange", "6:12").load(dir)
+      .filter(col("ImgIndex").between(4, 27))
+    val rows = cut.collect()
+    assert(rows.length == 24)
+    rows.foreach { r =>
+      val i = r.getAs[Long]("ImgIndex").toInt
+      assert(r.getAs[scala.collection.Seq[Int]]("Image") == (6 to 12).map(c => i * 1000 + c))
+    }
+    // window inside ONE tile column: the other tile never decodes and
+    // the values still match
+    val one = spark.read.format("fits").option("hdu", 1)
+      .option("colRange", "9:12").load(dir)
+      .filter(col("ImgIndex") === 5).collect()
+    assert(one.head.getAs[scala.collection.Seq[Int]]("Image") == (9 to 12).map(5000 + _))
+  }
+
+  test("colRange on a bintable HDU fails loudly at planning") {
+    val dir = Files.createTempDirectory("fits-cut").toString + "/tblc"
+    writeTable(dir, n = 8)
+    val e = intercept[Exception] {
+      spark.read.format("fits").option("hdu", 1)
+        .option("colRange", "0:3").load(dir).collect()
+    }
+    assert(e.getMessage.contains("colRange"), e.getMessage)
+  }
+
+  test("row (boxed) reader honors the column window: plain + compressed") {
+    val dirP = Files.createTempDirectory("fits-cut").toString + "/boxp"
+    writeImage(dirP, nLines = 12)
+    val resP = FitsResolution(
+      Map("path" -> dirP, "hdu" -> "0", "colrange" -> "3:7"))
+    val hdusP = resP.scanFile(resP.files.head)
+    val metaP = resP.firstMeta
+    val specP = DecodeSpec.of(metaP, Array(0, 1), resP.colRange)
+    val partP = FitsInputPartition(resP.files.head.toString,
+      hdusP(0).bounds.dataStart + 2 * metaP.rowBytes, 5, 2,
+      metaP.rowBytes, 1 << 20, specP)
+    val rp = new FitsPartitionReader(partP)
+    try {
+      var line = 2
+      while (rp.next()) {
+        val row = rp.get()
+        assert(row.getLong(1) == line)
+        assert(row.getArray(0).toIntArray().toSeq ==
+          (3 to 7).map(c => line * 1000 + c))
+        line += 1
+      }
+      assert(line == 7)
+    } finally rp.close()
+    val dirC = Files.createTempDirectory("fits-cut").toString + "/boxc"
+    writeImage(dirC, nLines = 16,
+      extra = Map("compress" -> "RICE_1", "compresstile" -> "8x8"))
+    val resC = FitsResolution(
+      Map("path" -> dirC, "hdu" -> "1", "colrange" -> "6:12"))
+    val hdusC = resC.scanFile(resC.files.head)
+    val metaC = resC.firstMeta
+    val specC = DecodeSpec.of(metaC, Array(0, 1), resC.colRange)
+    val partC = FitsInputPartition(resC.files.head.toString,
+      hdusC(1).bounds.dataStart, 16, 0, metaC.rowBytes, 1 << 20, specC)
+    val rc = new FitsPartitionReader(partC)
+    try {
+      var line = 0
+      while (rc.next()) {
+        val row = rc.get()
+        assert(row.getLong(1) == line)
+        assert(row.getArray(0).toIntArray().toSeq ==
+          (6 to 12).map(c => line * 1000 + c))
+        line += 1
+      }
+      assert(line == 16)
+    } finally rc.close()
+  }
+
   test("a data column named _row_index shadows the clamp (data semantics)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("fits-cut").toString + "/shadow"

@@ -76,6 +76,17 @@ CHECKS = {
                       ELSE 0 END AS BIGINT)), ',') AS px_csv
         FROM d WHERE img_line BETWEEN 100 AND 299
         ORDER BY img_line""", None),
+    "q39_fits_cutout2d": ("full", """
+        WITH d AS (
+          SELECT doc_id, substr(text, 1, 100) AS t,
+                 row_number() OVER (ORDER BY doc_id) - 1 AS img_line
+          FROM documents WHERE doc_id < 1000000)
+        SELECT img_line,
+          array_to_string(list_transform(range(1, 101),
+            j -> CAST(CASE WHEN j <= len(t) THEN ord(substr(t, j, 1))
+                      ELSE 0 END AS BIGINT)), ',') AS px_csv
+        FROM d WHERE img_line BETWEEN 100 AND 299
+        ORDER BY img_line""", None),
     "sim_ivf_recall": ("full", """
         SELECT vec_id AS q_id FROM embeddings
         WHERE vec_id < 5 ORDER BY q_id""", None),
