@@ -111,7 +111,8 @@ object Streaming {
 
   private val sinkTableNames = Seq(
     "stream_hour_counts_tbl", "stream_sliding_tbl", "stream_sessions_tbl",
-    "stream_state_sessions_tbl", "stream_append_tbl", "stream_dedup_tbl",
+    "stream_state_sessions_tbl", "stream_state_sessions_bounded_tbl",
+    "stream_append_tbl", "stream_dedup_tbl",
     "stream_dedup_bounded_tbl", "stream_decontam_tbl", "stream_joined_tbl",
     "stream_funnel_tbl", "stream_fits_ingest_tbl")
 
@@ -283,6 +284,77 @@ object Streaming {
       .orderBy(col("user_id"))
   }
 
+  /** Bounded-state form of [[stream_state_sessions]] (r16 verdict ask
+    * #6): same session counting, but the state machine registers an
+    * EventTimeTimeout two hours past each user's last event — when the
+    * watermark passes it, the timeout fires, the user's final count is
+    * emitted once more and the state row is REMOVED. On a true stream
+    * the keyspace no longer grows with all-time users, only with users
+    * active inside the idle horizon; a returning user re-admits with a
+    * fresh count (semantics change vs the unbounded key, which is why
+    * this is its own key, not a swap). Eviction + re-admission across
+    * AvailableNow restarts are proven in StreamingSpec. The declared
+    * replay ingests one micro-batch — no watermark passes mid-replay,
+    * so the oracle is the unbounded key's. */
+  val stream_state_sessions_bounded: Q = (s, dir) => {
+    val counted = boundedSessionCounts(s,
+      eventsStream(s, dir).withWatermark("ts", "2 hours"))
+    // AvailableNow runs a final batch after the watermark commits, so
+    // evicting users re-emit their settled count — an update-mode
+    // memory sink APPENDS updates, and the reader compacts to the
+    // latest value per key (counts are monotone within a replay, so
+    // max = latest), exactly what an upsert sink does natively
+    runToTable(s, counted, "stream_state_sessions_bounded_tbl", "update")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_sessions")).as("n_sessions"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The bounded session state machine on a watermarked (user_id, ts)
+    * stream — shared by the declared key and the StreamingSpec
+    * eviction/re-admission restart proof (so the proof gates the SAME
+    * transform the key runs, not a test-local copy). */
+  private[operators] def boundedSessionCounts(s: SparkSession,
+      events: DataFrame): DataFrame = {
+    import s.implicits._
+    val gapMicros = 30L * 60 * 1000 * 1000
+    val idleMs = 2L * 60 * 60 * 1000
+    // the watermark-tagged ts column must REACH the stateful operator
+    // (Spark's checker rejects event-time timeout otherwise), so it
+    // rides alongside the µs value the gap logic uses
+    val typed = events
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+    typed
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (Long, Long)](
+        GroupStateTimeout.EventTimeTimeout) {
+        case (user, events, state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            // idle horizon passed: emit the settled count, drop the row
+            val finalCount = state.get._1
+            state.remove()
+            (user, finalCount)
+          } else {
+            val sorted = events.map(_._3).toArray.sorted
+            var (sessions, last) =
+              state.getOption.getOrElse((0L, Long.MinValue))
+            sorted.foreach { t =>
+              if (last == Long.MinValue || t - last > gapMicros) sessions += 1
+              last = t
+            }
+            state.update((sessions, last))
+            // evict when the watermark passes last-event + idle horizon
+            // (clamped above the current watermark: late straggler
+            // batches must update state, not crash the query)
+            state.setTimeoutTimestamp(math.max(last / 1000 + idleMs,
+              state.getCurrentWatermarkMs() + 1))
+            (user, sessions)
+          }
+      }
+      .toDF("user_id", "n_sessions")
+  }
+
   /** Stream–static join: documents arrive as a micro-batch stream and
     * are decontamination-checked against a STATIC benchmark suite
     * (doc_id ≡ 0 mod 97 of the same corpus, matching
@@ -392,6 +464,7 @@ object Streaming {
     "stream_sliding" -> stream_sliding,
     "stream_sessions" -> stream_sessions,
     "stream_state_sessions" -> stream_state_sessions,
+    "stream_state_sessions_bounded" -> stream_state_sessions_bounded,
     "stream_append" -> stream_append,
     "stream_dedup" -> stream_dedup,
     "stream_dedup_bounded" -> stream_dedup_bounded,
@@ -477,6 +550,13 @@ object Streaming {
       // CAST: DuckDB's windowed SUM over integers is HUGEINT (int128);
       // the engine emits BIGINT, and the driver's hash compare includes
       // the result type — cast so both sides are canonically BIGINT.
+      (sessionIslands +
+        """
+          |SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions
+          |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin),
+    // single-batch replay: no watermark passes mid-replay, so the
+    // bounded state machine settles to the unbounded key's result
+    "stream_state_sessions_bounded" ->
       (sessionIslands +
         """
           |SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions

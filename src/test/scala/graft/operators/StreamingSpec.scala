@@ -182,6 +182,79 @@ class StreamingSpec extends SparkTestBase {
     assert(emitted.sorted.toList == List("a", "a", "b", "x"))
   }
 
+  test("bounded sessions equal the unbounded state machine on the replay") {
+    val bounded = Streaming.stream_state_sessions_bounded(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val unbounded = Streaming.stream_state_sessions(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(bounded.toSeq == unbounded.toSeq)
+  }
+
+  test("bounded sessions: idle-user state EVICTS and a returning user " +
+      "RE-ADMITS across AvailableNow restarts") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val src = java.nio.file.Files.createTempDirectory("bss-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bss-ckpt").toString
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def write(rows: Seq[(Long, Int)]): Unit = // (user, minutesFromBase)
+      rows.map { case (u, m) =>
+        (u, java.sql.Timestamp.from(base.plusSeconds(m * 60L)))
+      }.toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(src)
+
+    val emitted = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var lastStateRows = -1L
+    def runOnce(): Unit = {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType)))
+      val counts = Streaming.boundedSessionCounts(spark,
+        spark.readStream.schema(schema).parquet(src)
+          .withWatermark("ts", "2 hours"))
+      val q = counts.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+          emitted.synchronized { emitted ++= rows }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      lastStateRows = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsTotal))
+        .lastOption.getOrElse(-1L)
+    }
+
+    // run 1: user 1 with a 30-min-gap rule → 2 sessions (00:00 block,
+    // then 01:00 after a 45-min gap); user 2 one session
+    write(Seq((1L, 0), (1L, 15), (1L, 60), (2L, 0)))
+    runOnce()
+    assert(emitted.toSet == Set((1L, 2L), (2L, 1L)), emitted)
+    assert(lastStateRows == 2L, s"state rows: $lastStateRows")
+
+    // run 2 (same checkpoint): user 3 at 08:00 → watermark 06:00, far
+    // past both users' idle horizon (last event + 2 h ≤ 03:00) → their
+    // state rows EVICT (timeout fires, final counts re-emitted once)
+    emitted.clear()
+    write(Seq((3L, 480)))
+    runOnce()
+    assert(emitted.toSet == Set((1L, 2L), (2L, 1L), (3L, 1L)), emitted)
+    assert(lastStateRows == 1L,
+      s"idle users must leave the store, got $lastStateRows rows")
+
+    // run 3: user 1 returns at 09:00 — old state is gone, so the count
+    // RESTARTS at 1 (the bounded-state contract: per-key state lives
+    // only inside the idle horizon, not forever)
+    emitted.clear()
+    write(Seq((1L, 540)))
+    runOnce()
+    assert(emitted.toSet == Set((1L, 1L)), emitted)
+  }
+
   test("streaming ingest dedup equals batch distinct-text set") {
     val streamed = Streaming.stream_dedup(spark, sf0001)
       .collect().map(_.getString(0))
