@@ -322,7 +322,19 @@ object Bench {
       loadTrace.foreach { case (t, l) => acc += l * (t - prev); prev = t }
       if (prev > runStartWall) acc / (prev - runStartWall) else loadPre
     }
-    val extLoad = if (ownConc < 0) -1.0 else math.max(0.0, loadMean - ownConc)
+    // the 1-min load EWMA carries a decaying ghost of whatever ran
+    // BEFORE the bench (back-to-back canary runs routinely start at
+    // load_pre 5-9 on an idle box); its time-weighted mean over the
+    // run is loadPre · (60/T)(1 − e^(−T/60)) and must not read as
+    // co-load — subtract it, so ext_load estimates only work that ran
+    // DURING the bench and was not this process
+    val runSec = runWallNs / 1e9
+    val preGhost =
+      if (runSec <= 0) loadPre
+      else loadPre * (60.0 / runSec) * (1 - math.exp(-runSec / 60.0))
+    val extLoad =
+      if (ownConc < 0) -1.0
+      else math.max(0.0, loadMean - ownConc - preGhost)
     val extLoadBar = math.max(2.0, machineCpus * 0.125)
     val degraded = loadPre > machineCpus * 0.25 ||
       loadMax > machineCpus * 1.25 || extLoad > extLoadBar ||

@@ -500,6 +500,10 @@ object Multimodal {
     * ~577 bytes) still take exactly one encode, byte-identical to r14. */
   val JpegMaxWidth: Int = 60000
 
+  /** JPEG variant of the image-feature pass: deterministic grayscale
+    * JPEG payloads built from each doc's bytes, decoded with the real
+    * codec, and reduced to the same feature row as [[mm_features]] —
+    * binary column in, typed feature struct out. */
   val mm_jpeg_features: Q = (s, dir) => {
     import s.implicits._
     Tables.load(s, dir, "documents")

@@ -297,8 +297,13 @@ object Streaming {
     * replay ingests one micro-batch — no watermark passes mid-replay,
     * so the oracle is the unbounded key's. */
   val stream_state_sessions_bounded: Q = (s, dir) => {
+    // oneBatch: the oracle equivalence REQUIRES a single-micro-batch
+    // replay (eviction mid-replay would make max()-compaction
+    // undercount a re-admitted user) — enforce it like stream_joined
+    // does instead of relying on the file count staying under the
+    // source's default chunking
     val counted = boundedSessionCounts(s,
-      eventsStream(s, dir).withWatermark("ts", "2 hours"))
+      eventsStream(s, dir, oneBatch = true).withWatermark("ts", "2 hours"))
     // AvailableNow runs a final batch after the watermark commits, so
     // evicting users re-emit their settled count — an update-mode
     // memory sink APPENDS updates, and the reader compacts to the

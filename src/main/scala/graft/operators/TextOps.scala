@@ -345,6 +345,10 @@ object TextOps {
         col("cnt"))
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** Chunk-level exact dedup over [[pipeline_chunk]]'s output: chunks
+    * group by content hash and only one survivor per hash keeps its
+    * (doc_id, chunk_id) identity — dedup at the unit that actually
+    * enters training, not the whole document. */
   val pipeline_chunk_dedup: Q = (s, dir) => {
     val w = s.conf.getOption("spark.graft.chunk.words").map(_.toInt)
       .getOrElse(64)
@@ -391,6 +395,10 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Repetition diagnostics per document — repeated-line and
+    * repeated-n-gram mass ratios, the standard boilerplate/spam signal
+    * a corpus-quality pass filters on (see [[repetitionStats]] for the
+    * exact measures and their map-only plan). */
   val text_repetition: Q = (s, dir) => repetitionStats(docs(s, dir))
 
   // PII patterns — identical semantics under Java regex (Spark) and

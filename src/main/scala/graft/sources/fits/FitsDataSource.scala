@@ -854,7 +854,11 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
     // bytes, recorded for tests/telemetry and logged whenever a
     // runtime run list actually clamped the scan
     val plannedBytes = out.iterator.collect {
-      case p: FitsInputPartition => p.numRows * p.rowBytes
+      case p: FitsInputPartition => p.numRows * (p.spec match {
+        // strided-window image IO moves only the window's bytes
+        case img: DecodeSpec.Image if img.ioWindow => img.windowBytes.toLong
+        case _ => p.rowBytes.toLong
+      })
     }.sum
     lastPlanSummary = Some((plannedBytes, totalBytes))
     if (runtimeRuns.nonEmpty)
@@ -913,7 +917,8 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
         val runs: Vector[(Long, Long)] = runsFor(meta) match {
           case None => if (c.nLines > 0) Vector((0L, c.nLines - 1)) else Vector.empty
           case Some(rs) => RowRuns.coalesce(rs.flatMap { case (lo, hi) =>
-            if (hi < math.max(0L, lo) || c.nLines == 0) None
+            if (hi < math.max(0L, lo) || c.nLines == 0 ||
+              math.max(0L, lo) >= c.nLines) None
             else {
               val s = math.min(c.nLines - 1, math.max(0L, lo) / c.tileH * c.tileH)
               val e = math.min(c.nLines - 1, (hi / c.tileH + 1) * c.tileH - 1)
@@ -1160,8 +1165,12 @@ object DecodeSpec {
     case i: HduMeta.Image =>
       val (lo, n) = window(colRange, i.lineElems)
       val skipped = (i.lineElems - n).toLong * i.elem.width
+      // n == 0 (window entirely past the line) must NOT engage strided
+      // IO: winOffBytes would point at the line END and the 1-byte
+      // pread of the last line can EOF on a padding-free HDU — the
+      // full-line path decodes nothing and is already correct
       Image(i.elem, i.lineElems, positions, lo, n,
-        colRange.isDefined && skipped >= IoWindowMinSkip)
+        colRange.isDefined && n > 0 && skipped >= IoWindowMinSkip)
     case c: HduMeta.CompImage =>
       val (lo, n) = window(colRange, c.lineElems)
       CompImage(c, positions, lo, n)

@@ -113,6 +113,34 @@ class FitsCutoutSpec extends SparkTestBase {
     }
   }
 
+  test("compressed image: range entirely beyond the image plans ZERO " +
+      "partitions (no spurious last band)") {
+    val dir = Files.createTempDirectory("fits-cut").toString + "/fzend"
+    writeImage(dir, nLines = 32,
+      extra = Map("compress" -> "RICE_1", "compresstile" -> "8x8"))
+    val none = readImage(dir, hdu = 1).filter(col("ImgIndex") > 100)
+    assert(none.rdd.getNumPartitions == 0, none.rdd.getNumPartitions)
+    assert(none.count() == 0)
+  }
+
+  test("2-D cutout: entirely out-of-range colRange on a WIDE image " +
+      "returns empty arrays, never strided reads past EOF") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fits-cut").toString + "/wideoor"
+    // 16384 int pixels = 64 KB/line (past the 32 KB strided-IO bar if
+    // it were wrongly engaged); window starts exactly at lineElems
+    val w = 16384
+    (0 until 8).map(r => (r.toLong, Array.tabulate(w)(c => r + c)))
+      .toDF("ImgIndex", "Image")
+      .coalesce(1).write.format("fits").option("image", true)
+      .mode("overwrite").save(dir)
+    val rows = spark.read.format("fits").option("hdu", 0)
+      .option("colRange", s"$w:${w + 99}").load(dir).collect()
+    assert(rows.length == 8)
+    rows.foreach(r =>
+      assert(r.getAs[scala.collection.Seq[Int]]("Image").isEmpty))
+  }
+
   test("user-renamed index column still prunes (positional binding)") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("fits-cut").toString + "/ren"
