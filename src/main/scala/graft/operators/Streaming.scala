@@ -89,6 +89,13 @@ object Streaming {
     * inherit the relational default of 32. Conf mutation is visible
     * session-wide while `f` runs; the declared queries execute
     * sequentially (Bench/Verify), so this is safe there. */
+  /** Every stateful key here runs under `withShufflePartitions(s, 8)`:
+    * at the declared scale factors the state is KB-to-MB sized, and 32
+    * state partitions pay 4 HDFSBackedStateStore maintenance cycles
+    * per partition per batch for stores that hold almost nothing —
+    * measured 40-55% of several keys' wall time (2.5 s → 1.2 s class).
+    * A production deployment sizes this to its state volume instead;
+    * the number is a per-query tuning knob, not an engine constant. */
   private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val old = s.conf.get(key)
@@ -158,7 +165,7 @@ object Streaming {
   }
 
   /** Tumbling 1-hour windows × event_type with a 1-hour watermark. */
-  val stream_hour_counts: Q = (s, dir) => {
+  val stream_hour_counts: Q = (s, dir) => withShufflePartitions(s, 8) {
     val agg = eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -171,7 +178,7 @@ object Streaming {
 
   /** Sliding 1-hour windows every 30 minutes (each event lands in
     * exactly two windows). */
-  val stream_sliding: Q = (s, dir) => {
+  val stream_sliding: Q = (s, dir) => withShufflePartitions(s, 8) {
     val agg = eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
@@ -183,7 +190,7 @@ object Streaming {
   }
 
   /** Session windows (30-minute gap) per user. */
-  val stream_sessions: Q = (s, dir) => {
+  val stream_sessions: Q = (s, dir) => withShufflePartitions(s, 8) {
     val agg = eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -205,7 +212,7 @@ object Streaming {
     * after it are (deterministically) withheld — mirrored in the
     * oracle's HAVING clause. Cross-restart eviction is proven in
     * StreamingSpec ("append mode ... across restarts"). */
-  val stream_append: Q = (s, dir) => {
+  val stream_append: Q = (s, dir) => withShufflePartitions(s, 8) {
     val agg = eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -230,7 +237,7 @@ object Streaming {
     * same plan runs as `dropDuplicatesWithinWatermark` so state expires
     * with the watermark; the replay here is bounded, like the other
     * AvailableNow queries. */
-  val stream_dedup: Q = (s, dir) => {
+  val stream_dedup: Q = (s, dir) => withShufflePartitions(s, 8) {
     val docs = streamTable(s, dir, "documents", documentsSchema)
     val distinct = docs.dropDuplicates("text").select(col("text"))
     runToTable(s, distinct, "stream_dedup_tbl", "append")
@@ -247,7 +254,7 @@ object Streaming {
     * state expires mid-replay and the result equals DISTINCT — which
     * is what makes this oracle-checkable; cross-restart expiry and
     * re-admission are proven in StreamingSpec. */
-  val stream_dedup_bounded: Q = (s, dir) => {
+  val stream_dedup_bounded: Q = (s, dir) => withShufflePartitions(s, 8) {
     val dd = eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
@@ -258,7 +265,7 @@ object Streaming {
 
   /** Custom state machine via mapGroupsWithState: per-user session
     * count with a 30-minute gap rule. */
-  val stream_state_sessions: Q = (s, dir) => {
+  val stream_state_sessions: Q = (s, dir) => withShufflePartitions(s, 8) {
     import s.implicits._
     val gapMicros = 30L * 60 * 1000 * 1000
     val typed = eventsStream(s, dir)
@@ -296,7 +303,8 @@ object Streaming {
     * AvailableNow restarts are proven in StreamingSpec. The declared
     * replay ingests one micro-batch — no watermark passes mid-replay,
     * so the oracle is the unbounded key's. */
-  val stream_state_sessions_bounded: Q = (s, dir) => {
+  val stream_state_sessions_bounded: Q = (s, dir) =>
+    withShufflePartitions(s, 8) {
     // oneBatch: the oracle equivalence REQUIRES a single-micro-batch
     // replay (eviction mid-replay would make max()-compaction
     // undercount a re-admitted user) — enforce it like stream_joined
@@ -369,7 +377,7 @@ object Streaming {
     * and broadcast, so the unbounded stream side never shuffles for
     * the match; state is the (doc, bench) pair counts only. Shares the
     * batch key's oracle. */
-  val stream_decontam: Q = (s, dir) => {
+  val stream_decontam: Q = (s, dir) => withShufflePartitions(s, 8) {
     val bench = graft.Tables.load(s, dir, "documents")
       .filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("bench_id"),
