@@ -966,6 +966,38 @@ object Relational {
       .orderBy(col("img_line"))
   }
 
+  /** Driver-checked key for TDIM multi-dimensional table columns
+    * (FITS 4.0 §7.3.2, beyond reference): each doc's first 6 text
+    * bytes become a 2×3 nested matrix, written through the FITS writer
+    * (which flattens first-axis-fastest and emits `TDIM='(3,2)'`),
+    * read back through the scan's Md decode (which reshapes), and
+    * value-verified — shape from size() of the read-back nesting,
+    * content from flatten() — against DuckDB replaying the same bytes
+    * from parquet. A broken axis order, a dropped TDIM card, or a
+    * flat-vector regression all change the hash. */
+  val q40_fits_tdim: Q = (s, dir) => {
+    val idx = (i: Int, j: Int) => lit(i * 3 + j + 1)
+    val cell = (i: Int, j: Int) =>
+      when(length(col("text")) >= idx(i, j),
+        ascii(col("text").substr(idx(i, j), lit(1)))).otherwise(0)
+        .cast("long")
+    val src = t(s, dir, "documents")
+      .filter(col("doc_id") < 1000000L)
+      .select(col("doc_id"),
+        array(
+          array(cell(0, 0), cell(0, 1), cell(0, 2)),
+          array(cell(1, 0), cell(1, 1), cell(1, 2))).as("mat"))
+    val out = fitsScratch(s, dir, "q40")
+    src.write.format("fits").mode("overwrite").save(out)
+    s.read.format("fits").option("hdu", 1).load(out)
+      .select(col("doc_id"),
+        size(col("mat")).as("d2"),
+        size(element_at(col("mat"), 1)).as("d1"),
+        array_join(flatten(col("mat")).cast("array<string>"), ",")
+          .as("mat_csv"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Driver-checked key for the runtime-filtering surface (r16,
     * `SupportsRuntimeFiltering`): a bounded `documents` slice written
     * to FITS as ONE sorted partition (so `_row_index` = dense rank of
@@ -1116,6 +1148,7 @@ object Relational {
     "q37_fits_rtjoin" -> q37_fits_rtjoin,
     "q38_fits_extent" -> q38_fits_extent,
     "q39_fits_cutout2d" -> q39_fits_cutout2d,
+    "q40_fits_tdim" -> q40_fits_tdim,
   )
 
   /** DuckDB-compatible oracle SQL. Keys mirror `queries`; column aliases
@@ -1172,6 +1205,13 @@ object Relational {
         |              ELSE 0 END AS BIGINT)), ',') AS px_csv
         |FROM d WHERE img_line BETWEEN 100 AND 299
         |ORDER BY img_line""".stripMargin,
+    "q40_fits_tdim" ->
+      """SELECT doc_id, CAST(2 AS INT) AS d2, CAST(3 AS INT) AS d1,
+        |  array_to_string(list_transform(range(1, 7),
+        |    j -> CAST(CASE WHEN j <= len(text) THEN ord(substr(text, j, 1))
+        |              ELSE 0 END AS BIGINT)), ',') AS mat_csv
+        |FROM documents WHERE doc_id < 1000000
+        |ORDER BY doc_id""".stripMargin,
     "q35_fits_cutout" ->
       """WITH d AS (
         |  SELECT doc_id, substr(text, 1, 636) AS t,

@@ -1219,7 +1219,12 @@ final class FitsPartitionReaderFactory(confProps: Array[(String, String)])
       // strings, fixed vectors, scaled, ASCII text, TNULL scalars AND
       // vectors, bit fields, and var-length columns (through the
       // coalesced heap window, strings byte-exact via putByteArray)
-      case DecodeSpec.Bintable(cols, _) => cols.nonEmpty
+      // TDIM (nested-array) columns take the boxed row path: nested
+      // ArrayData assembly has no vectorized fill, and multi-dim
+      // columns are rare enough that per-scan fallback is the right
+      // trade
+      case DecodeSpec.Bintable(cols, _) =>
+        cols.nonEmpty && !cols.exists(_.tform.isInstanceOf[TForm.Md])
       case _: DecodeSpec.Image => true
       // tiles decompress per row, then fill vectors directly — the
       // boxed Seq[Row] path cost ~3× on wide compressed images

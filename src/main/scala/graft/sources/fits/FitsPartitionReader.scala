@@ -101,6 +101,11 @@ final class FitsPartitionReader(part: FitsInputPartition,
         (b, base) => a.decode(b, base + off)
       case a: TForm.AsciiReal =>
         (b, base) => a.decode(b, base + off)
+      case m: TForm.Md =>
+        // nested levels are already GenericArrayData (TForm.Md.nest);
+        // only the outermost array needs the catalyst wrapper here
+        (b, base) => new GenericArrayData(
+          m.decode(b, base + off).asInstanceOf[Array[Any]])
       case wn: TForm.WithNull if wn.inner.isInstanceOf[TForm.Vec] =>
         (b, base) => new GenericArrayData(
           wn.decode(b, base + off).asInstanceOf[Array[Any]])

@@ -81,7 +81,7 @@ object FitsWriteSupport {
     * every row agrees with the first, var-length (P/Q + heap) when
     * ragged; decided at commit. */
   final case class ColSpec(code: Char, elemWidth: Int, isArray: Boolean,
-      elemType: DataType)
+      elemType: DataType, nestDepth: Int = 0)
 
   def elemOf(dt: DataType): ColSpec = dt match {
     case BooleanType => ColSpec('L', 1, isArray = false, dt)
@@ -94,15 +94,17 @@ object FitsWriteSupport {
     case StringType => ColSpec('A', -1, isArray = false, dt)
     case ArrayType(et, _) =>
       val inner = elemOf(et)
-      if (inner.isArray || inner.code == 'A')
+      if (inner.code == 'A')
         throw new IllegalArgumentException(
           s"FITS write supports arrays of fixed-width scalars only, " +
             s"got array<${et.simpleString}>")
-      inner.copy(isArray = true)
+      // nested arrays are the TDIM multi-dim convention: flattened
+      // first-axis-fastest into one fixed repeat, shape in TDIMn
+      inner.copy(isArray = true, nestDepth = inner.nestDepth + 1)
     case other => throw new IllegalArgumentException(
       s"FITS write does not support column type ${other.simpleString} — " +
         "supported: boolean, byte, short, int, long, float, double, string, " +
-        "array of those scalars (fixed length per column)")
+        "array (or nested array, written with TDIM) of those scalars")
   }
 
   def validate(schema: StructType): Unit = schema.fields.foreach(f => elemOf(f.dataType))
@@ -125,6 +127,9 @@ object FitsWriteSupport {
       "image write allows at most one integral line-index column " +
         s"besides the image array, got ${schema.simpleString}")
     val spec = elemOf(schema.fields(arrays.head).dataType)
+    require(spec.nestDepth <= 1,
+      "image write takes a FLAT numeric array per line; nested (TDIM) " +
+        s"arrays are table-only — got ${schema.simpleString}")
     require(spec.code != 'L' && spec.code != 'A',
       s"FITS images hold numeric pixels; column " +
         s"'${schema.fields(arrays.head).name}' has element code ${spec.code}")
@@ -335,6 +340,10 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
   private val ragged: Array[Boolean] = new Array[Boolean](fields.length)
   private val maxRepeat: Array[Int] = new Array[Int](fields.length)
   private val colPayload: Array[Long] = new Array[Long](fields.length)
+  // nested (TDIM) columns: the first row's shape in FITS axis order
+  // (first axis fastest = innermost Spark level); every later row must
+  // match exactly — multi-dim columns are rectangular by definition
+  private val mdDims: Array[Array[Int]] = new Array(fields.length)
   private var nRows = 0L
 
   /** Var-length string threshold: a column whose fixed `nA` form would
@@ -516,6 +525,49 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
       Seq(card("BLANK", sentinel.toString))
     }
 
+  /** Shape of a nested array in FITS TDIM axis order (first axis
+    * fastest): depth-first innermost length first, outer last; every
+    * sibling at each level must agree (rectangularity). */
+  private def mdShape(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      at: ArrayType, name: String): Array[Int] = at.elementType match {
+    case inner: ArrayType =>
+      val outer = arr.numElements()
+      if (outer == 0) throw new IllegalArgumentException(
+        s"FITS multi-dim column '$name' cannot hold an empty outer array")
+      var shape: Array[Int] = null
+      var j = 0
+      while (j < outer) {
+        if (arr.isNullAt(j)) throw new IllegalArgumentException(
+          s"null inner array in multi-dim column '$name'")
+        val sj = mdShape(arr.getArray(j), inner, name)
+        if (shape == null) shape = sj
+        else if (!java.util.Arrays.equals(shape, sj))
+          throw new IllegalArgumentException(
+            s"ragged inner arrays in multi-dim column '$name'")
+        j += 1
+      }
+      shape :+ outer
+    case _ => Array(arr.numElements())
+  }
+
+  /** Spills a nested array's scalars first-axis-fastest (row-major in
+    * FITS terms) — the exact order TForm.Md.nest reassembles. */
+  private def flatWrite(i: Int,
+      arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      at: ArrayType): Unit = at.elementType match {
+    case inner: ArrayType =>
+      var j = 0
+      val n = arr.numElements()
+      while (j < n) { flatWrite(i, arr.getArray(j), inner); j += 1 }
+    case et =>
+      var j = 0
+      val n = arr.numElements()
+      while (j < n) {
+        writeScalar(i, et, nul = arr.isNullAt(j), arr.get(j, et))
+        j += 1
+      }
+  }
+
   private def writeTableRow(row: InternalRow): Unit = {
     var i = 0
     while (i < fields.length) {
@@ -534,22 +586,38 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
             spill.writeInt(len)
             s.writeTo(spill)
           }
-        case ArrayType(et, _) =>
+        case at @ ArrayType(et, _) =>
           if (nul) throw new IllegalArgumentException(
             s"null array in column '${fields(i).name}' — FITS arrays have " +
               "no null representation (write an empty array instead)")
           val arr = row.getArray(i)
-          val n = arr.numElements()
+          val n =
+            if (spec.nestDepth <= 1) arr.numElements()
+            else {
+              // nested (TDIM) column: constant rectangular shape, flat
+              // count = product; elements spill first-axis-fastest
+              val dims = mdShape(arr, at, fields(i).name)
+              if (mdDims(i) == null) mdDims(i) = dims
+              else if (!java.util.Arrays.equals(mdDims(i), dims))
+                throw new IllegalArgumentException(
+                  s"FITS multi-dim column '${fields(i).name}' must keep " +
+                    s"one rectangular shape: row $nRows has " +
+                    s"(${dims.mkString(",")}), first row " +
+                    s"(${mdDims(i).mkString(",")})")
+              dims.product
+            }
           if (repeat(i) == -1) repeat(i) = n
           else if (repeat(i) != n) ragged(i) = true
           if (n > maxRepeat(i)) maxRepeat(i) = n
           colPayload(i) += n.toLong * spec.elemWidth
           spill.writeInt(n) // length prefix; fixed-vs-var decided at commit
-          var j = 0
-          while (j < n) {
-            writeScalar(i, et, nul = arr.isNullAt(j), arr.get(j, et))
-            j += 1
-          }
+          if (spec.nestDepth <= 1) {
+            var j = 0
+            while (j < n) {
+              writeScalar(i, et, nul = arr.isNullAt(j), arr.get(j, et))
+              j += 1
+            }
+          } else flatWrite(i, arr, at)
         case dt => writeScalar(i, dt, nul, row.get(i, dt))
       }
       i += 1
@@ -981,8 +1049,14 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
               "shift the data or drop the nulls")
           else if (spec.isArray && ragged(i)) Nil // var-col TNULL undefined
           else Seq(card(s"TNULL${i + 1}", sentinelOf(spec.code).toString))
+        val tdim =
+          if (spec.isArray && spec.nestDepth >= 2 && !ragged(i) &&
+            mdDims(i) != null)
+            Seq(card(s"TDIM${i + 1}",
+              quoted("(" + mdDims(i).mkString(",") + ")")))
+          else Nil
         Seq(card(s"TTYPE${i + 1}", quoted(f.name)),
-          card(s"TFORM${i + 1}", quoted(tform))) ++ tnull
+          card(s"TFORM${i + 1}", quoted(tform))) ++ tnull ++ tdim
       }
       val primaryCards = Seq(card("SIMPLE", "T"), card("BITPIX", "8"),
         card("NAXIS", "0"))

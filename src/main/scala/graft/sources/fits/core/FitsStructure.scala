@@ -326,9 +326,20 @@ object FitsStructure {
           h.doubleOr(s"TSCAL$i", 1.0), h.doubleOr(s"TZERO$i", 0.0)),
         h.values.get(s"TNULL$i")
           .flatMap(v => scala.util.Try(v.trim.toLong).toOption))
+      // TDIMn (multi-dim convention, beyond reference): applies when
+      // the column is a fixed-width vector whose repeat equals the
+      // dims' product and ≥2 axes are declared; anything else (1-D
+      // TDIM, product mismatch, strings, var-length, bits) keeps the
+      // flat shape — TDIM is presentation, never layout, so the
+      // fallback is always safe
+      val shaped = h.values.get(s"TDIM$i").flatMap(TForm.parseTDim) match {
+        case Some(ds) if ds.length >= 2 &&
+          TForm.flatLen(tform).contains(ds.product) => TForm.Md(tform, ds)
+        case _ => tform
+      }
       val name = h.values.getOrElse(s"TTYPE$i", s"col$i").trim
-      cols += BintableColumn(name, tform, offset)
-      offset += tform.byteWidth
+      cols += BintableColumn(name, shaped, offset)
+      offset += shaped.byteWidth
       i += 1
     }
     HduMeta.Bintable(rowBytes, nRows, cols.result())

@@ -220,6 +220,57 @@ object TForm {
     }
   }
 
+  /** TDIMn = '(d1,d2,…)' — the FITS multi-dimensional array convention
+    * (FITS 4.0 §7.3.2, beyond reference: it ignores TDIM): a fixed
+    * repeat-count column whose `d1·d2·…` elements form a d1×d2×…
+    * array, FIRST axis varying fastest. Spark shape: nested ArrayType,
+    * innermost run length d1 (so `TDIM='(3,2)'` reads as
+    * `array<array<T>>` with 2 outer rows of 3). Wraps any fixed-width
+    * vector form (plain, TSCAL/TZERO-scaled, TNULL-bearing) — `inner`
+    * must decode to a flat Array[Any] and type as a one-level array. */
+  final case class Md(inner: TForm, dims: Seq[Int]) extends TForm {
+    def raw: String = inner.raw
+    def byteWidth: Int = inner.byteWidth
+    private def elemT: DataType =
+      inner.sparkType.asInstanceOf[ArrayType].elementType
+    def sparkType: DataType = dims.tail.foldLeft(
+      ArrayType(elemT, containsNull = true): DataType)(
+      (t, _) => ArrayType(t, containsNull = true))
+    def decode(b: Array[Byte], off: Int): Any =
+      nest(inner.decode(b, off).asInstanceOf[Array[Any]], dims.toList)
+    private def nest(flat: Array[Any], ds: List[Int]): Array[Any] =
+      ds match {
+        case Nil => flat
+        case _ :: Nil => flat
+        case d1 :: rest =>
+          nest(flat.grouped(d1).map(g =>
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(g): Any)
+            .toArray, rest)
+      }
+  }
+
+  /** Flat element count of a fixed-width vector form (None = not a
+    * shape TDIM can apply to). */
+  def flatLen(t: TForm): Option[Int] = t match {
+    case Vec(_, _, n) => Some(n)
+    case Scaled(inner, _, _) => flatLen(inner)
+    case WithNull(inner, _) => flatLen(inner)
+    case _ => None
+  }
+
+  /** Parses a TDIM value `(d1,d2,…)`; None on any malformed shape. */
+  def parseTDim(v: String): Option[Seq[Int]] = {
+    val s = v.trim.stripPrefix("'").stripSuffix("'").trim
+    if (!s.startsWith("(") || !s.endsWith(")")) None
+    else {
+      val parts = s.substring(1, s.length - 1).split(',').map(_.trim)
+      val dims = parts.flatMap(_.toIntOption)
+      if (dims.length == parts.length && dims.nonEmpty && dims.forall(_ > 0))
+        Some(dims.toSeq)
+      else None
+    }
+  }
+
   /** `nA`: fixed-width ASCII, trimmed like the reference
     * (FitsHdu.scala:222-226 uses String.trim — both ends). */
   final case class Str(raw: String, length: Int) extends TForm {

@@ -87,6 +87,13 @@ CHECKS = {
                       ELSE 0 END AS BIGINT)), ',') AS px_csv
         FROM d WHERE img_line BETWEEN 100 AND 299
         ORDER BY img_line""", None),
+    "q40_fits_tdim": ("full", """
+        SELECT doc_id, CAST(2 AS INT) AS d2, CAST(3 AS INT) AS d1,
+          array_to_string(list_transform(range(1, 7),
+            j -> CAST(CASE WHEN j <= len(text) THEN ord(substr(text, j, 1))
+                      ELSE 0 END AS BIGINT)), ',') AS mat_csv
+        FROM documents WHERE doc_id < 1000000
+        ORDER BY doc_id""", None),
     "sim_ivf_recall": ("full", """
         SELECT vec_id AS q_id FROM embeddings
         WHERE vec_id < 5 ORDER BY q_id""", None),
