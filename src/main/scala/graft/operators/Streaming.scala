@@ -82,20 +82,16 @@ object Streaming {
 
   /** Runs `f` with the session's shuffle-partition count (= stateful
     * operators' state-partition count, fixed at first checkpoint)
-    * temporarily set to `n`, restoring the old value after. A
-    * continuous job sizes state partitions to its state volume — 4
-    * state stores per partition pay per-batch maintenance whether or
-    * not they hold rows, so a state that fits in 8 partitions must not
-    * inherit the relational default of 32. Conf mutation is visible
-    * session-wide while `f` runs; the declared queries execute
-    * sequentially (Bench/Verify), so this is safe there. */
-  /** Every stateful key here runs under `withShufflePartitions(s, 8)`:
-    * at the declared scale factors the state is KB-to-MB sized, and 32
-    * state partitions pay 4 HDFSBackedStateStore maintenance cycles
-    * per partition per batch for stores that hold almost nothing —
-    * measured 40-55% of several keys' wall time (2.5 s → 1.2 s class).
-    * A production deployment sizes this to its state volume instead;
-    * the number is a per-query tuning knob, not an engine constant. */
+    * temporarily set to `n`, restoring the old value after. Every
+    * stateful key here uses n = 8: a continuous job sizes state
+    * partitions to its state volume, and at the declared scale factors
+    * the state is KB-to-MB sized — inheriting the relational default
+    * of 32 pays 4 state-store maintenance cycles per partition per
+    * batch for stores that hold almost nothing (measured 40-55% of
+    * several keys' wall time, the 2.5 s → 1.2 s class). A production
+    * deployment re-sizes the knob to its state volume. Conf mutation
+    * is visible session-wide while `f` runs; the declared queries
+    * execute sequentially (Bench/Verify), so this is safe there. */
   private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val old = s.conf.get(key)

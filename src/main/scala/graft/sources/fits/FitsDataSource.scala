@@ -1206,23 +1206,23 @@ final class FitsPartitionReaderFactory(confProps: Array[(String, String)])
     else new FitsMetadata.RowReader(inner, fp)
   }
 
-  /** Everything except bit-field (`nX`) and TNULL-vector columns reads
-    * vectorized (ColumnarBatch → the same ColumnarToRow path as Spark's
-    * parquet reader), including fixed-repeat array columns, image HDUs,
-    * tile-compressed images, variable-length P/Q columns, and
+  /** Everything except TDIM (nested-array) columns reads vectorized
+    * (ColumnarBatch → the same ColumnarToRow path as Spark's parquet
+    * reader): fixed-width scalars, strings, fixed-repeat vectors, bit
+    * fields, TNULL scalars AND vectors, variable-length P/Q columns,
     * TSCAL/TZERO/BSCALE-scaled data (unboxed via ScaledElem's
-    * primitive-typed decoders). The spec is identical across one scan's
-    * partitions, so the answer is scan-consistent. */
+    * primitive-typed decoders), image HDUs, and tile-compressed
+    * images. TDIM columns take the boxed row path — nested ArrayData
+    * assembly has no vectorized fill and multi-dim columns are rare
+    * enough that per-scan fallback is the right trade. The spec is
+    * identical across one scan's partitions, so the answer is
+    * scan-consistent. */
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
     case f: FitsInputPartition => f.spec match {
       // every bintable column form decodes vectorized: fixed-width,
       // strings, fixed vectors, scaled, ASCII text, TNULL scalars AND
       // vectors, bit fields, and var-length columns (through the
       // coalesced heap window, strings byte-exact via putByteArray)
-      // TDIM (nested-array) columns take the boxed row path: nested
-      // ArrayData assembly has no vectorized fill, and multi-dim
-      // columns are rare enough that per-scan fallback is the right
-      // trade
       case DecodeSpec.Bintable(cols, _) =>
         cols.nonEmpty && !cols.exists(_.tform.isInstanceOf[TForm.Md])
       case _: DecodeSpec.Image => true

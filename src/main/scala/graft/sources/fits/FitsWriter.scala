@@ -260,7 +260,7 @@ final class FitsStreamingWrite(res: FitsResolution, schema: StructType)
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(res.pathSpec).getFileSystem(res.hadoopConf)
-    messages.collect { case m: FitsWriteCommitted => m }
+    messages.collect { case m: FitsWriteCommitted if m.file.nonEmpty => m }
       .foreach(m => fs.delete(new Path(m.file), false))
   }
 }
@@ -296,7 +296,7 @@ final class FitsBatchWrite(res: FitsResolution, schema: StructType,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(res.pathSpec).getFileSystem(res.hadoopConf)
-    messages.collect { case m: FitsWriteCommitted => m }
+    messages.collect { case m: FitsWriteCommitted if m.file.nonEmpty => m }
       .foreach(m => fs.delete(new Path(m.file), false))
   }
 }
@@ -547,7 +547,12 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
         j += 1
       }
       shape :+ outer
-    case _ => Array(arr.numElements())
+    case _ =>
+      if (arr.numElements() == 0) throw new IllegalArgumentException(
+        s"empty innermost array in multi-dim column '$name' — TDIM " +
+          "axes must be positive (FITS 4.0); write a flat array column " +
+          "if rows can be empty")
+      Array(arr.numElements())
   }
 
   /** Spills a nested array's scalars first-axis-fastest (row-major in
@@ -1000,6 +1005,14 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
     if (imageMode)
       return if (imageCompress != null) commitCompressedImage()
       else commitImage()
+    // A 0-row part of a schema with NESTED array columns publishes no
+    // file: its shape is unknowable, so its header would say the flat
+    // '0T' with no TDIM and make the directory schema-inconsistent
+    // with sibling parts (FAILFAST would then reject the just-written
+    // dataset). Flat schemas keep emitting empty parts — '0T'/0-row
+    // headers are harmless there and keep the all-empty-write shape.
+    if (nRows == 0 && elems.exists(_.nestDepth >= 2))
+      return FitsWriteCommitted("", 0L)
     // ragged array columns — and string columns whose fixed form would
     // be mostly padding — become heap-backed var-length columns; the
     // descriptor flavor is file-wide (all-P or all-Q) keyed on whether

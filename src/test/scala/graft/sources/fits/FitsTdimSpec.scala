@@ -126,6 +126,42 @@ class FitsTdimSpec extends SparkTestBase {
     assert(got.toSeq == want)
   }
 
+  test("empty partitions of a nested-array write publish no file; the " +
+      "directory reads back consistently in FAILFAST") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fits-tdim").toString + "/emptyp"
+    // 2 rows across 8 partitions: most parts are empty; a 0-row part
+    // would carry TFORM '0K' with no TDIM (flat schema) and poison the
+    // multi-file union
+    (0 until 2).map(r => (r.toLong,
+      Array(Array(r * 10L, r * 10L + 1), Array(r * 10L + 2, r * 10L + 3))))
+      .toDF("id", "mat")
+      .repartition(8).write.format("fits").mode("overwrite").save(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".fits"))
+    // only the parts that actually hold rows publish (2 rows → at most
+    // 2 files, never the 8 the empty partitions would have added)
+    assert(files.nonEmpty && files.length <= 2, files.mkString(","))
+    val back = spark.read.format("fits").option("hdu", 1)
+      .option("mode", "FAILFAST").load(dir)
+    assert(back.schema("mat").dataType.simpleString ==
+      "array<array<bigint>>")
+    assert(back.count() == 2)
+  }
+
+  test("empty INNER arrays fail loudly at write (TDIM axes must be positive)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fits-tdim").toString + "/zero"
+    val src = Seq((0L, Array(Array.empty[Long], Array.empty[Long])))
+      .toDF("id", "mat")
+    val e = intercept[org.apache.spark.SparkException] {
+      src.coalesce(1).write.format("fits").mode("overwrite").save(dir)
+    }
+    val msg = e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("positive") || msg.contains("empty innermost"), msg)
+  }
+
   test("non-rectangular nested rows fail loudly at write") {
     import spark.implicits._
     val dir = Files.createTempDirectory("fits-tdim").toString + "/bad"
