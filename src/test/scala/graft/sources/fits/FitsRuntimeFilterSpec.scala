@@ -109,6 +109,44 @@ class FitsRuntimeFilterSpec extends SparkTestBase {
       capped.exists(c => c._1 <= lo && hi <= c._2) })
   }
 
+  test("RowRuns properties hold on randomized inputs (superset/order laws)") {
+    val rnd = new scala.util.Random(1234)
+    (0 until 200).foreach { _ =>
+      val points = Seq.fill(rnd.nextInt(300))(rnd.nextLong() % 10000L)
+      val runs = RowRuns.fromPoints(points)
+      val valid = points.filter(_ >= 0).distinct.sorted
+      // fromPoints: covers exactly the non-negative points, sorted-disjoint
+      assert(runs.iterator.map { case (a, b) => b - a + 1 }.sum ==
+        valid.length)
+      assert(valid.forall(p => runs.exists(r => r._1 <= p && p <= r._2)))
+      assert(runs.sliding(2).forall {
+        case Seq((_, b), (c, _)) => c > b + 1
+        case _ => true
+      })
+      // cap: ≤ max runs, still a superset, still sorted-disjoint
+      val max = 1 + rnd.nextInt(8)
+      val capped = RowRuns.cap(runs, max)
+      assert(capped.length <= max)
+      assert(runs.forall { case (lo, hi) =>
+        capped.exists(c => c._1 <= lo && hi <= c._2) })
+      assert(capped.sliding(2).forall {
+        case Seq((_, b), (c, _)) => c > b + 1
+        case _ => true
+      })
+      // intersect: exactly the common points
+      val points2 = Seq.fill(rnd.nextInt(300))(rnd.nextLong() % 10000L)
+      val runs2 = RowRuns.fromPoints(points2)
+      val inter = RowRuns.intersect(runs, runs2)
+      val common = valid.toSet &
+        points2.filter(_ >= 0).toSet
+      assert(inter.iterator.map { case (a, b) => b - a + 1 }.sum ==
+        common.size)
+      assert(common.forall(p => inter.exists(r => r._1 <= p && p <= r._2)))
+      // coalesce is idempotent and preserves coverage
+      assert(RowRuns.coalesce(runs) == runs)
+    }
+  }
+
   test("sparse join keys prune to a RUN LIST: two far-apart keys plan " +
       "two disjoint partitions, skipped bytes accounted") {
     val dir = Files.createTempDirectory("fits-rtf").toString + "/sparse"

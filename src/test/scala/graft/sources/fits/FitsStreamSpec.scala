@@ -112,4 +112,35 @@ class FitsStreamSpec extends SparkTestBase {
     assert(batchSizes.toList == List(rowsPerFile, rowsPerFile, rowsPerFile),
       s"expected 3 batches of one file each: $batchSizes")
   }
+
+  test("streaming image reads honor the colRange 2-D window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("fits-stream-col").toString + "/img"
+    val ckpt = Files.createTempDirectory("fits-stream-col-ck").toString
+    (0 until 16).map(r =>
+      (r.toLong, (0 until 32).map(c => r * 1000 + c).toArray))
+      .toDF("ImgIndex", "Image")
+      .coalesce(1).write.format("fits").option("image", true)
+      .mode("overwrite").save(dir)
+    val got = new scala.collection.mutable.ArrayBuffer[(Long, Seq[Int])]()
+    val q = spark.readStream.format("fits").option("hdu", 0)
+      .option("colRange", "5:9").load(dir)
+      .filter(col("ImgIndex") < 4)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.collect().map(r => (r.getAs[Long]("ImgIndex"),
+          r.getAs[scala.collection.Seq[Int]]("Image").toSeq))
+        got.synchronized { got ++= rows }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(got.map(_._1).sorted.toSeq == (0L until 4L))
+    got.foreach { case (i, px) =>
+      assert(px == (5 to 9).map(c => i.toInt * 1000 + c), s"line $i: $px")
+    }
+  }
 }
