@@ -1011,8 +1011,10 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
     // with sibling parts (FAILFAST would then reject the just-written
     // dataset). Flat schemas keep emitting empty parts — '0T'/0-row
     // headers are harmless there and keep the all-empty-write shape.
-    if (nRows == 0 && elems.exists(_.nestDepth >= 2))
+    if (nRows == 0 && elems.exists(_.nestDepth >= 2)) {
+      tmp.delete() // the spill file — every other commit path deletes it
       return FitsWriteCommitted("", 0L)
+    }
     // ragged array columns — and string columns whose fixed form would
     // be mostly padding — become heap-backed var-length columns; the
     // descriptor flavor is file-wide (all-P or all-Q) keyed on whether
