@@ -1054,6 +1054,32 @@ object Relational {
       .select($"n_rows", $"n_via_max", $"n_scanned")
   }
 
+  /** Driver-checked key for value-domain data skipping (r17 verdict
+    * ask #1): a bounded `events` slice goes through the FITS writer as
+    * an 8-part RANGE-partitioned multi-file table (each part's
+    * GMINn/GMAXn header stats cover a disjoint event_id window), and
+    * the read-back applies a selective event_id band plus a value
+    * bound. The planner drops every file whose stats exclude the
+    * predicates (partition-level assertions live in FitsStatsSkipSpec);
+    * the filters stay residual, so the result is exact whether or not
+    * the skip engages — this key gates the CORRECTNESS half of the
+    * contract.
+    *
+    * Scale shape: over a 10k-file archive the band plans only the
+    * covering files, and the stats ride the one header walk the
+    * planner already does — zero extra IO for the pruning decision. */
+  val q41_fits_skip: Q = (s, dir) => {
+    val src = t(s, dir, "events")
+      .select($"event_id", $"user_id", $"value")
+      .filter($"event_id" < 1000000L)
+    val out = fitsScratch(s, dir, "q41")
+    src.repartitionByRange(8, $"event_id")
+      .write.format("fits").mode("overwrite").save(out)
+    s.read.format("fits").option("hdu", 1).load(out)
+      .filter($"event_id".between(100, 299) && $"value" > -1.0e18)
+      .orderBy($"event_id")
+  }
+
   /** Driver-checked key for the `SupportsMetadataColumns` surface (r16):
     * `events` goes through the FITS writer as an 8-part multi-file
     * table, comes back with `_file_path`/`_hdu`/`_row_index` selected,
@@ -1149,6 +1175,7 @@ object Relational {
     "q38_fits_extent" -> q38_fits_extent,
     "q39_fits_cutout2d" -> q39_fits_cutout2d,
     "q40_fits_tdim" -> q40_fits_tdim,
+    "q41_fits_skip" -> q41_fits_skip,
   )
 
   /** DuckDB-compatible oracle SQL. Keys mirror `queries`; column aliases
@@ -1212,6 +1239,14 @@ object Relational {
         |              ELSE 0 END AS BIGINT)), ',') AS mat_csv
         |FROM documents WHERE doc_id < 1000000
         |ORDER BY doc_id""".stripMargin,
+    // value-domain skipping must never change the result: the oracle
+    // replays the band over the same bounded slice (the value bound is
+    // vacuously true — it exists to exercise the double-column stats)
+    "q41_fits_skip" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_id < 1000000 AND event_id BETWEEN 100 AND 299
+        |  AND value > -1e18
+        |ORDER BY event_id""".stripMargin,
     "q35_fits_cutout" ->
       """WITH d AS (
         |  SELECT doc_id, substr(text, 1, 636) AS t,

@@ -351,9 +351,17 @@ final class FitsScanBuilder(res: FitsResolution, tableSchema: StructType)
       val (r, a) = foldRange(FitsMetadata.RowIndex, filters)
       rowRange = r; acc ++= a
     }
+    // value predicates on data columns: evaluated per file against the
+    // writer's GMINn/GMAXn header stats at plan time (see [[FitsStats]])
+    val dataCols = tableSchema.fieldNames.toSet
+    valueFilters = filters.filter(f =>
+      FitsStats.colOf(f).exists(dataCols.contains))
+    acc ++= valueFilters
     accepted = acc.result().distinct
     filters
   }
+  private var valueFilters
+      : Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     accepted
@@ -395,7 +403,7 @@ final class FitsScanBuilder(res: FitsResolution, tableSchema: StructType)
   override def build(): Scan =
     if (aggKinds.nonEmpty) new FitsAggScan(res, aggKinds)
     else new FitsScan(res, tableSchema, required, limit, lineRange,
-      metaCols, rowRange)
+      metaCols, rowRange, valueFilters)
 }
 
 object FitsScanBuilder {
@@ -475,6 +483,66 @@ object FitsScanBuilder {
       case _ => () // unsupported shape: residual-only, no pruning
     }
     acc.map(RowRuns.cap(_))
+  }
+}
+
+/** Value-domain data skipping over the writer's reserved GMINn/GMAXn
+  * per-column min/max cards (FitsWriter emits them on every bintable
+  * part; other readers ignore unknown keywords per FITS 4.0 §4.1.2.3).
+  * A pushed comparison whose value range the stats PROVABLY exclude
+  * drops the whole file from the plan — zero extra IO, the stats ride
+  * the one header walk the planner already does. Conservative by
+  * construction: absent, unparsable, or NaN-poisoned stats never skip,
+  * and every filter stays residual, so this is an optimization with a
+  * superset contract, never a correctness dependency.
+  *
+  * The reference has no predicate pushdown at all (SURVEY §4:
+  * fixed-width rows ⇒ no row-group stats) — this is the writer-owned
+  * lever it never had. */
+private[fits] object FitsStats {
+  import org.apache.spark.sql.sources._
+
+  /** The single data column a skippable comparison references, if the
+    * filter is a shape stats can evaluate. */
+  def colOf(f: Filter): Option[String] = f match {
+    case EqualTo(c, v) if isNum(v) => Some(c)
+    case GreaterThan(c, v) if isNum(v) => Some(c)
+    case GreaterThanOrEqual(c, v) if isNum(v) => Some(c)
+    case LessThan(c, v) if isNum(v) => Some(c)
+    case LessThanOrEqual(c, v) if isNum(v) => Some(c)
+    case In(c, vs) if vs.nonEmpty && vs.forall(isNum) => Some(c)
+    case _ => None
+  }
+  private def isNum(v: Any): Boolean = v.isInstanceOf[java.lang.Number]
+
+  /** True iff the header's stats for 1-based physical column
+    * `physIdx+1` prove `f` matches no row. BigDecimal domain: exact for
+    * int64 stats at any magnitude AND for float stats (Double.toString
+    * round-trips); NaN/Infinity text fails the parse and disables the
+    * skip. */
+  def excludes(f: Filter, h: core.FitsHeader, physIdx: Int): Boolean = {
+    def bd(s: String): Option[BigDecimal] =
+      scala.util.Try(BigDecimal(s.trim)).toOption
+    def v(x: Any): Option[BigDecimal] = x match {
+      case n: java.lang.Number => bd(n.toString)
+      case _ => None
+    }
+    val stats = for {
+      mn <- h.values.get(s"GMIN${physIdx + 1}").flatMap(bd)
+      mx <- h.values.get(s"GMAX${physIdx + 1}").flatMap(bd)
+    } yield (mn, mx)
+    stats.exists { case (mn, mx) =>
+      f match {
+        case EqualTo(_, x) => v(x).exists(q => q < mn || q > mx)
+        case GreaterThan(_, x) => v(x).exists(q => mx <= q)
+        case GreaterThanOrEqual(_, x) => v(x).exists(q => mx < q)
+        case LessThan(_, x) => v(x).exists(q => mn >= q)
+        case LessThanOrEqual(_, x) => v(x).exists(q => mn > q)
+        case In(_, xs) =>
+          xs.forall(x => v(x).exists(q => q < mn || q > mx))
+        case _ => false
+      }
+    }
   }
 }
 
@@ -638,9 +706,40 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
     required: StructType, limit: Option[Long] = None,
     lineRange: Option[(Long, Long)] = None,
     metaCols: Array[String] = Array.empty,
-    rowRange: Option[(Long, Long)] = None)
+    rowRange: Option[(Long, Long)] = None,
+    valueFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with Logging {
+
+  /** True iff the file's target-HDU header stats prove a pushed value
+    * predicate matches no row — the file drops from the plan entirely.
+    * Binding is positional, like planFor: the filter's TABLE name maps
+    * to a tableSchema position, then through the `columns` selection
+    * (TTYPE-name keyed, per file) to the physical 1-based FITS column
+    * the GMINn/GMAXn cards describe. */
+  private def statsExclude(hdus: Vector[Hdu], idx: Int): Boolean =
+    valueFilters.nonEmpty && (hdus(idx).meta match {
+      case full: HduMeta.Bintable =>
+        val header = hdus(idx).header
+        valueFilters.exists { f =>
+          FitsStats.colOf(f).exists { name =>
+            val p = tableSchema.fieldIndex(name)
+            val phys = res.columnsOption match {
+              case Some(names) if p < names.length =>
+                full.columns.indexWhere(_.name == names(p))
+              case Some(_) => -1
+              case None => p
+            }
+            phys >= 0 && phys < full.columns.length &&
+              FitsStats.excludes(f, header, phys)
+          }
+        }
+      case _ => false
+    })
+
+  /** (files skipped, data bytes skipped) by value-predicate stats in
+    * the last partition plan — test/telemetry surface. */
+  @volatile private[fits] var lastStatsSkip: (Int, Long) = (0, 0L)
 
   /** Runtime (DPP-style) pruning: a join whose key is the image
     * line-index column or `_row_index` hands this scan the build
@@ -653,7 +752,7 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
     * from a 100 GB exposure" pattern becomes ≤50 byte-ranged reads,
     * even when the lines span the whole file (the r16 envelope-only
     * fold degenerated to a full scan there). */
-  private var runtimeRuns: Option[Vector[(Long, Long)]] = None
+  private[fits] var runtimeRuns: Option[Vector[(Long, Long)]] = None
   /** (planned data bytes, total data bytes) of the last partition plan
     * — numRows × rowBytes per planned slice (for tile-compressed
     * images the row unit is the descriptor row, so this is a relative
@@ -678,9 +777,11 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
       : Unit = {
     val cols = filterAttributes().map(_.fieldNames().head)
     val folded = cols.flatMap(c => FitsScanBuilder.foldRuns(c, filters))
-    // intersect everything that arrived (multiple runtime filters AND)
+    // intersect everything that arrived (multiple runtime filters AND);
+    // re-cap: intersecting two ≤64-run lists can yield up to 127 runs,
+    // which would leak past the planner's partition/metadata bound
     runtimeRuns = (runtimeRuns.toSeq ++ folded)
-      .reduceOption(RowRuns.intersect)
+      .reduceOption(RowRuns.intersect).map(RowRuns.cap(_))
   }
 
   /** The line/row runs this HDU's partitions clamp to: image HDUs
@@ -787,7 +888,9 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
         val shown = rs.take(8).map { case (a, b) => s"[$a,$b]" }.mkString(",")
         val more = if (rs.length > 8) s"+${rs.length - 8} more" else ""
         s" runtimeRuns=$shown$more"
-      }.getOrElse("")
+      }.getOrElse("") +
+      (if (valueFilters.nonEmpty)
+        s" statsFilters=${valueFilters.mkString(",")}" else "")
 
   override def planInputPartitions(): Array[InputPartition] =
     planFor(res.files)
@@ -817,6 +920,8 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
     // Same split sizing as Spark's own file sources: honor
     // maxPartitionBytes, but split smaller files further so the scan
     // can still use the cluster's default parallelism.
+    var statsSkipFiles = 0
+    var statsSkipBytes = 0L
     val readable = fileMetas.flatMap { case (path, hdus) =>
       val idx = res.hduIndexFor(hdus)
       if (idx < 0 || idx >= hdus.length) {
@@ -827,12 +932,24 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
           failOrWarn(s"$path HDU ${res.hduSpec} schema ${meta.schema.simpleString} " +
             s"differs from first file's ${firstSchema.simpleString}; skipping")
           None
-        } else if (meta.isReadable && meta.nRows > 0 && meta.rowBytes > 0)
-          Some((path, hdus(idx).bounds, meta, idx))
-        else None
+        } else if (meta.isReadable && meta.nRows > 0 && meta.rowBytes > 0) {
+          if (statsExclude(hdus, idx)) {
+            // value-domain skip: header stats prove no row matches
+            statsSkipFiles += 1
+            statsSkipBytes += hdus(idx).bounds.dataBytes
+            None
+          } else Some((path, hdus(idx).bounds, meta, idx))
+        } else None
       }
     }
-    val totalBytes = readable.map { case (_, b, _, _) => b.dataBytes }.sum
+    lastStatsSkip = (statsSkipFiles, statsSkipBytes)
+    if (statsSkipFiles > 0)
+      logInfo(s"FITS stats skipping: dropped $statsSkipFiles files " +
+        s"($statsSkipBytes data bytes) on GMIN/GMAX value predicates")
+    // skipped files still count in the total so the planned/total
+    // accounting below reflects the value-domain pruning too
+    val totalBytes = readable.map { case (_, b, _, _) => b.dataBytes }.sum +
+      statsSkipBytes
     val minParts = math.max(1,
       conf.filesMinPartitionNum
         .getOrElse(session.sparkContext.defaultParallelism))
@@ -921,7 +1038,12 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
               math.max(0L, lo) >= c.nLines) None
             else {
               val s = math.min(c.nLines - 1, math.max(0L, lo) / c.tileH * c.tileH)
-              val e = math.min(c.nLines - 1, (hi / c.tileH + 1) * c.tileH - 1)
+              // clamp BEFORE widening: an unbounded `>= x` run carries
+              // hi = Long.MaxValue, and (hi/tileH + 1) * tileH wraps
+              // negative for any tileH not dividing 2^63 — the run
+              // would vanish and the scan plan zero partitions
+              val hiC = math.min(hi, c.nLines - 1)
+              val e = math.min(c.nLines - 1, (hiC / c.tileH + 1) * c.tileH - 1)
               if (e >= s) Some((s, e)) else None
             }
           })

@@ -291,6 +291,25 @@ final class FitsBatchWrite(res: FitsResolution, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(res.pathSpec).getFileSystem(res.hadoopConf)
+    // nested (TDIM) schemas: empty partitions publish no file (their
+    // shape is unknowable task-side), so an ALL-empty write would
+    // commit an unreadable directory — flat schemas keep a readable
+    // 0-row part, nested ones must too. Write one canonical 0-row
+    // part from the driver with a defaulted all-1 TDIM.
+    val wroteAny = messages.exists {
+      case m: FitsWriteCommitted => m.file.nonEmpty
+      case _ => false
+    }
+    val nested = !res.imageWrite && schema.fields
+      .map(f => FitsWriteSupport.elemOf(f.dataType))
+      .exists(_.nestDepth >= 2)
+    if (!wroteAny && nested) {
+      import scala.jdk.CollectionConverters._
+      val props = res.hadoopConf.iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toArray
+      new FitsDataWriter(res.pathSpec, schema, 0, 0L, props,
+        checksum = res.checksumWrite, forceNestedEmpty = true).commit()
+    }
     preExisting.foreach(p => fs.delete(new Path(p), false))
   }
 
@@ -325,7 +344,7 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
     imageCompress: String = null, checksum: Boolean = false,
     compressTile: (Int, Int) = null, quantize: Double = 0.0,
     dither: Int = 0, ditherSeed: Int = 1, hcompScale: Int = 0,
-    hcompSmooth: Boolean = false)
+    hcompSmooth: Boolean = false, forceNestedEmpty: Boolean = false)
     extends DataWriter[InternalRow] {
   import FitsWriteSupport._
 
@@ -345,6 +364,52 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
   // match exactly — multi-dim columns are rectangular by definition
   private val mdDims: Array[Array[Int]] = new Array(fields.length)
   private var nRows = 0L
+
+  // Per-column min/max over non-null SCALAR numeric values, emitted at
+  // commit as reserved GMINn/GMAXn cards (ignorable by other readers;
+  // FITS 4.0 §4.1.2.3 user keywords). The scan planner uses them to
+  // drop whole files whose value range excludes a pushed predicate —
+  // the data-skipping layer fixed-width FITS rows otherwise lack.
+  // A NaN poisons the column's stats (Spark orders NaN above every
+  // value, so a NaN-bearing column has no usable max).
+  private val statLongMin = Array.fill(fields.length)(Long.MaxValue)
+  private val statLongMax = Array.fill(fields.length)(Long.MinValue)
+  private val statDblMin = Array.fill(fields.length)(Double.MaxValue)
+  private val statDblMax = Array.fill(fields.length)(Double.MinValue)
+  private val statBad = new Array[Boolean](fields.length)
+
+  private def trackStat(i: Int, dt: DataType, row: InternalRow): Unit =
+    dt match {
+      case ByteType => trackLong(i, row.getByte(i).toLong)
+      case ShortType => trackLong(i, row.getShort(i).toLong)
+      case IntegerType => trackLong(i, row.getInt(i).toLong)
+      case LongType => trackLong(i, row.getLong(i))
+      case FloatType => trackDbl(i, row.getFloat(i).toDouble)
+      case DoubleType => trackDbl(i, row.getDouble(i))
+      case _ => ()
+    }
+  @inline private def trackLong(i: Int, v: Long): Unit = {
+    if (v < statLongMin(i)) statLongMin(i) = v
+    if (v > statLongMax(i)) statLongMax(i) = v
+  }
+  @inline private def trackDbl(i: Int, v: Double): Unit = {
+    if (v.isNaN) statBad(i) = true
+    else {
+      if (v < statDblMin(i)) statDblMin(i) = v
+      if (v > statDblMax(i)) statDblMax(i) = v
+    }
+  }
+  /** GMINn/GMAXn cards for every column with usable stats. */
+  private def statCards: Seq[String] = fields.indices.flatMap { i =>
+    if (statBad(i)) Nil
+    else if (statLongMin(i) <= statLongMax(i))
+      Seq(card(s"GMIN${i + 1}", statLongMin(i).toString),
+        card(s"GMAX${i + 1}", statLongMax(i).toString))
+    else if (statDblMin(i) <= statDblMax(i))
+      Seq(card(s"GMIN${i + 1}", statDblMin(i).toString),
+        card(s"GMAX${i + 1}", statDblMax(i).toString))
+    else Nil
+  }
 
   /** Var-length string threshold: a column whose fixed `nA` form would
     * waste more than half its bytes on padding (and is at least this
@@ -623,7 +688,9 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
               j += 1
             }
           } else flatWrite(i, arr, at)
-        case dt => writeScalar(i, dt, nul, row.get(i, dt))
+        case dt =>
+          if (!nul) trackStat(i, dt, row)
+          writeScalar(i, dt, nul, row.get(i, dt))
       }
       i += 1
     }
@@ -1012,8 +1079,21 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
     // dataset). Flat schemas keep emitting empty parts — '0T'/0-row
     // headers are harmless there and keep the all-empty-write shape.
     if (nRows == 0 && elems.exists(_.nestDepth >= 2)) {
-      tmp.delete() // the spill file — every other commit path deletes it
-      return FitsWriteCommitted("", 0L)
+      if (!forceNestedEmpty) {
+        tmp.delete() // the spill file — every other commit path deletes it
+        return FitsWriteCommitted("", 0L)
+      }
+      // driver-side canonical empty part (FitsBatchWrite.commit): when
+      // EVERY partition was empty no task published a file and the
+      // directory would be unreadable — default the unknowable nested
+      // shape to all-1 axes so the dataset reads back as 0 rows with
+      // the declared nesting depth
+      elems.indices.foreach { i =>
+        if (elems(i).isArray && elems(i).nestDepth >= 2) {
+          mdDims(i) = Array.fill(elems(i).nestDepth)(1)
+          repeat(i) = 1
+        }
+      }
     }
     // ragged array columns — and string columns whose fixed form would
     // be mostly padding — become heap-backed var-length columns; the
@@ -1080,7 +1160,7 @@ final class FitsDataWriter(dirSpec: String, schema: StructType,
         card("NAXIS", "2"), card("NAXIS1", rowBytes.toString),
         card("NAXIS2", nRows.toString), card("PCOUNT", heapTotal.toString),
         card("GCOUNT", "1"),
-        card("TFIELDS", fields.length.toString)) ++ colCards
+        card("TFIELDS", fields.length.toString)) ++ colCards ++ statCards
       def writeData(dout: ByteSink): Unit = {
       // Pass 1 over the spill — the main table. Numerics are already
       // big-endian (DataOutput); strings right-pad with ASCII spaces to

@@ -335,6 +335,11 @@ object FitsStructure {
       val shaped = h.values.get(s"TDIM$i").flatMap(TForm.parseTDim) match {
         case Some(ds) if ds.length >= 2 &&
           TForm.flatLen(tform).contains(ds.product) => TForm.Md(tform, ds)
+        case Some(ds) if ds.length >= 2 && ds.product == 1 =>
+          // repeat-1 column with TDIM '(1,1,…)': parse() yields a
+          // scalar form, so lift it to a 1-element vector first —
+          // without this the declared nesting silently flattens
+          TForm.asVec1(tform).map(TForm.Md(_, ds)).getOrElse(tform)
         case _ => tform
       }
       val name = h.values.getOrElse(s"TTYPE$i", s"col$i").trim

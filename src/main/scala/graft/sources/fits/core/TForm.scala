@@ -258,6 +258,18 @@ object TForm {
     case _ => None
   }
 
+  /** Rewrites a repeat-1 (scalar-shaped) fixed-width form into its
+    * equivalent 1-element vector so a legal `TDIM='(1,1,…)'` on a
+    * repeat-1 column can shape it (astropy writes these; the writer's
+    * canonical all-empty nested part defaults to all-1 axes). None when
+    * the form is already a vector or not TDIM-applicable. */
+  def asVec1(t: TForm): Option[TForm] = t match {
+    case Scalar(raw, e) => Some(Vec(raw, e, 1))
+    case Scaled(inner, s, z) => asVec1(inner).map(Scaled(_, s, z))
+    case WithNull(inner, n) => asVec1(inner).map(WithNull(_, n))
+    case _ => None
+  }
+
   /** Parses a TDIM value `(d1,d2,…)`; None on any malformed shape. */
   def parseTDim(v: String): Option[Seq[Int]] = {
     val s = v.trim.stripPrefix("'").stripSuffix("'").trim

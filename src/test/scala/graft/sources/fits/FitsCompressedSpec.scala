@@ -1180,4 +1180,30 @@ class FitsCompressedSpec extends SparkTestBase {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("hcompSmooth")), e)
   }
+
+  test("unbounded ImgIndex >= pushdown on a tile-compressed image (non-pow2 tileH)") {
+    // a one-sided `>= x` folds to the run [x, Long.MaxValue]; the band
+    // widening must clamp hi BEFORE multiplying by tileH or the product
+    // wraps negative for any tileH not dividing 2^63 (here 12) and the
+    // scan silently plans zero partitions
+    val img = (0 until 30).map(r =>
+      (0 until 6).map(c => (r * 50 + c * 3 - 700).toShort))
+    val p = Files.createTempFile("graft-unbounded-ge", ".fits").toString
+    write2dFz(p, img, tileW = 6, tileH = 12)
+    try {
+      val df = spark.read.format("fits").option("hdu", 1).load(p)
+      for ((pred, lo) <- Seq("ImgIndex >= 17" -> 17, "ImgIndex > 17" -> 18)) {
+        val rows = df.filter(pred).orderBy("ImgIndex").collect()
+        assert(rows.length == 30 - lo, s"$pred returned ${rows.length} rows")
+        rows.zipWithIndex.foreach { case (r, i) =>
+          assert(r.getLong(1) == lo + i)
+          assert(r.getSeq[Short](0) == img(lo + i), s"line ${lo + i}")
+        }
+      }
+      // two-sided range across a band edge still exact
+      val mid = df.filter("ImgIndex >= 10 AND ImgIndex <= 13")
+        .orderBy("ImgIndex").collect()
+      assert(mid.map(_.getLong(1)).toSeq == Seq(10L, 11L, 12L, 13L))
+    } finally Files.deleteIfExists(java.nio.file.Paths.get(p))
+  }
 }

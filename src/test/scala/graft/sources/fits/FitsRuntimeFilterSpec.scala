@@ -189,6 +189,33 @@ class FitsRuntimeFilterSpec extends SparkTestBase {
     }
   }
 
+  test("repeated runtime filter() calls re-cap the intersected run list") {
+    val dir = Files.createTempDirectory("fits-rtf").toString + "/recap"
+    spark.range(20000).toDF("id")
+      .coalesce(1).write.format("fits").mode("overwrite").save(dir)
+    val res = FitsResolution(Map("path" -> dir, "hdu" -> "1"))
+    val schema = res.inferredSchema
+    val scan = new FitsScan(res, schema, schema,
+      metaCols = Array(FitsMetadata.RowIndex))
+    import org.apache.spark.sql.sources.{Filter, In}
+    // first call: 200 points at step 100 → capped to 64 runs
+    // (63 leading singletons + one wide tail block)
+    val a = (0 until 200).map(_ * 100L)
+    // second call: one solid block [0, 6299] + 63 tail singletons —
+    // 64 runs, interleaving the first list's boundaries so the raw
+    // intersection is ~126 runs, past the planner's MaxRuns bound
+    val b = (0L until 6300L) ++ (0 until 63).map(i => 7000L + i * 100L)
+    scan.filter(Array[Filter](
+      In(FitsMetadata.RowIndex, a.map(Long.box).toArray)))
+    scan.filter(Array[Filter](
+      In(FitsMetadata.RowIndex, b.map(Long.box).toArray)))
+    val runs = scan.runtimeRuns.get
+    assert(runs.length <= RowRuns.MaxRuns, s"${runs.length} runs leaked")
+    // still a correct superset of the true intersection
+    val common = a.toSet & b.toSet
+    assert(common.forall(p => runs.exists(r => r._1 <= p && p <= r._2)))
+  }
+
   /** The FITS FitsScan instance from the FINAL (adaptive) plan. */
   private def findFitsScan(df: DataFrame): FitsScan = {
     def find(p: SparkPlan): Seq[BatchScanExec] = p match {

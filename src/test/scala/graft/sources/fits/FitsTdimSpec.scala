@@ -149,6 +149,25 @@ class FitsTdimSpec extends SparkTestBase {
     assert(back.count() == 2)
   }
 
+  test("ALL-empty nested-array write stays readable: driver commits one " +
+      "canonical 0-row part with a defaulted TDIM") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fits-tdim").toString + "/allempty"
+    // every partition is empty → no task publishes; the driver-side
+    // commit must still leave a readable 0-row part (flat schemas
+    // already do) instead of an unreadable empty directory
+    Seq.empty[(Long, Array[Array[Long]])].toDF("id", "mat")
+      .repartition(4).write.format("fits").mode("overwrite").save(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".fits"))
+    assert(files.length == 1, files.mkString(","))
+    val back = spark.read.format("fits").option("hdu", 1)
+      .option("mode", "FAILFAST").load(dir)
+    assert(back.schema("mat").dataType.simpleString ==
+      "array<array<bigint>>")
+    assert(back.count() == 0)
+  }
+
   test("empty INNER arrays fail loudly at write (TDIM axes must be positive)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("fits-tdim").toString + "/zero"
