@@ -325,18 +325,40 @@ object Similarity {
     val probeBuckets = probeDf.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val pruned = bucketed.filter(col("bucket").isin(probeBuckets: _*))
-    // Candidate pairing strategy. Default (small query batch, the
-    // declared keys' shape): broadcast the routing pairs + query
-    // vectors so the corpus never shuffles. Table-scale query side
-    // (`spark.graft.sim.ivf.shuffleJoin=true`): NOTHING broadcasts and
-    // nothing query-frame-sized ever reaches the driver — probe rows
-    // carry their vector and meet the corpus in a salted shuffle join.
-    // The raw bucket key has ≤k (=16) distinct values, so both sides
-    // are salted to k × ProbeSalt composite keys: each corpus row
-    // takes ONE salt from its vec_id, each probe row replicates across
-    // all salts (replicating the query side, the small one at 100 TB).
+    // Candidate pairing strategy. Small query batch (the declared
+    // keys' shape): broadcast the routing pairs + query vectors so the
+    // corpus never shuffles. Table-scale query side: NOTHING
+    // broadcasts and nothing query-frame-sized ever reaches the driver
+    // — probe rows carry their vector and meet the corpus in a salted
+    // shuffle join. The raw bucket key has ≤k (=16) distinct values,
+    // so both sides are salted to k × ProbeSalt composite keys: each
+    // corpus row takes ONE salt from its vec_id, each probe row
+    // replicates across all salts (replicating the query side, the
+    // small one at 100 TB).
+    //
+    // Selection is AUTOMATIC (r17 verdict ask #2), mirroring Spark's
+    // autoBroadcastJoinThreshold: the broadcast ships ~(4·dim + 24)
+    // bytes per query row, so the router bounds the query count with a
+    // LIMIT-pushed probe and routes to the salted join past the
+    // threshold. A probe, not plan statistics: without CBO a Filter
+    // keeps its child's sizeInBytes, which would misroute the common
+    // small-filtered-frame shape. `spark.graft.sim.ivf.shuffleJoin`
+    // remains an explicit override in either direction.
     val shuffleJoin = s.conf.getOption("spark.graft.sim.ivf.shuffleJoin")
-      .exists(_.toBoolean)
+      .map(_.toBoolean).getOrElse {
+        val threshold = s.sessionState.conf.autoBroadcastJoinThreshold
+        if (threshold <= 0) true // broadcasts disabled session-wide
+        else queryDf.select(size(col("q_emb")).as("d")).take(1) match {
+          case Array(row) =>
+            val rowBytes = 4L * math.max(1, row.getInt(0)) + 24L
+            // cap the routing probe itself: past 2M rows the answer is
+            // "shuffle" for any realistic threshold, so never count
+            // further than that
+            val maxRows = math.min(threshold / rowBytes, 2000000L)
+            queryDf.limit(maxRows.toInt + 1).count() > maxRows
+          case _ => false // empty query frame: either path is trivial
+        }
+      }
     val cands =
       if (!shuffleJoin)
         pruned

@@ -153,6 +153,47 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("IVF auto-routes: a 1e5-row query table takes the salted shuffle " +
+      "join with the conf UNSET; a small batch keeps the broadcast plan") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import org.apache.spark.sql.functions._
+    assert(spark.conf.getOption("spark.graft.sim.ivf.shuffleJoin").isEmpty)
+    // same 1e5-row lazily-declared query table as the listener gate
+    val reps = 200
+    val e = graft.Tables.load(spark, sf001, "embeddings")
+    val queries = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(spark.range(reps).select(col("id").as("rep")))
+      .select((col("vec_id") * reps + col("rep") + 2000000000L).as("q_id"),
+        col("embedding").as("q_emb"))
+    val maxTaskResult = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          maxTaskResult.getAndAccumulate(t.taskMetrics.resultSize,
+            math.max(_, _))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = Similarity.ivfRank(spark, sf001, queries)
+      assert(df.count() === reps * 500L * 10)
+      Thread.sleep(3000)
+      // the router chose the shuffle path: a broadcast of the 28 MB
+      // query frame would ship it to the driver as task results
+      assert(maxTaskResult.get() < (1L << 20),
+        s"auto-router broadcast the query frame: a task shipped " +
+          s"${maxTaskResult.get()} bytes to the driver")
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    // the declared keys' shape (small batch) keeps the broadcast plan
+    val small = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val sdf = Similarity.ivfRank(spark, sf001, small)
+    val plan = sdf.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(sdf.count() > 0)
+  }
+
   test("selectProbes: min-mass guard expands past tiny cells, ties probe together") {
     // nearest two cells are nearly empty (the r15 10x-canary failure
     // shape): a 2-cell probe covers 5% of the corpus and the guard
