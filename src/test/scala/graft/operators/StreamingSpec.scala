@@ -255,6 +255,63 @@ class StreamingSpec extends SparkTestBase {
     assert(emitted.toSet == Set((1L, 1L)), emitted)
   }
 
+  test("stateful keys run byte-identical under the RocksDB state store, " +
+      "and the provider verifiably engages") {
+    // at real stream scale state must spill off-heap: the declared
+    // stateful keys' outputs must not depend on the state store
+    // implementation (r17 verdict ask #3)
+    val keys = Seq("stream_state_sessions", "stream_state_sessions_bounded",
+      "stream_funnel", "stream_dedup_bounded")
+    def snap(k: String): Seq[String] = {
+      val rows = Streaming.queries(k)(spark, sf0001)
+        .collect().map(_.toString).sorted.toSeq
+      Streaming.dropSinkTables(spark)
+      assert(rows.nonEmpty, k)
+      rows
+    }
+    val base = keys.map(k => k -> snap(k)).toMap
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    try {
+      spark.conf.set(confKey, "org.apache.spark.sql.execution.streaming" +
+        ".state.RocksDBStateStoreProvider")
+      keys.foreach(k => assert(snap(k) == base(k), s"$k diverged"))
+
+      // engaged, not just configured: a directly-driven stateful query
+      // reports rocksdb* custom metrics on its state operator
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      val src = java.nio.file.Files.createTempDirectory("rdb-src").toString
+      val base0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      Seq((1L, 0), (1L, 15), (2L, 0)).map { case (u, m) =>
+        (u, java.sql.Timestamp.from(base0.plusSeconds(m * 60L)))
+      }.toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(src)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType)))
+      val counts = Streaming.boundedSessionCounts(spark,
+        spark.readStream.schema(schema).parquet(src)
+          .withWatermark("ts", "2 hours"))
+      val q = counts.writeStream.format("memory")
+        .queryName("rocksdb_probe_tbl").outputMode("update")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val metricKeys = q.recentProgress.flatMap(_.stateOperators).flatMap {
+        so =>
+          import scala.jdk.CollectionConverters._
+          so.customMetrics.keySet.asScala
+      }.toSet
+      spark.catalog.dropTempView("rocksdb_probe_tbl")
+      assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+        s"RocksDB provider did not engage; metrics: $metricKeys")
+    } finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+  }
+
   test("streaming ingest dedup equals batch distinct-text set") {
     val streamed = Streaming.stream_dedup(spark, sf0001)
       .collect().map(_.getString(0))
