@@ -923,14 +923,17 @@ object Relational {
   }
 
   /** Driver-checked key for the 2-D cutout pushdown (r16 verdict ask
-    * #5): [[q35_fits_cutout]]'s deterministic image, read back with
-    * BOTH cutout axes pushed — an `ImgIndex` line band AND a
-    * `colRange` pixel-column window (payload columns 4..103, i.e. the
-    * first 100 text bytes). The scan emits only the window: lines
-    * outside the band are never planned, and columns outside the
-    * window are never decoded (strided-IO and tile-x variants are
-    * spec-gated in FitsCutoutSpec; this key value-verifies the window
-    * semantics against DuckDB replaying substr(text, 1, 100)). */
+    * #5; write parallelized per r17 ask #4): the q35-encoded image is
+    * written SORTED-PARALLEL (4 range partitions — the q34 precedent:
+    * lines self-identify via doc_id pixels 0..3, so nothing depends on
+    * a global file order), and read back with the `colRange`
+    * pixel-column window pushed (columns 0..103 = id pixels + the
+    * first 100 text bytes of the 640-px line). Columns outside the
+    * window are never decoded and only the window's bytes move
+    * (strided-IO, tile-x, and combined band+window variants are
+    * spec-gated in FitsCutoutSpec); verification joins on the DECODED
+    * doc_id, order-independent by construction, against DuckDB
+    * replaying substr(text, 1, 100). */
   val q39_fits_cutout2d: Q = (s, dir) => {
     val width = 640
     val payload = width - 4
@@ -939,7 +942,8 @@ object Relational {
       t(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .filter(col("doc_id") < 1000000L)
-        .repartition(1).sortWithinPartitions(col("doc_id")).as[(Long, String)]
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")).as[(Long, String)]
         .map { case (id, text) =>
           val b = text.getBytes("UTF-8")
           val arr = new Array[Short](width)
@@ -956,14 +960,19 @@ object Relational {
     val out = fitsScratch(s, dir, "q39")
     lines.write.format("fits").option("image", true)
       .mode("overwrite").save(out)
-    s.read.format("fits").option("hdu", 0)
-      .option("colRange", "4:103") // text bytes 1..100 of each doc
+    val px = s.read.format("fits").option("hdu", 0)
+      .option("colRange", "0:103") // id pixels + text bytes 1..100
       .load(out)
-      .filter(col("ImgIndex").between(100, 299))
-      .select(col("ImgIndex").as("img_line"),
-        array_join(col("Image").cast("array<long>").cast("array<string>"),
-          ",").as("px_csv"))
-      .orderBy(col("img_line"))
+      .select(col("Image").cast("array<long>").as("px"))
+    px.select(
+      (element_at(col("px"), lit(1)) * lit(1L << 45) +
+        element_at(col("px"), lit(2)) * lit(1L << 30) +
+        element_at(col("px"), lit(3)) * lit(1L << 15) +
+        element_at(col("px"), lit(4))).as("doc_id"),
+      array_join(slice(col("px"), 5, 100).cast("array<string>"), ",")
+        .as("px_csv"))
+      .filter(col("doc_id").between(100, 299))
+      .orderBy(col("doc_id"))
   }
 
   /** Driver-checked key for TDIM multi-dimensional table columns
@@ -1218,20 +1227,18 @@ object Relational {
         |              ELSE 0 END AS BIGINT)), ',') AS px_csv
         |FROM (SELECT doc_id, substr(text, 1, 636) AS t FROM documents)
         |ORDER BY doc_id""".stripMargin,
-    // the cutout band replays by row_number over the same bounded,
-    // doc_id-sorted corpus: line index, id pixels (via doc_id), and
-    // every payload pixel of every surviving line
+    // order-independent replay keyed on the DECODED doc_id (the write
+    // is parallel; lines self-identify via id pixels): the id band and
+    // every windowed payload pixel of every surviving line
     "q39_fits_cutout2d" ->
-      """WITH d AS (
-        |  SELECT doc_id, substr(text, 1, 100) AS t,
-        |         row_number() OVER (ORDER BY doc_id) - 1 AS img_line
-        |  FROM documents WHERE doc_id < 1000000)
-        |SELECT img_line,
+      """SELECT doc_id,
         |  array_to_string(list_transform(range(1, 101),
         |    j -> CAST(CASE WHEN j <= len(t) THEN ord(substr(t, j, 1))
         |              ELSE 0 END AS BIGINT)), ',') AS px_csv
-        |FROM d WHERE img_line BETWEEN 100 AND 299
-        |ORDER BY img_line""".stripMargin,
+        |FROM (SELECT doc_id, substr(text, 1, 100) AS t FROM documents
+        |      WHERE doc_id < 1000000)
+        |WHERE doc_id BETWEEN 100 AND 299
+        |ORDER BY doc_id""".stripMargin,
     "q40_fits_tdim" ->
       """SELECT doc_id, CAST(2 AS INT) AS d2, CAST(3 AS INT) AS d1,
         |  array_to_string(list_transform(range(1, 7),
