@@ -1089,6 +1089,48 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** Driver-checked key for the multi-HDU union (r17 verdict ask #7):
+    * three disjoint `events` slices (event_id mod 3) go through the
+    * FITS writer as single-part files, concatenate into ONE real MEF
+    * (primary + 3 same-schema BINTABLE extensions — each writer part
+    * is primary block + extension, so the MEF is part0 ++ tail(part1)
+    * ++ tail(part2)), and come back through a single
+    * `option("hdu", "all")` load. The provenance `_hdu` column must
+    * reproduce each row's slice (hdu = event_id mod 3 + 1), which the
+    * oracle can state with zero layout knowledge. The reference forces
+    * one load() per HDU here (FitsSourceRelation.scala:114-120).
+    *
+    * Scale shape: per-HDU partitions plan independently (union, no
+    * shuffle); at a 10k-file MEF archive the planner walks each file's
+    * headers once and plans every extension from that single walk. */
+  val q42_fits_multihdu: Q = (s, dir) => {
+    val src = t(s, dir, "events").select($"event_id", $"user_id")
+      .filter($"event_id" < 1000000L)
+    val out = fitsScratch(s, dir, "q42")
+    val parts = (0 until 3).map { k =>
+      val d = s"$out/part$k"
+      src.filter(pmod($"event_id", lit(3)) === k).repartition(1)
+        .write.format("fits").mode("overwrite").save(d)
+      new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".fits")).head
+    }
+    val mefDir = new java.io.File(s"$out/mef")
+    mefDir.mkdirs()
+    val mef = new java.io.File(mefDir, "mef.fits")
+    val fo = new java.io.FileOutputStream(mef)
+    try parts.zipWithIndex.foreach { case (f, k) =>
+      val b = java.nio.file.Files.readAllBytes(f.toPath)
+      // writer layout invariant: one 2880-byte primary block, then the
+      // bintable extension
+      require(new String(b, 2880, 8, "US-ASCII") == "XTENSION",
+        s"unexpected primary size in ${f.getName}")
+      if (k == 0) fo.write(b) else fo.write(b, 2880, b.length - 2880)
+    } finally fo.close()
+    s.read.format("fits").option("hdu", "all").load(mefDir.toString)
+      .select($"event_id", $"user_id", col("_hdu").as("hdu"))
+      .orderBy($"event_id")
+  }
+
   /** Driver-checked key for the `SupportsMetadataColumns` surface (r16):
     * `events` goes through the FITS writer as an 8-part multi-file
     * table, comes back with `_file_path`/`_hdu`/`_row_index` selected,
@@ -1185,6 +1227,7 @@ object Relational {
     "q39_fits_cutout2d" -> q39_fits_cutout2d,
     "q40_fits_tdim" -> q40_fits_tdim,
     "q41_fits_skip" -> q41_fits_skip,
+    "q42_fits_multihdu" -> q42_fits_multihdu,
   )
 
   /** DuckDB-compatible oracle SQL. Keys mirror `queries`; column aliases
@@ -1246,6 +1289,13 @@ object Relational {
         |              ELSE 0 END AS BIGINT)), ',') AS mat_csv
         |FROM documents WHERE doc_id < 1000000
         |ORDER BY doc_id""".stripMargin,
+    // the MEF union replays with zero layout knowledge: each row's
+    // HDU is its mod-3 slice + 1 (primary is HDU 0, extensions 1..3)
+    "q42_fits_multihdu" ->
+      """SELECT event_id, user_id,
+        |  CAST(event_id % 3 + 1 AS INTEGER) AS hdu
+        |FROM events WHERE event_id < 1000000
+        |ORDER BY event_id""".stripMargin,
     // value-domain skipping must never change the result: the oracle
     // replays the band over the same bounded slice (the value bound is
     // vacuously true — it exists to exercise the double-column stats)

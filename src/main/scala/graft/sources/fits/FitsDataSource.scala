@@ -72,13 +72,43 @@ final case class FitsResolution(options: Map[String, String]) {
       "You need to specify the HDU to be read! Set the 'hdu' option.")).trim
   private lazy val hduSpecIndex: Option[Int] = hduSpec.toIntOption
 
-  /** Resolves the target HDU in one file: the numeric index, or the
-    * first HDU whose EXTNAME matches; −1 when a named HDU is absent
+  /** Multi-HDU load: `hdu` accepts a single index or EXTNAME, a COMMA
+    * LIST of either, or `all` (every readable data-bearing HDU, schema
+    * compatibility enforced under the session mode). Real MEF
+    * (multi-extension FITS) archives store N same-schema bintables per
+    * file; the reference forces one load() per HDU
+    * (FitsSourceRelation.scala:114-120) and users union by hand. */
+  private lazy val hduTokens: Seq[String] =
+    hduSpec.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+  lazy val isAllHdu: Boolean = hduSpec.equalsIgnoreCase("all")
+  lazy val isMultiHdu: Boolean = isAllHdu || hduTokens.lengthCompare(1) > 0
+
+  /** Resolves the FIRST target HDU in one file (the schema source):
+    * the numeric index, or the first HDU whose EXTNAME matches; for
+    * `all`, the first readable data-bearing HDU; −1 when absent
     * (callers treat that like an out-of-range index). */
-  def hduIndexFor(hdus: Vector[Hdu]): Int = hduSpecIndex.getOrElse {
-    hdus.indexWhere(_.header.values.get("EXTNAME")
-      .exists(_.trim.equalsIgnoreCase(hduSpec)))
-  }
+  def hduIndexFor(hdus: Vector[Hdu]): Int =
+    if (isAllHdu)
+      hdus.indexWhere(h => h.meta.isReadable && h.meta.rowBytes > 0)
+    else hduTokens.headOption.flatMap(_.toIntOption).getOrElse {
+      hdus.indexWhere(_.header.values.get("EXTNAME")
+        .exists(n => hduTokens.headOption.exists(n.trim.equalsIgnoreCase)))
+    }
+
+  /** EVERY target HDU index in one file, in file order, deduplicated:
+    * the parsed list (index or EXTNAME per token; unresolved names
+    * drop out, like a missing index they surface via the planner's
+    * mode handling), or all readable data-bearing HDUs for `all`. */
+  def hduIndicesFor(hdus: Vector[Hdu]): Seq[Int] =
+    if (isAllHdu)
+      hdus.indices.filter(i =>
+        hdus(i).meta.isReadable && hdus(i).meta.rowBytes > 0)
+    else hduTokens.map { tok =>
+      tok.toIntOption.getOrElse {
+        hdus.indexWhere(_.header.values.get("EXTNAME")
+          .exists(_.trim.equalsIgnoreCase(tok)))
+      }
+    }.distinct
 
   lazy val hduIndex: Int = hduSpecIndex.getOrElse {
     val i = hduIndexFor(firstFileHdus)
@@ -204,6 +234,11 @@ final case class FitsResolution(options: Map[String, String]) {
         s"no HDU with EXTNAME '$hduSpec' in $file (names: " +
           hdus.flatMap(_.header.values.get("EXTNAME"))
             .map(_.trim).mkString(", ") + ")")
+    targetMetaAt(hdus, idx)
+  }
+
+  /** The HDU-`idx` metadata with the `columns` option applied. */
+  def targetMetaAt(hdus: Vector[Hdu], idx: Int): HduMeta = {
     val meta = hdus(idx).meta
     (meta, columnsOption) match {
       case (b: HduMeta.Bintable, Some(names)) => b.select(names)
@@ -660,16 +695,19 @@ final class FitsAggScan(res: FitsResolution, kinds: Array[Int])
     val firstSchema = res.inferredSchema
     FitsFiles.parMap(res.files, 16)(p => p -> res.scanFile(p))
       .toArray.flatMap { case (path, hdus) =>
-      val idx = res.hduIndexFor(hdus)
-      if (idx < 0 || idx >= hdus.length) {
+      val idxs = res.hduIndicesFor(hdus)
+        .filter(i => i >= 0 && i < hdus.length)
+      if (idxs.isEmpty) {
         if (res.mode == "FAILFAST") throw new IllegalArgumentException(
           s"$path has no HDU ${res.hduSpec}")
-        None
-      } else {
-        val meta = res.targetMeta(hdus, path)
-        if (meta.schema != firstSchema) {
+        Seq.empty
+      } else idxs.flatMap { idx =>
+        val meta = res.targetMetaAt(hdus, idx)
+        // multi-HDU: non-data HDUs contribute no rows (see planFor)
+        if (res.isMultiHdu && !(meta.isReadable && meta.rowBytes > 0)) None
+        else if (meta.schema != firstSchema) {
           if (res.mode == "FAILFAST") throw new IllegalArgumentException(
-            s"$path HDU ${res.hduSpec} schema differs from first file's")
+            s"$path HDU $idx schema differs from first file's")
           None
         } else if (meta.nRows == 0 && kinds.exists(_ != KindCount))
           None // no rows: must not fabricate 0/−1 extrema
@@ -823,11 +861,16 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
     // targetMeta (not raw meta): the `columns` option reorders/prunes
     // the column set that tableSchema's positions refer to
     val metas = scanFileMetas
-      .collect { case (p, hdus)
-        if { val i = res.hduIndexFor(hdus); i >= 0 && i < hdus.length } =>
-        res.targetMeta(hdus, p)
+      .flatMap { case (_, hdus) =>
+        res.hduIndicesFor(hdus)
+          .filter(i => i >= 0 && i < hdus.length)
+          .map(i => res.targetMetaAt(hdus, i))
       }
-      .filter(m => m.isReadable && m.rowBytes > 0)
+      // schema-mismatched HDUs never plan (see planFor), so they must
+      // not inflate the estimate either — and a mismatched bintable
+      // could have fewer columns than the pruned positions index into
+      .filter(m => m.isReadable && m.rowBytes > 0 &&
+        m.schema == res.inferredSchema)
     // prune-aware row width, bound positionally like planFor (user
     // schemas rename columns) — computed PER FILE: heterogeneous unions
     // (e.g. differing string widths under PERMISSIVE) have different
@@ -923,13 +966,20 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
     var statsSkipFiles = 0
     var statsSkipBytes = 0L
     val readable = fileMetas.flatMap { case (path, hdus) =>
-      val idx = res.hduIndexFor(hdus)
-      if (idx < 0 || idx >= hdus.length) {
-        failOrWarn(s"$path has no HDU ${res.hduSpec}; skipping"); None
-      } else {
-        val meta = res.targetMeta(hdus, path)
-        if (meta.schema != firstSchema) {
-          failOrWarn(s"$path HDU ${res.hduSpec} schema ${meta.schema.simpleString} " +
+      val idxs = res.hduIndicesFor(hdus)
+        .filter(i => i >= 0 && i < hdus.length)
+      if (idxs.isEmpty) {
+        failOrWarn(s"$path has no HDU ${res.hduSpec}; skipping")
+        Seq.empty
+      } else idxs.flatMap { idx =>
+        val meta = res.targetMetaAt(hdus, idx)
+        // multi-HDU union: non-data HDUs (the MEF primary under `all`)
+        // skip silently; a READABLE HDU whose schema differs is a real
+        // union conflict and goes through the mode handling below
+        if (res.isMultiHdu &&
+          !(meta.isReadable && meta.nRows > 0 && meta.rowBytes > 0)) None
+        else if (meta.schema != firstSchema) {
+          failOrWarn(s"$path HDU $idx schema ${meta.schema.simpleString} " +
             s"differs from first file's ${firstSchema.simpleString}; skipping")
           None
         } else if (meta.isReadable && meta.nRows > 0 && meta.rowBytes > 0) {
