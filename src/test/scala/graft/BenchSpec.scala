@@ -107,4 +107,40 @@ class BenchSpec extends AnyFunSuite {
       Seq(line("driver", degraded = false, 2000, 2000, 300, 700)),
       Map("fits_scan_mb_s" -> 100.0), machineCpus = 32).isEmpty)
   }
+
+  test("quietBase: latest prior labeled non-degraded same-key-count run") {
+    def rec(run: String, ts: String, total: Double, nKeys: Int,
+        degraded: Boolean = false): String = {
+      val qs = (1 to nKeys).map(i => s""""q$i":1.0""").mkString(",")
+      s"""{"metric":"total","value":$total,"unit":"sec","run":"$run",""" +
+        s""""ts":"$ts","queries":{$qs},"degraded":$degraded}"""
+    }
+    val history = Seq(
+      rec("r17-base1", "2026-08-01T00:00:00Z", 50.0, 3),
+      rec("r17-base2", "2026-08-02T00:00:00Z", 51.0, 3),
+      rec("r17-busy", "2026-08-03T00:00:00Z", 80.0, 3, degraded = true),
+      rec("driver", "2026-08-04T00:00:00Z", 81.0, 3),
+      rec("r17-other-count", "2026-08-05T00:00:00Z", 52.0, 4))
+    // latest prior quiet base at 3 keys = base2 (busy is degraded,
+    // driver is excluded, other-count has 4 keys)
+    assert(Bench.quietBase(history, 3, "2026-08-10T00:00:00Z") ==
+      Some(("r17-base2", 51.0)))
+    // key-count mismatch → no base (new keys this round): abstain
+    assert(Bench.quietBase(history, 5, "2026-08-10T00:00:00Z").isEmpty)
+    // only strictly-older records qualify (self-exclusion by ts)
+    assert(Bench.quietBase(history, 3, "2026-08-01T12:00:00Z") ==
+      Some(("r17-base1", 50.0)))
+    // empty history abstains
+    assert(Bench.quietBase(Nil, 3, "2026-08-10T00:00:00Z").isEmpty)
+  }
+
+  test("closeout.py refuses an injected per-key regression (tool unit test)") {
+    import scala.sys.process._
+    val out = new StringBuilder
+    val code = Process(Seq("python3", "tools/test_closeout.py"))
+      .!(ProcessLogger(l => out.append(l).append('\n'),
+        l => out.append(l).append('\n')))
+    assert(code == 0, out.toString)
+    assert(out.toString.contains("ALL GREEN"), out.toString)
+  }
 }

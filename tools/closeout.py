@@ -20,9 +20,17 @@ Checks (each one that is missing is reported, not silently skipped):
   - optional --tests <sbt test log>        -> parses "Tests: succeeded N,
     failed M" lines; M must be 0 on every suite block
 
+  - per-key A/B (r17 verdict ask #8): BENCH_SUMMARY.json vs the latest
+    PRIOR labeled non-degraded BENCH_HISTORY.jsonl record with the same
+    key count; any key slower than both 1.5x and +0.3s (bench_diff.py's
+    reporting thresholds) is a red gate. No same-key-count prior base
+    (keys added this round) -> the gate abstains with a note.
+
 Usage: closeout.py [--verify selfcheck.json] [--tests sbt_test.log]
+                   [--skip-docs]
 Run it from the repo root. Output is the close-out markdown on stdout;
-paste it verbatim into COVERAGE.md.
+paste it verbatim into COVERAGE.md. --skip-docs drops the generated-docs
+sync check (for the tool's own unit test, which runs in a temp dir).
 """
 import json
 import os
@@ -40,12 +48,15 @@ def load(path):
 def main() -> int:
     args = sys.argv[1:]
     verify_path = tests_path = None
+    skip_docs = False
     i = 0
     while i < len(args):
         if args[i] == "--verify":
             verify_path = args[i + 1]; i += 2
         elif args[i] == "--tests":
             tests_path = args[i + 1]; i += 2
+        elif args[i] == "--skip-docs":
+            skip_docs = True; i += 1
         else:
             print(f"unknown arg {args[i]}", file=sys.stderr)
             return 2
@@ -154,6 +165,56 @@ def main() -> int:
             f"{len(b.get('queries', {}))} keys** (run `{run}`, "
             f"degraded={str(deg).lower()}); {probe_txt}.")
 
+    # --- per-key regression gate (r17 verdict ask #8) -------------------
+    # Mechanize the round's A/B discipline: the committed quiet base vs
+    # the latest PRIOR labeled non-degraded history record at the SAME
+    # key count. Regressions beyond bench_diff.py's reporting
+    # thresholds (>=1.5x AND >=0.3s slower) are red, not narrative.
+    if b is not None and os.path.exists("BENCH_HISTORY.jsonl"):
+        cur_key = (b.get("run"), b.get("ts"))
+        nq = b.get("queries", {})
+        base = None
+        with open("BENCH_HISTORY.jsonl") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if rec.get("run") in ("driver", "unlabeled", None):
+                    continue
+                if rec.get("degraded", True):
+                    continue
+                if (rec.get("run"), rec.get("ts")) == cur_key:
+                    continue
+                if rec.get("ts", "") >= (b.get("ts") or ""):
+                    continue
+                if len(rec.get("queries", {})) != len(nq):
+                    continue
+                base = rec  # latest prior wins (file is append-ordered)
+        if base is None:
+            lines.append("- Per-key A/B gate: no prior same-key-count "
+                         "quiet base in history (keys changed this "
+                         "round) — gate abstains.")
+        else:
+            oq = base.get("queries", {})
+            regs = []
+            for k in sorted(set(oq) & set(nq)):
+                a, n = oq[k], nq[k]
+                if a <= 0 or n <= 0:
+                    continue
+                if n - a >= 0.3 and n / a >= 1.5:
+                    regs.append(f"{k} {a:.2f}s->{n:.2f}s ({n / a:.2f}x)")
+            if regs:
+                red.append("per-key regression vs quiet base "
+                           f"`{base.get('run')}`: {regs}")
+            lines.append(
+                f"- Per-key A/B vs `{base.get('run')}`: "
+                + (f"**{len(regs)} regression(s)**: {regs}" if regs
+                   else f"**no regression** beyond 1.5x/0.3s over "
+                        f"{len(set(oq) & set(nq))} shared keys."))
+
     # --- leak / copy ---------------------------------------------------
     leak = load("LEAKCHECK.json")
     if leak is None or leak.get("n_hits", 1) != 0:
@@ -173,18 +234,19 @@ def main() -> int:
            else f"COPYCHECK flagged={copy.get('flagged')}."))
 
     # --- generated docs stay in sync with the registries ---------------
-    import subprocess
-    here = os.path.dirname(os.path.abspath(__file__))
-    gen = subprocess.run(
-        [sys.executable, os.path.join(here, "gen_docs.py"), "--check"],
-        capture_output=True, text=True)
-    if gen.returncode != 0:
-        red.append("docs/operator-reference.md is stale — run "
-                   "tools/gen_docs.py")
-    lines.append(
-        "- docs/operator-reference.md "
-        + ("in sync with the query registries." if gen.returncode == 0
-           else "STALE."))
+    if not skip_docs:
+        import subprocess
+        here = os.path.dirname(os.path.abspath(__file__))
+        gen = subprocess.run(
+            [sys.executable, os.path.join(here, "gen_docs.py"), "--check"],
+            capture_output=True, text=True)
+        if gen.returncode != 0:
+            red.append("docs/operator-reference.md is stale — run "
+                       "tools/gen_docs.py")
+        lines.append(
+            "- docs/operator-reference.md "
+            + ("in sync with the query registries." if gen.returncode == 0
+               else "STALE."))
 
     print("### Round closing evidence (script-emitted by tools/closeout.py "
           "from the artifacts at HEAD)\n")
