@@ -864,6 +864,10 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
       .flatMap { case (_, hdus) =>
         res.hduIndicesFor(hdus)
           .filter(i => i >= 0 && i < hdus.length)
+          // value-domain skip counts in the ESTIMATE too: a selective
+          // predicate over a sorted archive must report the pruned
+          // size, or Catalyst sizes joins as if every file scanned
+          .filterNot(i => statsExclude(hdus, i))
           .map(i => res.targetMetaAt(hdus, i))
       }
       // schema-mismatched HDUs never plan (see planFor), so they must

@@ -69,6 +69,10 @@ class FitsStatsSkipSpec extends SparkTestBase {
     assert(planned * 4 <= total, s"planned=$planned total=$total")
     // explain/UI visibility
     assert(fs.description().contains("statsFilters="), fs.description())
+    // the statistics ESTIMATE shrinks too (join-planning honesty):
+    // 4 of 5 files skipped → at most one file's rows reported
+    assert(fs.estimateStatistics().numRows().getAsLong <= 100,
+      fs.estimateStatistics().numRows())
   }
 
   test("EqualTo and In skip every non-covering file; double-column ranges too") {
