@@ -76,17 +76,30 @@ CHECKS = {
                       ELSE 0 END AS BIGINT)), ',') AS px_csv
         FROM d WHERE img_line BETWEEN 100 AND 299
         ORDER BY img_line""", None),
+    # r18: the fixture write is parallel and lines self-identify, so
+    # the replay keys on the DECODED doc_id (order-independent)
     "q39_fits_cutout2d": ("full", """
-        WITH d AS (
-          SELECT doc_id, substr(text, 1, 100) AS t,
-                 row_number() OVER (ORDER BY doc_id) - 1 AS img_line
-          FROM documents WHERE doc_id < 1000000)
-        SELECT img_line,
+        SELECT doc_id,
           array_to_string(list_transform(range(1, 101),
             j -> CAST(CASE WHEN j <= len(t) THEN ord(substr(t, j, 1))
                       ELSE 0 END AS BIGINT)), ',') AS px_csv
-        FROM d WHERE img_line BETWEEN 100 AND 299
-        ORDER BY img_line""", None),
+        FROM (SELECT doc_id, substr(text, 1, 100) AS t FROM documents
+              WHERE doc_id < 1000000)
+        WHERE doc_id BETWEEN 100 AND 299
+        ORDER BY doc_id""", None),
+    # value-domain data skipping (r18): bounded band replay — skipping
+    # must never change the result; valid at any scale (replica-0 pin)
+    "q41_fits_skip": ("full", """
+        SELECT event_id, user_id, value FROM events
+        WHERE event_id < 1000000 AND event_id BETWEEN 100 AND 299
+          AND value > -1e18
+        ORDER BY event_id""", None),
+    # multi-HDU MEF union (r18): each row's _hdu is its mod-3 slice + 1
+    "q42_fits_multihdu": ("full", """
+        SELECT event_id, user_id,
+          CAST(event_id % 3 + 1 AS INTEGER) AS hdu
+        FROM events WHERE event_id < 1000000
+        ORDER BY event_id""", None),
     "q40_fits_tdim": ("full", """
         SELECT doc_id, CAST(2 AS INT) AS d2, CAST(3 AS INT) AS d1,
           array_to_string(list_transform(range(1, 7),
