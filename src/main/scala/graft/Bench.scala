@@ -46,13 +46,14 @@ object Bench {
     * canary page-cache pressure), so 0.5 would false-positive on
     * history the builder already adjudicated green. Returns the
     * lagging field names so the artifact can say WHICH probe tripped. */
-  /** The latest labeled, non-degraded history record with exactly
-    * `nKeys` queries that is strictly OLDER than `beforeTs` — the
-    * quiet base a driver-invoked total is compared against (r17
-    * verdict ask #6: the committed headline must self-diagnose an
+  /** The latest labeled, non-degraded history record with exactly the
+    * SAME key set that is strictly OLDER than `beforeTs` — the quiet
+    * base a driver-invoked total is compared against (r17 verdict ask
+    * #6: the committed headline must self-diagnose an
     * environment-confounded total instead of leaving the judge to
-    * A/B by hand). Returns (run label, total seconds). */
-  private[graft] def quietBase(history: Seq[String], nKeys: Int,
+    * A/B by hand). Key SET, not count: a same-count rename/swap is a
+    * different surface and must abstain. Returns (label, total sec). */
+  private[graft] def quietBase(history: Seq[String], keys: Set[String],
       beforeTs: String): Option[(String, Double)] = {
     def labelOf(l: String): Option[String] =
       "\"run\":\"([^\"]*)\"".r.findFirstMatchIn(l).map(_.group(1))
@@ -61,25 +62,26 @@ object Bench {
     def totalOf(l: String): Option[Double] =
       "\"metric\":\"total\",\"value\":(-?[0-9.]+)".r
         .findFirstMatchIn(l).map(_.group(1).toDouble)
-    def keyCount(l: String): Int = {
-      val open = l.indexOf("\"queries\":{")
-      if (open < 0) return -1
-      val start = open + "\"queries\":".length
-      val end = l.indexOf('}', start)
-      if (end < 0) -1
-      else {
-        val body = l.substring(start + 1, end)
-        if (body.trim.isEmpty) 0 else body.count(_ == ':')
-      }
-    }
     history.reverseIterator
       .filter(_.contains("\"degraded\":false"))
       .filter(l => labelOf(l).exists(lb =>
         lb != "driver" && lb != "unlabeled"))
       .filter(l => tsOf(l).exists(_ < beforeTs))
-      .filter(l => keyCount(l) == nKeys)
+      .filter(l => keySetOf(l) == keys)
       .flatMap(l => for { lb <- labelOf(l); t <- totalOf(l) } yield (lb, t))
       .nextOption()
+  }
+
+  /** Key NAMES of a history line's queries map — a count alone lets a
+    * same-count key rename slip past the same-surface comparison. */
+  private[graft] def keySetOf(l: String): Set[String] = {
+    val open = l.indexOf("\"queries\":{")
+    if (open < 0) return Set.empty
+    val start = open + "\"queries\":".length
+    val end = l.indexOf('}', start)
+    if (end < 0) Set.empty
+    else "\"([^\"]+)\":".r.findAllMatchIn(l.substring(start + 1, end))
+      .map(_.group(1)).toSet
   }
 
   private[graft] def laggingProbes(history: Seq[String],
@@ -382,7 +384,7 @@ object Bench {
     // the raw series lets a reader see the machine's actual shape
     val loadSeries = {
       val n = loadTrace.length
-      val step = math.max(1, n / 40)
+      val step = math.max(1, (n + 39) / 40) // ceiling: keep ≤40 points
       loadTrace.zipWithIndex.collect {
         case ((t, l), i) if i % step == 0 || i == n - 1 =>
           f"[${(t - runStartWall) / 1e9}%.0f,$l%.1f]"
@@ -392,7 +394,8 @@ object Bench {
     // SAME-KEY-COUNT labeled quiet base — a >1.3x gap on unchanged
     // code is the environment, and the artifact must say so itself
     val runTs = java.time.Instant.now().toString
-    val base = quietBase(historyLines, results.length, runTs)
+    val base = quietBase(historyLines,
+      results.map(_._1).toSet, runTs)
     val suspect = base.exists { case (_, bt) => bt > 0 && total > bt * 1.3 }
     val suspectFields = base match {
       case Some((lb, bt)) =>

@@ -95,20 +95,36 @@ final case class FitsResolution(options: Map[String, String]) {
         .exists(n => hduTokens.headOption.exists(n.trim.equalsIgnoreCase)))
     }
 
-  /** EVERY target HDU index in one file, in file order, deduplicated:
-    * the parsed list (index or EXTNAME per token; unresolved names
-    * drop out, like a missing index they surface via the planner's
-    * mode handling), or all readable data-bearing HDUs for `all`. */
+  /** Per-token resolution in one file: (token, index) with −1 /
+    * out-of-range preserved, so the planner can report EACH
+    * unresolved token through the session mode (a list `"1,9"` with
+    * only HDU 1 present must FAILFAST like a bare `"9"` would, not
+    * silently return HDU 1's rows). Empty for `all`. */
+  def hduResolutionsFor(hdus: Vector[Hdu]): Seq[(String, Int)] =
+    if (isAllHdu) Seq.empty
+    else hduTokens.map { tok =>
+      tok -> tok.toIntOption.getOrElse {
+        hdus.indexWhere(_.header.values.get("EXTNAME")
+          .exists(_.trim.equalsIgnoreCase(tok)))
+      }
+    }
+
+  /** EVERY resolved target HDU index in one file, in file order,
+    * deduplicated: the parsed list (index or EXTNAME per token), or
+    * all readable data-bearing HDUs for `all`. Unresolved tokens are
+    * absent here — diagnose them via [[hduResolutionsFor]]. */
   def hduIndicesFor(hdus: Vector[Hdu]): Seq[Int] =
     if (isAllHdu)
       hdus.indices.filter(i =>
         hdus(i).meta.isReadable && hdus(i).meta.rowBytes > 0)
-    else hduTokens.map { tok =>
-      tok.toIntOption.getOrElse {
-        hdus.indexWhere(_.header.values.get("EXTNAME")
-          .exists(_.trim.equalsIgnoreCase(tok)))
-      }
-    }.distinct
+    else hduResolutionsFor(hdus).map(_._2)
+      .filter(i => i >= 0 && i < hdus.length).distinct
+
+  /** The `hdu` tokens that resolve to no HDU of this file. */
+  def missingHduTokens(hdus: Vector[Hdu]): Seq[String] =
+    hduResolutionsFor(hdus).collect {
+      case (tok, i) if i < 0 || i >= hdus.length => tok
+    }
 
   lazy val hduIndex: Int = hduSpecIndex.getOrElse {
     val i = hduIndexFor(firstFileHdus)
@@ -559,6 +575,13 @@ private[fits] object FitsStats {
     def bd(s: String): Option[BigDecimal] =
       scala.util.Try(BigDecimal(s.trim)).toOption
     def v(x: Any): Option[BigDecimal] = x match {
+      // Float literals widen to DOUBLE first: the writer tracks float
+      // columns in the widened-double domain (exact, order-preserving),
+      // but Float.toString is the FLOAT's shortest representation —
+      // "0.1f".toString = "0.1" parses to a BigDecimal BELOW the
+      // stored 0.100000001490116…, and the comparison would "prove"
+      // exclusion for a value that matches exactly in float domain
+      case f: java.lang.Float => bd(f.doubleValue.toString)
       case n: java.lang.Number => bd(n.toString)
       case _ => None
     }
@@ -696,12 +719,12 @@ final class FitsAggScan(res: FitsResolution, kinds: Array[Int])
     FitsFiles.parMap(res.files, 16)(p => p -> res.scanFile(p))
       .toArray.flatMap { case (path, hdus) =>
       val idxs = res.hduIndicesFor(hdus)
-        .filter(i => i >= 0 && i < hdus.length)
-      if (idxs.isEmpty) {
-        if (res.mode == "FAILFAST") throw new IllegalArgumentException(
-          s"$path has no HDU ${res.hduSpec}")
-        Seq.empty
-      } else idxs.flatMap { idx =>
+      val missing = res.missingHduTokens(hdus)
+      if (missing.nonEmpty && res.mode == "FAILFAST")
+        throw new IllegalArgumentException(
+          s"$path has no HDU ${missing.mkString(",")}")
+      if (idxs.isEmpty) Seq.empty
+      else idxs.flatMap { idx =>
         val meta = res.targetMetaAt(hdus, idx)
         // multi-HDU: non-data HDUs contribute no rows (see planFor)
         if (res.isMultiHdu && !(meta.isReadable && meta.rowBytes > 0)) None
@@ -971,9 +994,15 @@ final class FitsScan(res: FitsResolution, tableSchema: StructType,
     var statsSkipBytes = 0L
     val readable = fileMetas.flatMap { case (path, hdus) =>
       val idxs = res.hduIndicesFor(hdus)
-        .filter(i => i >= 0 && i < hdus.length)
+      // EVERY unresolved token reports through the mode — a list
+      // "1,9" with only HDU 1 present must FAILFAST like a bare "9"
+      // would, not silently return HDU 1's rows
+      val missing = res.missingHduTokens(hdus)
+      if (missing.nonEmpty)
+        failOrWarn(s"$path has no HDU ${missing.mkString(",")}; skipping")
       if (idxs.isEmpty) {
-        failOrWarn(s"$path has no HDU ${res.hduSpec}; skipping")
+        if (res.isAllHdu)
+          failOrWarn(s"$path has no readable HDU; skipping")
         Seq.empty
       } else idxs.flatMap { idx =>
         val meta = res.targetMetaAt(hdus, idx)

@@ -121,17 +121,22 @@ class BenchSpec extends AnyFunSuite {
       rec("r17-busy", "2026-08-03T00:00:00Z", 80.0, 3, degraded = true),
       rec("driver", "2026-08-04T00:00:00Z", 81.0, 3),
       rec("r17-other-count", "2026-08-05T00:00:00Z", 52.0, 4))
-    // latest prior quiet base at 3 keys = base2 (busy is degraded,
-    // driver is excluded, other-count has 4 keys)
-    assert(Bench.quietBase(history, 3, "2026-08-10T00:00:00Z") ==
+    val k3 = Set("q1", "q2", "q3")
+    // latest prior quiet base with the same key SET = base2 (busy is
+    // degraded, driver is excluded, other-count has 4 keys)
+    assert(Bench.quietBase(history, k3, "2026-08-10T00:00:00Z") ==
       Some(("r17-base2", 51.0)))
-    // key-count mismatch → no base (new keys this round): abstain
-    assert(Bench.quietBase(history, 5, "2026-08-10T00:00:00Z").isEmpty)
+    // key-SET mismatch → no base: new keys this round abstains …
+    assert(Bench.quietBase(history, k3 + "q5",
+      "2026-08-10T00:00:00Z").isEmpty)
+    // … and so does a same-COUNT rename/swap (different surface)
+    assert(Bench.quietBase(history, Set("q1", "q2", "q9"),
+      "2026-08-10T00:00:00Z").isEmpty)
     // only strictly-older records qualify (self-exclusion by ts)
-    assert(Bench.quietBase(history, 3, "2026-08-01T12:00:00Z") ==
+    assert(Bench.quietBase(history, k3, "2026-08-01T12:00:00Z") ==
       Some(("r17-base1", 50.0)))
     // empty history abstains
-    assert(Bench.quietBase(Nil, 3, "2026-08-10T00:00:00Z").isEmpty)
+    assert(Bench.quietBase(Nil, k3, "2026-08-10T00:00:00Z").isEmpty)
   }
 
   test("closeout.py refuses an injected per-key regression (tool unit test)") {

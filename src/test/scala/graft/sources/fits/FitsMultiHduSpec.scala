@@ -114,6 +114,36 @@ class FitsMultiHduSpec extends SparkTestBase {
     assert(msgs(e).exists(_.contains("schema")), e)
   }
 
+  test("an unresolved token in a list surfaces through the mode — " +
+      "FAILFAST throws even when other tokens resolve") {
+    val dir = Files.createTempDirectory("fits-mef").toString + "/miss"
+    writeMef(dir, Seq((0L, 10), (100L, 20)))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // index out of range alongside a valid one
+    val e1 = intercept[Exception] {
+      spark.read.format("fits").option("hdu", "1,9")
+        .option("mode", "FAILFAST").load(dir).count()
+    }
+    assert(msgs(e1).exists(_.contains("no HDU 9")), e1)
+    // typo'd EXTNAME alongside a valid one
+    val e2 = intercept[Exception] {
+      spark.read.format("fits").option("hdu", "SCI1,TYPO")
+        .option("mode", "FAILFAST").load(dir).count()
+    }
+    assert(msgs(e2).exists(_.contains("TYPO")), e2)
+    // FAILFAST covers the COUNT(*) metadata-aggregate path too
+    val e3 = intercept[Exception] {
+      spark.read.format("fits").option("hdu", "1,9")
+        .option("mode", "FAILFAST").load(dir)
+        .agg(count(lit(1))).collect()
+    }
+    assert(msgs(e3).exists(_.contains("no HDU 9")), e3)
+    // PERMISSIVE: warn + the resolvable HDUs' rows
+    val ok = spark.read.format("fits").option("hdu", "1,9").load(dir)
+    assert(ok.count() == 10)
+  }
+
   test("multi-HDU across multiple files: file-major, HDU-minor union") {
     val d1 = Files.createTempDirectory("fits-mef").toString + "/m1"
     val d2 = Files.createTempDirectory("fits-mef").toString + "/m2"

@@ -142,6 +142,29 @@ class FitsStatsSkipSpec extends SparkTestBase {
     assert(findFitsScan(qv).lastStatsSkip._1 == 4)
   }
 
+  test("float columns: a shortest-repr Float literal never wrongly skips") {
+    // the writer tracks float stats in the widened-double domain
+    // (0.1f -> 0.100000001490116…); the pushed literal 0.1f stringifies
+    // as "0.1", which sits BELOW that decimal — comparing it raw would
+    // "prove" exclusion for a row that matches exactly in float domain
+    val dir = Files.createTempDirectory("fits-skip").toString + "/flt"
+    Seq((1L, 0.1f), (2L, 0.3f)).toDF("id", "x")
+      .coalesce(1).write.format("fits").mode("overwrite").save(dir)
+    val df = spark.read.format("fits").option("hdu", 1).load(dir)
+    val eq = df.filter($"x" === 0.1f)
+    assert(eq.collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "float EqualTo wrongly skipped")
+    // double-domain comparison against a float column: 0.1f widens
+    // ABOVE the 0.1 double literal, so the row matches and must scan
+    val gt = df.filter($"x" > 0.1)
+    assert(gt.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+      "float-vs-double GreaterThan wrongly skipped")
+    // and a genuinely excluded range still skips
+    val none = df.filter($"x" > 1.0f)
+    assert(none.collect().isEmpty)
+    assert(findFitsScan(none).lastStatsSkip._1 == 1)
+  }
+
   test("nulls excluded from stats; null-only column emits no stats") {
     val dir = Files.createTempDirectory("fits-skip").toString + "/nulls"
     Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))

@@ -190,11 +190,14 @@ def main() -> int:
                     continue
                 if rec.get("ts", "") >= (b.get("ts") or ""):
                     continue
-                if len(rec.get("queries", {})) != len(nq):
+                # key SET, not count: a same-count key rename/swap is a
+                # different surface — comparing it would silently drop
+                # the swapped key from the A/B instead of abstaining
+                if set(rec.get("queries", {})) != set(nq):
                     continue
                 base = rec  # latest prior wins (file is append-ordered)
         if base is None:
-            lines.append("- Per-key A/B gate: no prior same-key-count "
+            lines.append("- Per-key A/B gate: no prior same-key-set "
                          "quiet base in history (keys changed this "
                          "round) — gate abstains.")
         else:

@@ -78,6 +78,14 @@ def main():
         assert r.returncode == 0, f"abstain case went red:\n{r.stderr}"
         assert "abstains" in r.stdout, r.stdout
 
+    # same COUNT but a swapped key: a different surface — the gate must
+    # abstain, not silently shrink the compared set
+    with tempfile.TemporaryDirectory() as d:
+        write_artifacts(d, {"q1": 1.0, "q2": 9.0, "q9": 3.0})
+        r = run_closeout(d)
+        assert r.returncode == 0, f"swap case went red:\n{r.stderr}"
+        assert "abstains" in r.stdout, r.stdout
+
     print("test_closeout: ALL GREEN")
     return 0
 
