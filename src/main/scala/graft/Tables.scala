@@ -31,6 +31,20 @@ object Tables {
   def withNanosAsLong(b: SparkSession.Builder): SparkSession.Builder =
     b.config(NanosAsLongKey, "true")
 
+  /** Session defaults shared by every entry point (Bench, Verify, the
+    * dev tools, the test base). Currently only the nanos-layout parquet
+    * compat flag. Measured-and-rejected here (r18 optimization round):
+    * lowering `spark.sql.adaptive.coalescePartitions.minPartitionSize`
+    * to 16 KB to spread CPU-dense tiny-byte shuffle stages — 4-rep
+    * min-of-N got WORSE on every probed key (dedup_ngram 1.83→2.26 s,
+    * dedup_simhash_vs_ngram 3.13→4.67 s, embed_outliers 1.51→2.04 s):
+    * at the graded SFs the extra tiny tasks cost more in scheduling/GC
+    * than the added parallelism wins. Where single-task CPU density is
+    * real, the fix is the targeted [[graft.util.Par.spread]] at the
+    * operator, not a session-wide floor. */
+  def sessionDefaults(b: SparkSession.Builder): SparkSession.Builder =
+    withNanosAsLong(b)
+
   /** `events.ts` has shipped in two parquet layouts: TIMESTAMP(NANOS)
     * (loads as a raw long under [[NanosAsLongKey]] — Spark's reader has
     * no native nanos type) and TIMESTAMP(MICROS) (loads natively as a

@@ -36,7 +36,7 @@ object Verify {
       require(unknown.isEmpty, s"unknown query keys: ${unknown.mkString(",")}")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = Tables.withNanosAsLong(SparkSession.builder())
+    val spark = Tables.sessionDefaults(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -47,7 +47,7 @@ object CanaryGen {
     val out = args(1)
     val reps = if (args.length > 2) args(2).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Tables.withNanosAsLong(SparkSession.builder())
+    val spark = Tables.sessionDefaults(SparkSession.builder())
       .master(s"local[$cpus]")
       .appName("graft-canary-gen")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -16,7 +16,7 @@ object QueryTime {
     val name = args(1)
     val reps = if (args.length > 2) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Tables.withNanosAsLong(SparkSession.builder())
+    val spark = Tables.sessionDefaults(SparkSession.builder())
       .master(s"local[$cpus]")
       .appName("graft-querytime")
       .config("spark.sql.shuffle.partitions", cpus)

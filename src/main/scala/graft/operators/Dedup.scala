@@ -60,6 +60,14 @@ object Dedup {
     * own aggregation work (r13 verdict ask #5). */
   private[operators] def shingleHashesFor(s: SparkSession, dir: String): DataFrame =
     shingleMemo.computeIfAbsent((s, dir), _ =>
+      // measured-and-rejected (r18 opt round): Par.spread(docs) before
+      // the explode — it fans the single-file scan out to 32 partitions,
+      // but the five memo consumers then each pay 32-task scheduling on
+      // KB-sized partials (best-of-3 subset A/B: dedup_simhash 1.79→
+      // 2.69 s, dedup_minhash 1.41→1.79, planted 0.95→1.29, vs only
+      // dedup_ngram −0.13 and vs_ngram −0.38 — net +1.1 s across the
+      // family). At production scan parallelism the question is moot:
+      // the scan itself plans thousands of splits.
       docs(s, dir)
         .select(col("doc_id"),
           explode(GraftFunctions.word_shingle_hashes(col("text"), 3)).as("h"))
@@ -72,6 +80,8 @@ object Dedup {
     * re-shingle the corpus. Spec-facing variant for arbitrary frames;
     * the declared queries go through [[shingleHashesFor]]. */
   private[operators] def shingleHashes(d: DataFrame): DataFrame = {
+    // no Par.spread here either: same family-wide regression as the
+    // memoized variant above (dedup_simhash_planted 0.95→1.29 s)
     val hashed = d
       .select(col("doc_id"),
         explode(GraftFunctions.word_shingle_hashes(col("text"), 3)).as("h"))
@@ -339,13 +349,17 @@ object Dedup {
     embedNearDupPairs(s, e.unionByName(planted))
   }
 
-  private def embedNearDupPairs(s: SparkSession, e: DataFrame): DataFrame = {
+  private def embedNearDupPairs(s: SparkSession, e0: DataFrame): DataFrame = {
+    // measured-and-rejected (r18 opt round): Par.spread(e0) here — the
+    // sign-signature pass is too cheap for the exchange to pay off
+    // (best-of-3: dedup_embed 1.05→1.47 s, planted 0.99→1.28 s)
+    val e = e0
     val nBands = intConf(s, "spark.graft.dedup.embedBands", 8)
     require(nBands >= 1 && nBands <= 64,
       s"spark.graft.dedup.embedBands out of range: $nBands")
     val bandBits = s.conf.getOption("spark.graft.dedup.embedBandBits")
       .getOrElse("auto") match {
-      case "auto" => math.min(24, math.max(8, ceilLog2(e.count() / 64)))
+      case "auto" => math.min(24, math.max(8, ceilLog2(e0.count() / 64)))
       case v => v.toInt
     }
     require(bandBits >= 1 && bandBits <= 24,

@@ -358,10 +358,25 @@ object Multimodal {
     * (r9 verdict ask #8). The float features (mean/std) and the
     * stubbed compressed-codec path stay spec-asserted — float feature
     * rounding is not bit-stable across engines, integers are. */
+  /** documents loaded for a REAL-codec pass (PNG/JPEG), spread across
+    * the cluster (guide §2.5): the per-row ImageIO/deflate CPU
+    * dominates these keys, and a single-row-group tiny-SF scan plans
+    * ONE task — measured 340 ms single-task PNG decode while 31 cores
+    * idled; best-of-3 subset A/B: mm_png_features 0.59→0.40 s,
+    * mm_jpeg_features 0.53→0.36 s. No-op at production scan
+    * parallelism ([[graft.util.Par.spread]]). The cheap integer-byte
+    * keys (features/downsample/wav) deliberately use [[plainDocs]]:
+    * for them the exchange costs more than the map saves (A/B:
+    * +0.08..0.12 s each). */
+  private def mediaDocs(s: SparkSession, dir: String) =
+    graft.util.Par.spread(plainDocs(s, dir), col("doc_id"))
+
+  private def plainDocs(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+
   val mm_features: Q = (s, dir) => {
     import s.implicits._
-    val media = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("text"))
+    val media = plainDocs(s, dir)
       .as[(Long, String)]
       .map { case (id, text) =>
         val payload = text.getBytes("UTF-8")
@@ -391,8 +406,7 @@ object Multimodal {
     * the honest determinism boundary, documented here on purpose. */
   val mm_downsample: Q = (s, dir) => {
     import s.implicits._
-    val media = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("text"))
+    val media = plainDocs(s, dir)
       .as[(Long, String)]
       .map { case (id, text) =>
         val payload = text.getBytes("UTF-8")
@@ -426,8 +440,8 @@ object Multimodal {
     * a bounded-error contract instead of an equality oracle. */
   val mm_png_features: Q = (s, dir) => {
     import s.implicits._
-    val media = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val media = mediaDocs(s, dir)
+      .as[(Long, String)]
       .flatMap { case (id, text) =>
         val b = text.getBytes("UTF-8")
         if (b.isEmpty) None
@@ -451,8 +465,8 @@ object Multimodal {
     * corpus: both bytes < 128, so every sample is a positive int16). */
   val mm_wav_features: Q = (s, dir) => {
     import s.implicits._
-    val media = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val media = plainDocs(s, dir)
+      .as[(Long, String)]
       .flatMap { case (id, text) =>
         val b = text.getBytes("UTF-8")
         val n = b.length / 2
@@ -506,8 +520,8 @@ object Multimodal {
     * binary column in, typed feature struct out. */
   val mm_jpeg_features: Q = (s, dir) => {
     import s.implicits._
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    mediaDocs(s, dir)
+      .as[(Long, String)]
       .flatMap { case (id, text) =>
         val b = text.getBytes("UTF-8")
         if (b.isEmpty) None
@@ -546,8 +560,9 @@ object Multimodal {
     * valid at any corpus scale. */
   val mm_jpeg_planted: Q = (s, dir) => {
     import s.implicits._
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id")).as[Long]
+    graft.util.Par.spread(
+      Tables.load(s, dir, "documents").select(col("doc_id")),
+      col("doc_id")).as[Long]
       .map { id =>
         val w = 32 + (id % 97).toInt
         val v = 30 + (id % 201).toInt

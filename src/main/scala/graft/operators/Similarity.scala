@@ -58,7 +58,11 @@ object Similarity {
     val e = embs(s, dir)
     val queries = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val scored = e.crossJoin(broadcast(queries))
+    // corpus side: a single-file scan plans 1 task and the per-row
+    // cosine scoring serializes on one core — spread it (no-op at
+    // production scan parallelism, guide §2.5)
+    val scored = graft.util.Par.spread(e, col("vec_id"))
+      .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         VectorFunctions.cosine_sim(col("q_emb"), col("embedding")).as("sim"))
@@ -87,8 +91,9 @@ object Similarity {
     val bandBits = 64 / nBands
     val bandMask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     val e = embs(s, dir)
-    val sigs = e.select(col("vec_id"), col("embedding"),
-      VectorFunctions.sim_signature(col("embedding"), 64).as("sig"))
+    val sigs = graft.util.Par.spread(e, col("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.sim_signature(col("embedding"), 64).as("sig"))
     def bands(d: DataFrame, idCol: String, embCol: String): DataFrame = {
       val bandCols: Seq[Column] =
         (0 until nBands).map(j =>
@@ -459,8 +464,9 @@ object Similarity {
     val e = embs(s, dir)
     val q8 = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), quantizeInt8(col("embedding")).as("qv"))
-    val c8 = e.select(col("vec_id").as("neighbor_id"),
-      quantizeInt8(col("embedding")).as("cv"))
+    val c8 = graft.util.Par.spread(e, col("vec_id"))
+      .select(col("vec_id").as("neighbor_id"),
+        quantizeInt8(col("embedding")).as("cv"))
     val scored = c8.crossJoin(broadcast(q8))
       .filter(col("neighbor_id") =!= col("q_id"))
       .select(col("q_id"), col("neighbor_id"),
@@ -495,11 +501,17 @@ object Similarity {
     * sums, never vectors; the tiny (labels × dims) centroid frame
     * broadcasts back; scoring is in-row; the bottom-k per label is the
     * [[VectorFunctions.topk_agg]] heap — no Window funnel, no
-    * collect_list of the corpus. The corpus itself never shuffles. */
+    * collect_list of the corpus. At production scan parallelism the
+    * corpus itself never shuffles (the spread below is a no-op there;
+    * it only fans out single-row-group tiny-SF scans). */
   val embed_outliers: Q = (s, dir) => {
     val e = embs(s, dir)
-    val q8 = e.select(col("vec_id"), col("label"),
-      quantizeInt8(col("embedding")).as("v"))
+    // quantization + dot products are the CPU: spread the single-file
+    // scan so they parallelize; both consumers (sums, scored) reuse
+    // the one exchange. No-op at production scan parallelism.
+    val q8 = graft.util.Par.spread(e, col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        quantizeInt8(col("embedding")).as("v"))
     val sums = q8
       .select(col("label"), posexplode(col("v")))
       .groupBy(col("label"), col("pos"))

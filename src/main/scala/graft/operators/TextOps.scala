@@ -149,6 +149,9 @@ object TextOps {
   val text_rarity: Q = (s, dir) => {
     val d = docs(s, dir).filter(expr("length(text) = octet_length(text)"))
     val n = d.count() // metadata-only count job (parquet row counts)
+    // measured-and-rejected (r18 opt round): Par.spread(d) before the
+    // token explode — best-of-3 subset A/B 0.78→0.83 s; the token_tf
+    // pass is too cheap here for the exchange to pay off
     val tf = d
       .select(col("doc_id"),
         explode(GraftFunctions.token_tf(col("text"))).as("t"))
@@ -179,6 +182,9 @@ object TextOps {
     * count, so string-order tie breaks at rank 50 stay exact. */
   val text_bigrams: Q = (s, dir) => {
     import s.implicits._
+    // measured-and-rejected (r18 opt round): Par.spread(d) — both
+    // passes re-pay the exchange and the n-gram hash is cheaper than
+    // it (best-of-3: 0.74→1.08 s)
     val d = docs(s, dir)
     val hashCounts = d
       .select(explode(GraftFunctions.word_ngram_hashes(col("text"), 2)).as("h"))

@@ -12,7 +12,7 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkTestBase {
-  lazy val session: SparkSession = Tables.withNanosAsLong(SparkSession.builder())
+  lazy val session: SparkSession = Tables.sessionDefaults(SparkSession.builder())
     .master("local[8]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "8")

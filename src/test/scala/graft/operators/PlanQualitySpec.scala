@@ -145,8 +145,12 @@ class PlanQualitySpec extends SparkTestBase {
 
   test("mm codec pipelines are one shuffle-free pass (plus the output sort)") {
     // the decode/encode/feature work is mapPartitions over the scan —
-    // the ONLY exchange in the plan may be the deterministic orderBy's
-    // range partition
+    // the ONLY exchanges in the plan may be the deterministic orderBy's
+    // range partition and, for the REAL-codec keys (PNG/JPEG), the
+    // scale-adaptive Par.spread repartition that fans a single-task
+    // tiny-SF scan out before the expensive decode (REPARTITION_BY_NUM
+    // on doc_id; a no-op at production scan parallelism — r18
+    // optimization round, measured: png 0.59→0.40 s at sf0.1)
     Seq("mm_features" -> Multimodal.mm_features,
       "mm_png_features" -> Multimodal.mm_png_features,
       "mm_wav_features" -> Multimodal.mm_wav_features).foreach {
@@ -159,8 +163,10 @@ class PlanQualitySpec extends SparkTestBase {
           .filter(l => l.contains("Exchange") && !l.contains("Broadcast"))
           .toSeq
         withClue(s"$name: ") {
-          assert(exchanges.forall(_.contains("rangepartitioning")),
-            s"only the output sort may shuffle:\n$plan")
+          assert(exchanges.forall(l =>
+            l.contains("rangepartitioning") ||
+              l.contains("REPARTITION_BY_NUM")),
+            s"only the output sort and the spread may shuffle:\n$plan")
           assert(!plan.contains("Join"), plan)
         }
     }
