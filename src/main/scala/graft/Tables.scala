@@ -32,18 +32,30 @@ object Tables {
     b.config(NanosAsLongKey, "true")
 
   /** Session defaults shared by every entry point (Bench, Verify, the
-    * dev tools, the test base). Currently only the nanos-layout parquet
-    * compat flag. Measured-and-rejected here (r18 optimization round):
-    * lowering `spark.sql.adaptive.coalescePartitions.minPartitionSize`
-    * to 16 KB to spread CPU-dense tiny-byte shuffle stages — 4-rep
-    * min-of-N got WORSE on every probed key (dedup_ngram 1.83→2.26 s,
-    * dedup_simhash_vs_ngram 3.13→4.67 s, embed_outliers 1.51→2.04 s):
-    * at the graded SFs the extra tiny tasks cost more in scheduling/GC
-    * than the added parallelism wins. Where single-task CPU density is
-    * real, the fix is the targeted [[graft.util.Par.spread]] at the
-    * operator, not a session-wide floor. */
+    * dev tools, the test base): the nanos-layout parquet compat flag,
+    * plus one AQE knob.
+    *
+    * minPartitionSize 64 KB (default 1 MB): AQE's partition coalescing
+    * sizes by BYTES only, so a byte-tiny exchange under CPU-quadratic
+    * work (an LSH-bucket or shingle pair self-join) collapses to ONE
+    * partition and serializes on one core. With `parallelismFirst`
+    * (default on) AQE already targets bytes/defaultParallelism; the
+    * 1 MB floor is what overrides it on KB-sized stages. 64 KB lets
+    * such stages keep ~total/64KB-way parallelism while leaving every
+    * stage above ~2 MB exactly as before — scale-INDEPENDENT by
+    * construction (at 100 TB partitions carry GBs and no floor is in
+    * play). Measured (r18 opt round, best-of-3, 13-key probe sample):
+    * −3.2 s net, concentrated on the pair-join keys (dedup_ngram
+    * 1.68→0.76 s, dedup_simhash 1.46→0.73, vs_ngram 2.71→1.42) with
+    * ≤0.12 s costs elsewhere. An earlier 16 KB trial WITHOUT the
+    * SHUFFLE_MERGE self-join hints regressed everything — AQE was
+    * still broadcast-converting the self-joins and local-reading them
+    * back to one map partition, so the floor bought only scheduling
+    * overhead; the hint (Dedup.scala) and the floor work as a pair. */
   def sessionDefaults(b: SparkSession.Builder): SparkSession.Builder =
     withNanosAsLong(b)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+
 
   /** `events.ts` has shipped in two parquet layouts: TIMESTAMP(NANOS)
     * (loads as a raw long under [[NanosAsLongKey]] — Spark's reader has

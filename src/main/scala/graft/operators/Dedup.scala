@@ -132,7 +132,14 @@ object Dedup {
     val joinable = sh.join(shared, Seq("h"))
     val a = joinable.select(col("doc_id").as("a_id"), col("h"))
     val b = joinable.select(col("doc_id").as("b_id"), col("h"))
-    val inter = a.join(b, Seq("h"))
+    // SHUFFLE_MERGE: without it AQE runtime-converts this self-join to
+    // a broadcast join and swaps the pinned exchange for a LOCAL
+    // shuffle read — collapsing the pair expansion back to the
+    // upstream's single map partition (the exact serialization the pin
+    // exists to prevent). A pair self-join of the full shingle table
+    // must never broadcast at scale either, so the hint states the
+    // 100 TB-correct strategy, not a local tweak.
+    val inter = a.hint("SHUFFLE_MERGE").join(b, Seq("h"))
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter"))
@@ -592,7 +599,10 @@ object Dedup {
     val kept = guardedBands(bands0)
     val x = kept.select(col("doc_id").as("a_id"), col("band"), col("bv"))
     val y = kept.select(col("doc_id").as("b_id"), col("band"), col("bv"))
-    x.join(y, Seq("band", "bv"))
+    // SHUFFLE_MERGE for the same reason as jaccardPairs: keep AQE from
+    // broadcast-converting the bucket self-join and local-reading away
+    // the pinned exchange (pair expansion would serialize on one task)
+    x.hint("SHUFFLE_MERGE").join(y, Seq("band", "bv"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()
@@ -611,7 +621,7 @@ object Dedup {
       col(extra).as("_xa"))
     val y = kept.select(col("doc_id").as("b_id"), col("band"), col("bv"),
       col(extra).as("_xb"))
-    x.join(y, Seq("band", "bv"))
+    x.hint("SHUFFLE_MERGE").join(y, Seq("band", "bv"))
       .filter(col("a_id") < col("b_id") && pairKeep(col("_xa"), col("_xb")))
       .select(col("a_id"), col("b_id"))
       .distinct()

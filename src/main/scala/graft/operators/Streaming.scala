@@ -99,17 +99,55 @@ object Streaming {
     try f finally s.conf.set(key, old)
   }
 
+  /** Checkpoint base for the bounded replays (guide §6: I/O placement).
+    * Every micro-batch pays offset-WAL + commit-log + state-store
+    * delta-file writes with fsyncs into the checkpoint dir; on this
+    * host java.io.tmpdir is a VM ext4 disk, so a 2-4 batch replay
+    * spends a measurable slice of its wall time in checkpoint I/O.
+    * These declared keys are bounded AvailableNow REPLAYS whose
+    * checkpoints are ephemeral by construction (fresh dir per start,
+    * deleted on completion — exactly what Spark's own temp-checkpoint
+    * fallback does), so RAM-backed scratch is the right default where
+    * available. A production continuous job needs a DURABLE checkpoint
+    * and sets `spark.graft.stream.checkpointBase` (or just
+    * `spark.sql.streaming.checkpointLocation`) to reliable storage —
+    * the knob is per-session conf, not code. */
+  private def checkpointBase(s: SparkSession): java.nio.file.Path = {
+    val conf = s.conf.getOption("spark.graft.stream.checkpointBase")
+    val base = conf.map(java.nio.file.Paths.get(_)).orElse {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isWritable(shm)) Some(shm) else None
+    }.getOrElse(java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir")))
+    java.nio.file.Files.createDirectories(base)
+    base
+  }
+
   /** Runs a streaming frame to completion into a memory sink. */
   private def runToTable(s: SparkSession, out: DataFrame, name: String,
       mode: String): DataFrame = {
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    if (sys.env.contains("GRAFT_STREAM_DEBUG"))
-      q.recentProgress.foreach(p => System.err.println(
-        s"[stream-debug] $name batch=${p.batchId} rows=${p.numInputRows} " +
-          s"ms=${p.batchDuration} ${p.durationMs}"))
-    s.table(name)
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      checkpointBase(s), s"graft-ckpt-$name-")
+    try {
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(mode).option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+        q.recentProgress.foreach(p => System.err.println(
+          s"[stream-debug] $name batch=${p.batchId} rows=${p.numInputRows} " +
+            s"ms=${p.batchDuration} ${p.durationMs}"))
+      s.table(name)
+    } finally {
+      // replay checkpoints are single-use: a later invocation resuming
+      // stale offsets would skip its input, so the dir must not outlive
+      // the query (also keeps /dev/shm from accumulating state files)
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(ckpt))
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toList
+          .reverseIterator
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   private val sinkTableNames = Seq(
@@ -145,8 +183,16 @@ object Streaming {
         unix_micros(col("ts")).as("ts_us"))
       .repartition(8)
       .write.format("fits").mode("overwrite").save(staged)
+    // maxFilesPerTrigger 4 over the 8 staged part files → TWO data
+    // micro-batches: still a genuine multi-batch admission-controlled
+    // replay (offsets advance between batches, which is what this key
+    // gates end-to-end), but half the per-batch machinery cost
+    // (measured ~0.4-0.6 s/batch at sf0.1 — ProfileQuery, r18 opt
+    // round; was 2 → four batches). Complete output mode makes the
+    // final aggregate independent of the batch count, so the declared
+    // result is bitwise unchanged.
     val agg = s.readStream.format("fits")
-      .option("hdu", 1).option("maxFilesPerTrigger", 2)
+      .option("hdu", 1).option("maxFilesPerTrigger", 4)
       .load(staged)
       .withColumn("ts", expr("timestamp_micros(ts_us)"))
       .withWatermark("ts", "1 hour")
@@ -404,6 +450,14 @@ object Streaming {
     * bounded by the interval × arrival rate, exactly the plan a
     * continuous 1000-executor attribution job runs. */
   val stream_joined: Q = (s, dir) => withShufflePartitions(s, 8) {
+    // measured-and-rejected (r18 opt round): session-default (32)
+    // state partitions for this key — the interval join's per-task CPU
+    // (690 ms/task × 8, ProfileQuery) suggested spreading, but each
+    // state partition pays fixed HDFSStateStore delta-file/commit cost
+    // per batch × 4 stores (two sides × two batches incl. the empty
+    // finalization one): best-of-3 2.60 s at 8 partitions → 7.03 s at
+    // 32 (disk checkpoints) and still 5.33 s at 16 even with the
+    // RAM-backed checkpoint base. The 8-partition r17 sizing stands.
     val views = eventsStream(s, dir, oneBatch = true)
       .filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("view_ts"))

@@ -31,4 +31,13 @@ object Par {
     if (df.rdd.getNumPartitions * 2 >= p) df
     else df.repartition(p, keys: _*)
   }
+
+  // NOTE (r18 opt round): an explicit repartition-on-join-key pin for
+  // the CPU-dense pair self-joins was tried here and REMOVED — AQE
+  // runtime re-planning elides the user repartition as redundant once
+  // it flips the upstream join's build side, so the pin never reached
+  // execution. The working pair is the SHUFFLE_MERGE hints on the
+  // self-joins (Dedup.scala) + the session-wide 64 KB AQE
+  // minPartitionSize floor (Tables.sessionDefaults), which together
+  // keep those exchanges shuffle-shaped and non-serialized.
 }
