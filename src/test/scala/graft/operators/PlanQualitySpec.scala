@@ -49,6 +49,27 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("pair self-joins stay sort-merge under AQE — never broadcast") {
+    // r18 optimization round: AQE runtime-converted the shingle/bucket
+    // pair SELF-joins to broadcast joins and local-read the exchange
+    // away, serializing the quadratic pair expansion on the upstream's
+    // single map partition (measured 1.6 s on one core at sf0.1). The
+    // SHUFFLE_MERGE hints in Dedup pin the 100 TB-correct strategy; this
+    // gate asserts it in the EXECUTED (AQE-final) plan, where the
+    // conversion happens — the static plan cannot regress-test this.
+    Seq("dedup_ngram" -> Dedup.dedup_ngram,
+      "dedup_simhash" -> Dedup.dedup_simhash).foreach { case (name, q) =>
+      val df = q(spark, sf0001)
+      df.collect() // let AQE finalize
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      withClue(s"$name: ") {
+        assert(plan.contains("SortMergeJoin"),
+          s"pair self-join lost its SMJ pin:\n$plan")
+      }
+    }
+  }
+
   test("sim_topk broadcasts the query set, never shuffles the corpus") {
     val plan = formatted(Similarity.sim_topk(spark, sf0001))
     assert(plan.contains("BroadcastNestedLoopJoin") ||

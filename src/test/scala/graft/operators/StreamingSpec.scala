@@ -6,6 +6,35 @@ import graft.{SparkTestBase, Tables}
 
 class StreamingSpec extends SparkTestBase {
 
+  test("replay checkpoints are single-use: repeat runs re-ingest from " +
+      "offset zero and leave no checkpoint dirs behind") {
+    // r18 optimization round: runToTable places its per-run checkpoint
+    // under a (RAM-backed when available) scratch base. Two invariants
+    // keep that safe: every start gets a FRESH dir (a reused dir would
+    // resume committed offsets and silently stream zero rows on the
+    // second run), and the dir is deleted on completion (else /dev/shm
+    // accumulates state files for the session's life).
+    val base = java.nio.file.Files.createTempDirectory("ckpt-base")
+    spark.conf.set("spark.graft.stream.checkpointBase", base.toString)
+    try {
+      def run(): Seq[String] = {
+        val rows = Streaming.stream_hour_counts(spark, sf0001)
+          .collect().map(_.toString).sorted.toSeq
+        Streaming.dropSinkTables(spark)
+        rows
+      }
+      val first = run()
+      assert(first.nonEmpty)
+      // stale-offset reuse would make the second replay see no input
+      assert(run() == first, "second replay diverged — stale checkpoint?")
+      import scala.jdk.CollectionConverters._
+      val leftovers = java.nio.file.Files.list(base).iterator().asScala
+        .map(_.getFileName.toString).toList
+      assert(leftovers.isEmpty,
+        s"checkpoint dirs outlived their queries: $leftovers")
+    } finally spark.conf.unset("spark.graft.stream.checkpointBase")
+  }
+
   test("hour window counts equal the batch equivalent") {
     val streamed = Streaming.stream_hour_counts(spark, sf0001)
     val batch = Tables.load(spark, sf0001, "events")
