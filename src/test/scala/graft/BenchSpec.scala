@@ -33,6 +33,36 @@ class BenchSpec extends AnyFunSuite {
     line("r13-canary100x", degraded = true, 100.0, 100.0, 10.0, 10.0),
   )
 
+  test("stdout summary carries every declared key inside the driver's " +
+    "tail window (r18 verdict ask #2)") {
+    // the REAL registry's key names (their summed length is what blew
+    // the old seconds-precision line), at the r18 DRIVER host's shape —
+    // the slowest committed environment: 72.3 s over 110 keys, ~1/3 of
+    // keys above 1 s (4-digit ms). Values chosen to reproduce that
+    // digit mix with ~20% slack on top.
+    val keys = SparkEntry.queries.keySet.toSeq.sorted
+    val vals = keys.zipWithIndex.map { case (k, i) =>
+      k -> (if (i % 3 == 0) 2.345 else 0.456)
+    }
+    val line = Bench.stdoutSummary("99.999",
+      vals, "/root/testdata/sf0.1", "[]", "FALLBACK")
+    assert(line != "FALLBACK",
+      s"compact line overflowed the guard at ${keys.size} keys")
+    assert(line.length <= 2345, s"line is ${line.length} chars")
+    // every key present, values integer ms, valid JSON framing
+    assert(line.contains("\"" + keys.head + "\":2345"), line.take(200))
+    keys.foreach(k => assert(line.contains("\"" + k + "\":"), k))
+    assert(line.startsWith("""{"metric":"total","value":99.999"""))
+    assert(line.endsWith(""""failed":[]}"""))
+    // a failed key reports -1, like the file record
+    val failed = Bench.stdoutSummary("1.000",
+      Seq("q01_project" -> -1.0), "/x", """["q01_project"]""", "FB")
+    assert(failed.contains(""""q01_project":-1"""))
+    // and the guard still falls back rather than truncating mid-JSON
+    val huge = (1 to 400).map(i => s"key_$i" -> 1.0)
+    assert(Bench.stdoutSummary("1.000", huge, "/x", "[]", "FB") == "FB")
+  }
+
   test("probeValues extracts every probe field from a summary line") {
     val v = Bench.probeValues(history.head)
     assert(v == Map("fits_scan_mb_s" -> 1965.2, "fits_varlen_mb_s" -> 2089.6,
