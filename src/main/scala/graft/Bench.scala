@@ -210,6 +210,15 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
 
+    // Session warm-up (untimed, r19): the FIRST file-scan job of a
+    // session pays one-off FS-client/codegen/scheduler initialization —
+    // measured ~2 s landing inside whichever build probe runs first
+    // (sim_ivf_build_s carried it for three rounds). One metadata-tiny
+    // scan (region: 5 rows) absorbs it so each probe field measures its
+    // own build. Per-query timings are unaffected — they always ran
+    // after the builds; the same warm-up convention as the throughput
+    // probes' explicit warm pass.
+    Tables.load(spark, sfDir, "region").count()
     // IVF index build is a one-off offline job in the 100 TB design;
     // timing it inside sim_ivf_topk would misreport the probe cost the
     // index exists to make cheap. Build it up front and report the

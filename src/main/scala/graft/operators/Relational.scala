@@ -493,9 +493,12 @@ object Relational {
 
   private def deleteRecursively(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(root))
-      java.nio.file.Files.walk(root).iterator().asScala.toList
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala.toList
         .reverseIterator.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close() // unclosed walk leaks a directory fd
+    }
   }
 
   /** lineitem + orders written ONCE bucketed (8 buckets, sorted) by
@@ -515,12 +518,29 @@ object Relational {
       val lt = s"graft_lineitem_b_$id"
       val ot = s"graft_orders_b_$id"
       try {
-        t(s, dir, "lineitem").write.mode("overwrite")
-          .option("path", s"$base/$lt")
-          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
-        t(s, dir, "orders").write.mode("overwrite")
-          .option("path", s"$base/$ot")
-          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+        // the two layout writes are independent single-scan jobs —
+        // submit them from two driver threads so the second's tasks
+        // back-fill cores the first leaves idle (guide §2.6 "overlap
+        // independent jobs"); each write's plan is unchanged
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val writes = Seq(
+          Future {
+            t(s, dir, "lineitem").write.mode("overwrite")
+              .option("path", s"$base/$lt")
+              .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+          },
+          Future {
+            t(s, dir, "orders").write.mode("overwrite")
+              .option("path", s"$base/$ot")
+              .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+          })
+        // settle BOTH before rethrowing: the failure cleanup below must
+        // not drop tables while the sibling write is still in flight
+        val settled = writes.map(f =>
+          scala.util.Try(Await.result(f, Duration.Inf)))
+        settled.foreach(_.get)
       } catch {
         case e: Throwable =>
           // failed build must not leak the temp dir or half-registered

@@ -147,9 +147,11 @@ object Similarity {
     val root = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(root)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toList
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala.toList
         .reverseIterator  // children before parents
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close() // unclosed walk leaks a directory fd
     }
   }
 
@@ -201,8 +203,16 @@ object Similarity {
       val out = java.nio.file.Files.createTempDirectory("graft-ivf-index")
         .toString
       val e = embs(s, dir).withColumn("fv", array_to_vector(col("embedding")))
+      // repartition by bucket before the partitioned write: the
+      // assignment UDF + row writing otherwise run in the source
+      // scan's single task at tiny SFs (one writer producing all k
+      // directories serially — measured 1.1 s of the build). k-keyed
+      // repartition keeps ~one file per bucket directory, so the
+      // probe-side scan lists the same file count; row content and
+      // bucket occupancy are unchanged (guide §2.5/§6).
       ivfModel(s, dir, k).transform(e)
         .select(col("vec_id"), col("embedding"), col("bucket"))
+        .repartition(k, col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(out)
       out
     })
@@ -507,11 +517,25 @@ object Similarity {
   val embed_outliers: Q = (s, dir) => {
     val e = embs(s, dir)
     // quantization + dot products are the CPU: spread the single-file
-    // scan so they parallelize; both consumers (sums, scored) reuse
-    // the one exchange. No-op at production scan parallelism.
+    // scan so they parallelize. No-op at production scan parallelism.
+    //
+    // cache(): the quantized frame has TWO consumers (the centroid
+    // sums and the scoring pass), and Catalyst plans them as separate
+    // subtrees — column pruning rewrites each branch's exchange
+    // differently, so exchange reuse never fires and the corpus was
+    // scanned AND quantized twice (r18 verdict ask #3: at 100 TB that
+    // is a double full-corpus read, guide §6). In-query persist inside
+    // the timed region = intra-query reuse: the int8 codes (4× smaller
+    // than the float corpus) materialize once on the first consumer
+    // (the centroid-sum stage, which the scoring stage's broadcast
+    // already serializes after) and the second consumer reads them
+    // back — exactly one parquet scan in the plan. The bench/Verify
+    // clear the cache between queries, so nothing persists across
+    // queries or runs.
     val q8 = graft.util.Par.spread(e, col("vec_id"))
       .select(col("vec_id"), col("label"),
         quantizeInt8(col("embedding")).as("v"))
+      .cache()
     val sums = q8
       .select(col("label"), posexplode(col("v")))
       .groupBy(col("label"), col("pos"))

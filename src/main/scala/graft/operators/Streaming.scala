@@ -99,29 +99,73 @@ object Streaming {
     try f finally s.conf.set(key, old)
   }
 
+  /** Runs `f` with no-data micro-batches disabled, restoring after.
+    * Streaming queries here execute eagerly inside runToTable, so the
+    * scope is exact — unlike the batch keys, whose conf would leak.
+    *
+    * Where it applies (guide §5, r18 verdict ask #6): an AvailableNow
+    * replay appends one EMPTY finalization batch after the data, whose
+    * only job is to advance the watermark — emit append-mode aggregate
+    * results and evict state. A stateful op that emits NOTHING on
+    * watermark advance (the stream-stream INNER join: matches emit in
+    * the batch the later row arrives, the watermark only trims state)
+    * pays that batch's full per-partition state-store commit cycle —
+    * stream_joined: 8 partitions × 4 stores — for zero output rows.
+    * NOT applicable to append-mode aggregations (stream_append emits
+    * windows only when the watermark passes: the final batch IS the
+    * output) or to event-time-timeout state machines
+    * (stream_state_sessions_bounded evicts in that batch). */
+  private def withoutNoDataBatches[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val old = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try f finally old match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Checkpoint base for the bounded replays (guide §6: I/O placement).
     * Every micro-batch pays offset-WAL + commit-log + state-store
     * delta-file writes with fsyncs into the checkpoint dir; on this
     * host java.io.tmpdir is a VM ext4 disk, so a 2-4 batch replay
     * spends a measurable slice of its wall time in checkpoint I/O.
     * These declared keys are bounded AvailableNow REPLAYS whose
-    * checkpoints are ephemeral by construction (fresh dir per start,
-    * deleted on completion — exactly what Spark's own temp-checkpoint
-    * fallback does), so RAM-backed scratch is the right default where
-    * available. A production continuous job needs a DURABLE checkpoint
-    * and sets `spark.graft.stream.checkpointBase` (or just
-    * `spark.sql.streaming.checkpointLocation`) to reliable storage —
-    * the knob is per-session conf, not code. */
-  private def checkpointBase(s: SparkSession): java.nio.file.Path = {
+    * checkpoints are ALWAYS ephemeral by design (fresh dir per start,
+    * deleted on completion — runToTable passes an explicit per-run
+    * checkpointLocation, so durable/resumable checkpointing is
+    * deliberately unreachable through this path), so RAM-backed
+    * scratch is the right default where available — but ONLY under a
+    * local master (r18 verdict ask #7): on a multi-node cluster a bare
+    * local path would give each executor its own private state dir —
+    * worse than lost fault tolerance, silently wrong state. Non-local
+    * masters fall back to java.io.tmpdir unless
+    * `spark.graft.stream.checkpointBase` (a shared filesystem there)
+    * explicitly opts in. */
+  private[operators] def checkpointBase(s: SparkSession): java.nio.file.Path = {
     val conf = s.conf.getOption("spark.graft.stream.checkpointBase")
     val base = conf.map(java.nio.file.Paths.get(_)).orElse {
       val shm = java.nio.file.Paths.get("/dev/shm")
-      if (java.nio.file.Files.isWritable(shm)) Some(shm) else None
+      if (s.sparkContext.isLocal && java.nio.file.Files.isWritable(shm))
+        Some(shm)
+      else None
     }.getOrElse(java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir")))
     java.nio.file.Files.createDirectories(base)
     base
   }
+
+  /** Deletes a checkpoint tree, children before parents, CLOSING the
+    * directory stream (an unclosed Files.walk leaks a directory fd per
+    * streaming-query run until GC — r18 advice). */
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala.toList.reverseIterator
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
 
   /** Runs a streaming frame to completion into a memory sink. */
   private def runToTable(s: SparkSession, out: DataFrame, name: String,
@@ -142,11 +186,7 @@ object Streaming {
       // replay checkpoints are single-use: a later invocation resuming
       // stale offsets would skip its input, so the dir must not outlive
       // the query (also keeps /dev/shm from accumulating state files)
-      import scala.jdk.CollectionConverters._
-      if (java.nio.file.Files.exists(ckpt))
-        java.nio.file.Files.walk(ckpt).iterator().asScala.toList
-          .reverseIterator
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      deleteTree(ckpt)
     }
   }
 
@@ -470,7 +510,12 @@ object Streaming {
       col("v_user") === col("b_user") &&
         col("buy_ts") > col("view_ts") &&
         col("buy_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
-    runToTable(s, joined, "stream_joined_tbl", "append")
+    // inner interval joins emit every match in the data batch itself;
+    // the empty finalization batch only trims state — skip it (see
+    // withoutNoDataBatches; StreamingSpec pins output equality)
+    withoutNoDataBatches(s) {
+      runToTable(s, joined, "stream_joined_tbl", "append")
+    }
       .select(col("v_user").as("user_id"),
         col("view_ts").cast("timestamp_ntz").as("view_ts"),
         col("buy_ts").cast("timestamp_ntz").as("buy_ts"))

@@ -35,6 +35,51 @@ class StreamingSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.stream.checkpointBase")
   }
 
+  test("stream_joined equals the batch interval join — with its empty " +
+    "finalization batch skipped") {
+    // r19: stream_joined disables no-data micro-batches (the inner
+    // interval join emits every match in the data batch; the empty
+    // finalization batch only trims state, at full per-partition
+    // state-store commit cost × 4 stores). This pins output equality
+    // against the batch formulation AND that the skip-conf is restored.
+    val before = spark.conf
+      .getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    val streamed = Streaming.stream_joined(spark, sf0001)
+    val e = Tables.load(spark, sf0001, "events")
+    val a = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+    val b = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("buy_ts"))
+    val batch = a.join(b, col("user_id") === col("b_user") &&
+        col("buy_ts") > col("view_ts") &&
+        col("buy_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"),
+        col("view_ts").cast("timestamp_ntz").as("view_ts"),
+        col("buy_ts").cast("timestamp_ntz").as("buy_ts"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty)
+    assert(spark.conf
+      .getOption("spark.sql.streaming.noDataMicroBatches.enabled") == before,
+      "stream_joined leaked its no-data-batch conf")
+    Streaming.dropSinkTables(spark)
+  }
+
+  test("checkpoint base: /dev/shm only under a local master, conf " +
+    "override always wins") {
+    // r18 verdict ask #7: a bare local path on a multi-node cluster
+    // would give each executor a private state dir — silently wrong
+    // state, worse than lost fault tolerance. The decision is gated on
+    // sparkContext.isLocal; the conf override is absolute.
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    assert(spark.sparkContext.isLocal)
+    if (java.nio.file.Files.isWritable(shm))
+      assert(Streaming.checkpointBase(spark) == shm)
+    val over = java.nio.file.Files.createTempDirectory("ckpt-over")
+    spark.conf.set("spark.graft.stream.checkpointBase", over.toString)
+    try assert(Streaming.checkpointBase(spark) == over)
+    finally spark.conf.unset("spark.graft.stream.checkpointBase")
+  }
+
   test("hour window counts equal the batch equivalent") {
     val streamed = Streaming.stream_hour_counts(spark, sf0001)
     val batch = Tables.load(spark, sf0001, "events")
