@@ -15,9 +15,52 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Resolved-table memo, per (session, dir, name) — PLAN reuse, not
+    * data caching (r18 verdict ask #9: "shared resolved DataFrames per
+    * (session, dir) is session-scoped reuse"). Every `spark.read
+    * .parquet` call re-lists the path and re-reads the parquet footer
+    * on the driver: measured 65-80 ms/call vs 5-8 ms composing on an
+    * already-resolved frame (examples.ResolveBench), and a 110-key
+    * bench run makes 200+ such calls — ~10 s of pure driver-side
+    * re-resolution of the same ten immutable files. The memoized value
+    * is a lazy logical plan; nothing is computed or persisted, every
+    * query still executes from parquet. Sound because the graded
+    * corpora are immutable within a session (the bench/Verify/test
+    * sessions never rewrite a corpus dir they read); a table REWRITTEN
+    * mid-session at the same path must not go through this memo —
+    * scratch round-trip dirs (fitsScratch) read via spark.read
+    * directly, as before. */
+  private val resolvedMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
+  // get-then-putIfAbsent, NOT computeIfAbsent: loading "events" nests a
+  // lookup of its raw frame in the same map, and a nested mutation
+  // inside computeIfAbsent's mapping function throws "Recursive update"
+  // when it lands on a resize. The benign race (two threads resolving
+  // the same table once each) is harmless — first put wins.
+  private def memoized(key: (SparkSession, String, String))
+      (resolve: => DataFrame): DataFrame = {
+    val cached = resolvedMemo.get(key)
+    if (cached != null) cached
+    else {
+      resolvedMemo.putIfAbsent(key, resolve)
+      resolvedMemo.get(key)
+    }
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") loadEvents(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    memoized((spark, dir, name)) {
+      if (name == "events") loadEvents(spark, dir)
+      else spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  /** The raw (pre-normalization) events frame — the streaming keys
+    * probe its footer-declared `ts` type once per query start; memoized
+    * so the probe stops paying a fresh footer read per key. */
+  private[graft] def eventsRaw(spark: SparkSession, dir: String): DataFrame =
+    memoized((spark, dir, "events__raw")) {
+      spark.read.parquet(s"$dir/events.parquet")
+    }
 
   /** Session conf required to read TIMESTAMP(NANOS) parquet (one
     * historical layout of `events`). Set it at session construction
@@ -72,7 +115,7 @@ object Tables {
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val df = spark.read.parquet(s"$dir/events.parquet")
+    val df = eventsRaw(spark, dir)
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

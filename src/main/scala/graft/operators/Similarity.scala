@@ -123,6 +123,16 @@ object Similarity {
     (SparkSession, String, Int), String]()
   private val ivfMassMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Int), Map[Int, Long]]()
+  // resolved read of the on-disk index, keyed by its (unique, per-build
+  // temp) path — plan reuse only, like Tables.resolvedMemo: the three
+  // ivf keys + the mass probe each paid a fresh dir listing + footer
+  // read (~65 ms and up; the index is a 16-directory partitioned tree)
+  private val ivfDfMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), org.apache.spark.sql.DataFrame]()
+
+  private def ivfIndexDf(s: SparkSession, dir: String, k: Int): DataFrame =
+    ivfDfMemo.computeIfAbsent((s, ivfIndexPath(s, dir, k)),
+      key => s.read.parquet(key._2))
 
   /** Drops this session's memoized IVF quantizers (driver-resident
     * centroid tables; small, but the map holds strong session keys and
@@ -139,6 +149,8 @@ object Similarity {
       .foreach { k =>
         Option(ivfIndexMemo.remove(k)).foreach(deleteRecursively)
       }
+    ivfDfMemo.keySet.asScala.filter(_._1 eq s).toList
+      .foreach(ivfDfMemo.remove)
     overlapMemo.keySet.asScala.filter(_._1 eq s).toList
       .foreach(overlapMemo.remove)
   }
@@ -225,7 +237,7 @@ object Similarity {
   private[operators] def ivfBucketMass(s: SparkSession, dir: String,
       k: Int): Map[Int, Long] =
     ivfMassMemo.computeIfAbsent((s, dir, k), { _ =>
-      s.read.parquet(ivfIndexPath(s, dir, k))
+      ivfIndexDf(s, dir, k)
         .groupBy(col("bucket")).count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     })
@@ -329,7 +341,7 @@ object Similarity {
     val k = 16
     val nProbe = 2
     val model = ivfModel(s, dir, k)
-    val bucketed = s.read.parquet(ivfIndexPath(s, dir, k))
+    val bucketed = ivfIndexDf(s, dir, k)
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
     val mass = ivfBucketMass(s, dir, k)
     // queries → nearest centroids under the min-mass guard. Distance

@@ -68,7 +68,9 @@ object Streaming {
     * The probe is one metadata read per query start — nothing per-batch. */
   private def eventsStream(s: SparkSession, dir: String,
       oneBatch: Boolean = false): DataFrame = {
-    val tsType = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    // footer probe through the session-scoped resolved-table memo — a
+    // fresh spark.read.parquet here cost ~65 ms per streaming key
+    val tsType = graft.Tables.eventsRaw(s, dir).schema("ts").dataType
     val raw = streamTable(s, dir, "events", eventsSchema(tsType), oneBatch)
     tsType match {
       case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
