@@ -82,18 +82,25 @@ object Streaming {
     }
   }
 
+  /** State-partition count for the bounded replays —
+    * `spark.graft.stream.statePartitions`, default 8: a continuous job
+    * sizes state partitions to its state volume, and at the declared
+    * scale factors the state is KB-to-MB sized — inheriting the
+    * relational default of 32 pays 4 state-store maintenance cycles
+    * per partition per batch for stores that hold almost nothing
+    * (measured 40-55% of several keys' wall time, r17; 16 and 32
+    * re-measured worse in r18, 4 re-measured ≈ flat-to-worse in r19).
+    * A production deployment sets the knob to its state volume. */
+  private def statePartitions(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.stream.statePartitions")
+      .map(_.toInt).getOrElse(8)
+
   /** Runs `f` with the session's shuffle-partition count (= stateful
     * operators' state-partition count, fixed at first checkpoint)
-    * temporarily set to `n`, restoring the old value after. Every
-    * stateful key here uses n = 8: a continuous job sizes state
-    * partitions to its state volume, and at the declared scale factors
-    * the state is KB-to-MB sized — inheriting the relational default
-    * of 32 pays 4 state-store maintenance cycles per partition per
-    * batch for stores that hold almost nothing (measured 40-55% of
-    * several keys' wall time, the 2.5 s → 1.2 s class). A production
-    * deployment re-sizes the knob to its state volume. Conf mutation
-    * is visible session-wide while `f` runs; the declared queries
-    * execute sequentially (Bench/Verify), so this is safe there. */
+    * temporarily set to `n`, restoring the old value after. Conf
+    * mutation is visible session-wide while `f` runs; the declared
+    * queries execute sequentially (Bench/Verify), so this is safe
+    * there. */
   private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val old = s.conf.get(key)
@@ -240,7 +247,7 @@ object Streaming {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("sum_id"))
-    withShufflePartitions(s, 8) {
+    withShufflePartitions(s, statePartitions(s)) {
       runToTable(s, agg, "stream_fits_ingest_tbl", "complete")
         .select(col("window.start").cast("timestamp_ntz").as("h"),
           col("event_type"), col("cnt"), col("sum_id"))
@@ -249,7 +256,7 @@ object Streaming {
   }
 
   /** Tumbling 1-hour windows × event_type with a 1-hour watermark. */
-  val stream_hour_counts: Q = (s, dir) => withShufflePartitions(s, 8) {
+  val stream_hour_counts: Q = (s, dir) => withShufflePartitions(s, statePartitions(s)) {
     val agg = eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -262,7 +269,7 @@ object Streaming {
 
   /** Sliding 1-hour windows every 30 minutes (each event lands in
     * exactly two windows). */
-  val stream_sliding: Q = (s, dir) => withShufflePartitions(s, 8) {
+  val stream_sliding: Q = (s, dir) => withShufflePartitions(s, statePartitions(s)) {
     val agg = eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
@@ -274,7 +281,7 @@ object Streaming {
   }
 
   /** Session windows (30-minute gap) per user. */
-  val stream_sessions: Q = (s, dir) => withShufflePartitions(s, 8) {
+  val stream_sessions: Q = (s, dir) => withShufflePartitions(s, statePartitions(s)) {
     val agg = eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -296,7 +303,7 @@ object Streaming {
     * after it are (deterministically) withheld — mirrored in the
     * oracle's HAVING clause. Cross-restart eviction is proven in
     * StreamingSpec ("append mode ... across restarts"). */
-  val stream_append: Q = (s, dir) => withShufflePartitions(s, 8) {
+  val stream_append: Q = (s, dir) => withShufflePartitions(s, statePartitions(s)) {
     val agg = eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -321,7 +328,7 @@ object Streaming {
     * same plan runs as `dropDuplicatesWithinWatermark` so state expires
     * with the watermark; the replay here is bounded, like the other
     * AvailableNow queries. */
-  val stream_dedup: Q = (s, dir) => withShufflePartitions(s, 8) {
+  val stream_dedup: Q = (s, dir) => withShufflePartitions(s, statePartitions(s)) {
     val docs = streamTable(s, dir, "documents", documentsSchema)
     val distinct = docs.dropDuplicates("text").select(col("text"))
     runToTable(s, distinct, "stream_dedup_tbl", "append")
@@ -338,7 +345,7 @@ object Streaming {
     * state expires mid-replay and the result equals DISTINCT — which
     * is what makes this oracle-checkable; cross-restart expiry and
     * re-admission are proven in StreamingSpec. */
-  val stream_dedup_bounded: Q = (s, dir) => withShufflePartitions(s, 8) {
+  val stream_dedup_bounded: Q = (s, dir) => withShufflePartitions(s, statePartitions(s)) {
     val dd = eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
@@ -349,7 +356,7 @@ object Streaming {
 
   /** Custom state machine via mapGroupsWithState: per-user session
     * count with a 30-minute gap rule. */
-  val stream_state_sessions: Q = (s, dir) => withShufflePartitions(s, 8) {
+  val stream_state_sessions: Q = (s, dir) => withShufflePartitions(s, statePartitions(s)) {
     import s.implicits._
     val gapMicros = 30L * 60 * 1000 * 1000
     val typed = eventsStream(s, dir)
@@ -388,7 +395,7 @@ object Streaming {
     * replay ingests one micro-batch — no watermark passes mid-replay,
     * so the oracle is the unbounded key's. */
   val stream_state_sessions_bounded: Q = (s, dir) =>
-    withShufflePartitions(s, 8) {
+    withShufflePartitions(s, statePartitions(s)) {
     // oneBatch: the oracle equivalence REQUIRES a single-micro-batch
     // replay (eviction mid-replay would make max()-compaction
     // undercount a re-admitted user) — enforce it like stream_joined
@@ -461,7 +468,7 @@ object Streaming {
     * and broadcast, so the unbounded stream side never shuffles for
     * the match; state is the (doc, bench) pair counts only. Shares the
     * batch key's oracle. */
-  val stream_decontam: Q = (s, dir) => withShufflePartitions(s, 8) {
+  val stream_decontam: Q = (s, dir) => withShufflePartitions(s, statePartitions(s)) {
     val bench = graft.Tables.load(s, dir, "documents")
       .filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("bench_id"),
@@ -491,7 +498,7 @@ object Streaming {
     * Scale shape: one shuffle per side on user_id; state per user is
     * bounded by the interval × arrival rate, exactly the plan a
     * continuous 1000-executor attribution job runs. */
-  val stream_joined: Q = (s, dir) => withShufflePartitions(s, 8) {
+  val stream_joined: Q = (s, dir) => withShufflePartitions(s, statePartitions(s)) {
     // measured-and-rejected (r18 opt round): session-default (32)
     // state partitions for this key — the interval join's per-task CPU
     // (690 ms/task × 8, ProfileQuery) suggested spreading, but each
@@ -542,7 +549,7 @@ object Streaming {
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("event_type"))
       .as[(Long, Long, Long, String)]
-    val flags = withShufflePartitions(s, 8) {
+    val flags = withShufflePartitions(s, statePartitions(s)) {
       typed.groupByKey(_._1)
         .mapGroupsWithState[(Boolean, Boolean, Boolean), (Long, Int, Int, Int)](
           GroupStateTimeout.NoTimeout) {
